@@ -10,12 +10,17 @@ import os
 import subprocess
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon TPU plugin ignores JAX_PLATFORMS env; force CPU via the config
+# API instead (must happen before any backend initialization).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 
