@@ -105,4 +105,7 @@ def test_mdct_batched():
 def test_kbd_window_properties():
     w = tx.kbd_window(256)
     assert w.shape == (256,)
-    np.testing.assert_allclose(w[:128] ** 2 + w[128:][::-1] ** 2, 1.0, atol=1e-9)
+    # Princen-Bradley: w[i]^2 + w[i + n/2]^2 = 1
+    np.testing.assert_allclose(w[:128] ** 2 + w[128:] ** 2, 1.0, atol=1e-9)
+    # symmetry
+    np.testing.assert_allclose(w, w[::-1], atol=0)
