@@ -1,0 +1,10 @@
+"""Codec layer (libavcodec analog)."""
+
+from .codec import (Codec, CodecContext, decoder_names, encoder_names,
+                    register_decoder, register_encoder)
+
+# register built-in codecs
+from . import rawvideo, pcm  # noqa: F401
+
+__all__ = ["Codec", "CodecContext", "decoder_names", "encoder_names",
+           "register_decoder", "register_encoder"]

@@ -1,0 +1,15 @@
+"""Container & byte I/O layer (libavformat analog)."""
+
+from . import avio
+from .demux import Demuxer, open_input, probe_format, demuxer_names
+from .mux import Muxer, open_output, muxer_names
+from .stream import CodecParameters, MediaType, StreamInfo
+
+# register built-in formats
+from .formats import wav, y4m, rawvideo, hashenc  # noqa: F401
+
+__all__ = [
+    "avio", "Demuxer", "Muxer", "open_input", "open_output", "probe_format",
+    "demuxer_names", "muxer_names", "CodecParameters", "MediaType",
+    "StreamInfo",
+]

@@ -1,0 +1,168 @@
+"""WAV/RIFF demuxer + muxer (analog of libavformat/wavdec.c / wavenc.c)."""
+
+from __future__ import annotations
+
+import struct
+
+from ...core.packet import Packet, PKT_FLAG_KEY
+from ...formats.channel_layout import default_layout
+from ...utils.error import EndOfStream, InvalidData
+from ...utils.rational import NOPTS, Rational
+from ..demux import Demuxer, register_demuxer, PROBE_SCORE_MAX
+from ..mux import Muxer, register_muxer
+from ..stream import CodecParameters, MediaType
+
+# WAVE format tags → codec ids (riff.c tag table subset)
+_TAG_TO_CODEC = {
+    0x0001: None,          # PCM int — depends on bits
+    0x0003: None,          # PCM float
+    0x0006: "pcm_alaw",
+    0x0007: "pcm_mulaw",
+    0x0055: "mp3",
+    0x2000: "ac3",
+    0x00FF: "aac",
+}
+
+
+def _pcm_codec(tag: int, bits: int) -> str:
+    if tag == 0x0003:
+        return {32: "pcm_f32le", 64: "pcm_f64le"}.get(bits, "pcm_f32le")
+    return {8: "pcm_u8", 16: "pcm_s16le", 24: "pcm_s24le",
+            32: "pcm_s32le", 64: "pcm_s64le"}.get(bits, "pcm_s16le")
+
+
+_CODEC_TO_TAG = {
+    "pcm_u8": (0x0001, 8), "pcm_s16le": (0x0001, 16), "pcm_s24le": (0x0001, 24),
+    "pcm_s32le": (0x0001, 32), "pcm_f32le": (0x0003, 32), "pcm_f64le": (0x0003, 64),
+    "pcm_alaw": (0x0006, 8), "pcm_mulaw": (0x0007, 8),
+}
+
+
+@register_demuxer
+class WavDemuxer(Demuxer):
+    name = "wav"
+    long_name = "WAV / WAVE (Waveform Audio)"
+    extensions = ("wav", "w64")
+
+    BLOCK_SAMPLES = 4096   # samples per output packet, like wavdec's max_size logic
+
+    @classmethod
+    def probe(cls, head: bytes, filename: str = "") -> int:
+        if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+            return PROBE_SCORE_MAX
+        return 0
+
+    def read_header(self) -> None:
+        r = self.r
+        if r.tag() != b"RIFF":
+            raise InvalidData("not RIFF")
+        r.rl32()
+        if r.tag() != b"WAVE":
+            raise InvalidData("not WAVE")
+        fmt = None
+        self._data_left = 0
+        while not r.at_eof():
+            try:
+                tag = r.tag()
+                size = r.rl32()
+            except EndOfStream:
+                break
+            if tag == b"fmt ":
+                fmt = r.read_exact(size)
+                if size & 1:
+                    r.skip(1)
+            elif tag == b"data":
+                self._data_left = size if size != 0xFFFFFFFF else -1
+                break
+            else:
+                r.skip(size + (size & 1))
+        if fmt is None:
+            raise InvalidData("wav: no fmt chunk")
+        wtag, channels, rate, byte_rate, block_align, bits = \
+            struct.unpack("<HHIIHH", fmt[:16])
+        if wtag == 0xFFFE and len(fmt) >= 26:  # WAVE_FORMAT_EXTENSIBLE
+            wtag = struct.unpack("<H", fmt[24:26])[0]
+        codec = _TAG_TO_CODEC.get(wtag)
+        if codec is None:
+            codec = _pcm_codec(wtag, bits)
+        par = CodecParameters(
+            codec_type=MediaType.AUDIO, codec_id=codec, codec_tag=wtag,
+            sample_rate=rate, ch_layout=default_layout(channels),
+            block_align=block_align or (channels * max(1, bits // 8)),
+            bits_per_coded_sample=bits, bit_rate=byte_rate * 8)
+        st = self.add_stream(codecpar=par, time_base=Rational(1, rate))
+        if self._data_left > 0 and block_align:
+            st.duration = self._data_left // block_align
+            self.duration = st.duration * 1000000 // rate
+        self._pts = 0
+
+    def read_packet(self) -> Packet:
+        st = self.streams[0]
+        ba = st.codecpar.block_align
+        want = self.BLOCK_SAMPLES * ba
+        if self._data_left == 0:
+            raise EndOfStream()
+        if self._data_left > 0:
+            want = min(want, self._data_left)
+        data = self.r.read(want)
+        if not data:
+            raise EndOfStream()
+        if self._data_left > 0:
+            self._data_left -= len(data)
+        n = len(data) // ba if ba else 0
+        pkt = Packet(data=data, pts=self._pts, dts=self._pts,
+                     duration=n, stream_index=0, flags=PKT_FLAG_KEY,
+                     time_base=st.time_base)
+        self._pts += n
+        return pkt
+
+    def seek(self, stream_index: int, ts: int, flags: int = 0) -> None:
+        raise InvalidData("wav: seek not yet supported")
+
+
+@register_muxer
+class WavMuxer(Muxer):
+    name = "wav"
+    extensions = ("wav",)
+    default_audio_codec = "pcm_s16le"
+
+    def _write_header(self) -> None:
+        if len(self.streams) != 1 or self.streams[0].codec_type != MediaType.AUDIO:
+            raise InvalidData("wav: exactly one audio stream required")
+        par = self.streams[0].codecpar
+        if par.codec_id not in _CODEC_TO_TAG:
+            raise InvalidData(f"wav: cannot mux codec {par.codec_id}")
+        tag, bits = _CODEC_TO_TAG[par.codec_id]
+        ch = par.channels
+        ba = ch * bits // 8
+        w = self.w
+        w.tag("RIFF")
+        self._riff_size_pos = w.tell()
+        w.wl32(0)                      # patched in trailer
+        w.tag("WAVE")
+        w.tag("fmt ")
+        w.wl32(16)
+        w.wl16(tag)
+        w.wl16(ch)
+        w.wl32(par.sample_rate)
+        w.wl32(par.sample_rate * ba)
+        w.wl16(ba)
+        w.wl16(bits)
+        w.tag("data")
+        self._data_size_pos = w.tell()
+        w.wl32(0)
+        self._data_bytes = 0
+
+    def _write_packet(self, pkt: Packet) -> None:
+        self.w.write(pkt.data)
+        self._data_bytes += len(pkt.data)
+
+    def _write_trailer(self) -> None:
+        w = self.w
+        if w.seekable:
+            end = w.tell()
+            w.seek(self._riff_size_pos)
+            w.wl32(end - 8)
+            w.seek(self._data_size_pos)
+            w.wl32(self._data_bytes)
+            w.seek(end)
