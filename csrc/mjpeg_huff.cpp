@@ -1,0 +1,202 @@
+// Baseline JPEG/MJPEG Huffman scan decoder (host entropy stage).
+//
+// TPU-native split (SURVEY.md §7 step 6): this C++ stage turns the serial,
+// branchy entropy stream into dense int16 coefficient planes; everything
+// after (dequant, IDCT, upsample, colorspace) runs batched on the TPU.
+// Re-derived from the JPEG spec; plays the role of the scan loop in the
+// reference's libavcodec/mjpegdec.c but emits *all* blocks of a frame as
+// one (rows, cols, 64) tensor per component instead of decoding per-MCU
+// into pixels.
+//
+// Exported C ABI (ctypes):
+//   mjpeg_decode_scan(...) -> 0 on success, negative error code otherwise.
+//
+// Coefficients are emitted in zigzag order; the TPU side applies the
+// dequant + dezigzag + IDCT in one fused program.
+
+#include "bitreader.h"
+#include <cstring>
+
+namespace {
+
+struct HuffTable {
+    // LUT-based decode: peek 16 bits, table gives (symbol, length).
+    // Built from (bits[16], values[]) DHT spec.
+    uint8_t sym[1 << 16];
+    uint8_t len[1 << 16];
+    bool built = false;
+
+    int build(const uint8_t* counts, const uint8_t* values) {
+        uint32_t code = 0;
+        int vi = 0;
+        std::memset(len, 0, sizeof(len));
+        for (int l = 1; l <= 16; ++l) {
+            for (int i = 0; i < counts[l - 1]; ++i) {
+                if (code >= (1u << l)) return -1;
+                uint32_t lo = code << (16 - l);
+                uint32_t hi = lo + (1u << (16 - l));
+                for (uint32_t c = lo; c < hi; ++c) {
+                    sym[c] = values[vi];
+                    len[c] = (uint8_t)l;
+                }
+                ++code;
+                ++vi;
+            }
+            code <<= 1;
+        }
+        built = true;
+        return 0;
+    }
+};
+
+// JPEG "extend": map raw magnitude bits to signed value.
+static inline int jpeg_extend(int v, int n) {
+    if (n == 0) return 0;
+    return v < (1 << (n - 1)) ? v - (1 << n) + 1 : v;
+}
+
+struct CompSpec {
+    int dc_table;
+    int ac_table;
+    int h, v;            // sampling factors
+    int blocks_w;        // row-stride of this component's block grid
+};
+
+}  // namespace
+
+extern "C" {
+
+// counts: 4 tables x 2 classes x 16 ; values: 4x2x256
+// comp_spec: per component: dc_tab, ac_tab, h, v, blocks_w  (5 ints)
+// out: per component pointer to int16[blocks_total*64] (zigzag order)
+// mcus_x/mcus_y: MCU grid; restart_interval: MCUs between RST markers (0=none)
+int mjpeg_decode_scan(
+    const uint8_t* data, long size,
+    const uint8_t* dc_counts, const uint8_t* dc_values,
+    const uint8_t* ac_counts, const uint8_t* ac_values,
+    const int* comp_spec, int ncomp,
+    int mcus_x, int mcus_y, int restart_interval,
+    int16_t** out) {
+
+    HuffTable dc_tabs[4], ac_tabs[4];
+    CompSpec comps[4];
+    if (ncomp < 1 || ncomp > 4) return -1;
+    for (int c = 0; c < ncomp; ++c) {
+        comps[c].dc_table = comp_spec[c * 5 + 0];
+        comps[c].ac_table = comp_spec[c * 5 + 1];
+        comps[c].h = comp_spec[c * 5 + 2];
+        comps[c].v = comp_spec[c * 5 + 3];
+        comps[c].blocks_w = comp_spec[c * 5 + 4];
+        if (comps[c].dc_table < 0 || comps[c].dc_table > 3) return -2;
+        if (comps[c].ac_table < 0 || comps[c].ac_table > 3) return -2;
+    }
+    for (int t = 0; t < 4; ++t) {
+        dc_tabs[t].build(dc_counts + t * 16, dc_values + t * 256);
+        ac_tabs[t].build(ac_counts + t * 16, ac_values + t * 256);
+    }
+
+    // destuff: strip 0xFF00 -> 0xFF and locate RST markers.
+    // We destuff into a scratch buffer once (cheap, single pass).
+    uint8_t* buf = new uint8_t[size];
+    long n = 0;
+    long src = 0;
+    // segment boundaries at RST markers for restart handling
+    // We decode sequentially; on RST we realign the bit reader.
+    BitReader br;
+
+    auto destuff_until_marker = [&](long start, long* seg_len) -> long {
+        // copies from data[start..] into buf, stopping at any marker except
+        // stuffed FF00; returns position after the marker (or size).
+        long i = start;
+        long w = 0;
+        while (i < size) {
+            uint8_t b = data[i];
+            if (b == 0xFF) {
+                if (i + 1 < size && data[i + 1] == 0x00) {
+                    buf[w++] = 0xFF;
+                    i += 2;
+                    continue;
+                }
+                break;  // real marker
+            }
+            buf[w++] = b;
+            ++i;
+        }
+        *seg_len = w;
+        return i;
+    };
+
+    int pred[4] = {0, 0, 0, 0};
+    long mcu_count = (long)mcus_x * mcus_y;
+    long mcu_done = 0;
+    long read_pos = 0;
+
+    long seg_len = 0;
+    read_pos = destuff_until_marker(0, &seg_len);
+    br.init(buf, seg_len);
+
+    while (mcu_done < mcu_count) {
+        long my = mcu_done / mcus_x;
+        long mx = mcu_done % mcus_x;
+        for (int c = 0; c < ncomp; ++c) {
+            const CompSpec& cs = comps[c];
+            HuffTable& dt = dc_tabs[cs.dc_table];
+            HuffTable& at = ac_tabs[cs.ac_table];
+            for (int by = 0; by < cs.v; ++by) {
+                for (int bx = 0; bx < cs.h; ++bx) {
+                    long row = my * cs.v + by;
+                    long col = mx * cs.h + bx;
+                    int16_t* blk = out[c] + (row * cs.blocks_w + col) * 64;
+                    // DC
+                    uint32_t look = br.peek(16);
+                    int l = dt.len[look];
+                    if (!l) { delete[] buf; return -3; }
+                    int s = dt.sym[look];
+                    br.skip(l);
+                    int diff = jpeg_extend((int)br.get(s), s);
+                    pred[c] += diff;
+                    blk[0] = (int16_t)pred[c];
+                    // AC (run/size)
+                    int k = 1;
+                    while (k < 64) {
+                        look = br.peek(16);
+                        l = at.len[look];
+                        if (!l) { delete[] buf; return -4; }
+                        int rs = at.sym[look];
+                        br.skip(l);
+                        int run = rs >> 4;
+                        int sz = rs & 15;
+                        if (sz == 0) {
+                            if (run == 15) { k += 16; continue; }  // ZRL
+                            break;  // EOB
+                        }
+                        k += run;
+                        if (k > 63) { delete[] buf; return -5; }
+                        blk[k] = (int16_t)jpeg_extend((int)br.get(sz), sz);
+                        ++k;
+                    }
+                    if (br.overread()) { delete[] buf; return -6; }
+                }
+            }
+        }
+        ++mcu_done;
+        if (restart_interval && mcu_done < mcu_count &&
+            mcu_done % restart_interval == 0) {
+            // expect RSTn marker at read_pos
+            if (read_pos + 1 < size && data[read_pos] == 0xFF &&
+                (data[read_pos + 1] & 0xF8) == 0xD0) {
+                read_pos += 2;
+                read_pos = destuff_until_marker(read_pos, &seg_len);
+                br.init(buf, seg_len);
+                pred[0] = pred[1] = pred[2] = pred[3] = 0;
+            } else {
+                delete[] buf;
+                return -7;
+            }
+        }
+    }
+    delete[] buf;
+    return 0;
+}
+
+}  // extern "C"

@@ -68,7 +68,8 @@ class Demuxer(LogMixin):
         raise InvalidData(f"{self.name}: seeking not supported")
 
     def close(self) -> None:
-        self.r.close()
+        if self.r is not None:
+            self.r.close()
 
     # --- helpers ----------------------------------------------------------------
     def add_stream(self, **kw) -> StreamInfo:
@@ -114,12 +115,27 @@ def probe_format(head: bytes, filename: str = "") -> Optional[Type[Demuxer]]:
 def open_input(url, format: Optional[str] = None, **options) -> Demuxer:
     """avformat_open_input analog: probe (or take explicit format), read
     header, return ready demuxer."""
-    r = avio.open_read(url)
     if format is not None:
         cls = _DEMUXERS.get(format)
         if cls is None:
             raise DemuxerNotFound(format)
+        if cls.flags_no_file:
+            d = cls(None, url=str(url))
+            for k, v in options.items():
+                setattr(d, k, v)
+            d.read_header()
+            return d
+        r = avio.open_read(url)
+    elif isinstance(url, str) and ("%" in url or "*" in url):
+        cls = _DEMUXERS["image2"]
+        d = cls(None, url=url)
+        for k, v in options.items():
+            setattr(d, k, v)
+        d.read_header()
+        return d
     else:
+        r = avio.open_read(url)
+    if format is None:
         head = r.peek(4096)
         cls = probe_format(head, str(url))
         if cls is None:
