@@ -1,0 +1,10 @@
+"""Filter graph layer (libavfilter analog)."""
+
+from .base import Filter, TraceableFilter, filter_names, get_filter, register_filter
+from .graph import FilterGraph, FusedChain, parse_graph
+
+# register built-in filters
+from . import video, audio  # noqa: F401
+
+__all__ = ["Filter", "TraceableFilter", "FilterGraph", "FusedChain",
+           "parse_graph", "filter_names", "get_filter", "register_filter"]
