@@ -70,13 +70,17 @@ extern "C" {
 // comp_spec: per component: dc_tab, ac_tab, h, v, blocks_w  (5 ints)
 // out: per component pointer to int16[blocks_total*64] (zigzag order)
 // mcus_x/mcus_y: MCU grid; restart_interval: MCUs between RST markers (0=none)
+// coeff_limit: store only the first coeff_limit zigzag coefficients per
+// block (still parses all) — powers DCT-domain scaled decode where only
+// low frequencies are shipped to the TPU. Output stride per block is
+// coeff_limit.
 int mjpeg_decode_scan(
     const uint8_t* data, long size,
     const uint8_t* dc_counts, const uint8_t* dc_values,
     const uint8_t* ac_counts, const uint8_t* ac_values,
     const int* comp_spec, int ncomp,
     int mcus_x, int mcus_y, int restart_interval,
-    int16_t** out) {
+    int coeff_limit, int16_t** out) {
 
     HuffTable dc_tabs[4], ac_tabs[4];
     CompSpec comps[4];
@@ -98,8 +102,6 @@ int mjpeg_decode_scan(
     // destuff: strip 0xFF00 -> 0xFF and locate RST markers.
     // We destuff into a scratch buffer once (cheap, single pass).
     uint8_t* buf = new uint8_t[size];
-    long n = 0;
-    long src = 0;
     // segment boundaries at RST markers for restart handling
     // We decode sequentially; on RST we realign the bit reader.
     BitReader br;
@@ -146,7 +148,8 @@ int mjpeg_decode_scan(
                 for (int bx = 0; bx < cs.h; ++bx) {
                     long row = my * cs.v + by;
                     long col = mx * cs.h + bx;
-                    int16_t* blk = out[c] + (row * cs.blocks_w + col) * 64;
+                    int16_t* blk = out[c] + (row * cs.blocks_w + col) * coeff_limit;
+                    std::memset(blk, 0, (size_t)coeff_limit * 2);
                     // DC
                     uint32_t look = br.peek(16);
                     int l = dt.len[look];
@@ -172,7 +175,8 @@ int mjpeg_decode_scan(
                         }
                         k += run;
                         if (k > 63) { delete[] buf; return -5; }
-                        blk[k] = (int16_t)jpeg_extend((int)br.get(sz), sz);
+                        int v = jpeg_extend((int)br.get(sz), sz);
+                        if (k < coeff_limit) blk[k] = (int16_t)v;
                         ++k;
                     }
                     if (br.overread()) { delete[] buf; return -6; }

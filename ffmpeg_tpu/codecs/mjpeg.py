@@ -353,7 +353,7 @@ class MjpegDecoder(Codec):
             st.dc_counts.tobytes(), st.dc_values.tobytes(),
             st.ac_counts.tobytes(), st.ac_values.tobytes(),
             spec_arr, len(specs), mcus_x, mcus_y, st.restart_interval,
-            out_ptrs)
+            64, out_ptrs)
         if ret != 0:
             raise InvalidData(f"mjpeg: scan decode failed ({ret})")
 

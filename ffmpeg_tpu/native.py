@@ -94,6 +94,6 @@ def _bind(lib: ctypes.CDLL) -> None:
             c.c_char_p, c.c_long,
             c.c_char_p, c.c_char_p, c.c_char_p, c.c_char_p,
             c.POINTER(c.c_int), c.c_int,
-            c.c_int, c.c_int, c.c_int,
+            c.c_int, c.c_int, c.c_int, c.c_int,
             c.POINTER(c.POINTER(c.c_int16)),
         ]

@@ -49,28 +49,63 @@ def fdct8x8(blocks):
                       preferred_element_type=jnp.float32)
 
 
+@lru_cache(maxsize=32)
+def _recon_matrix(s: int, ncoeff: int) -> np.ndarray:
+    """(s*s, ncoeff) matrix mapping the first `ncoeff` zigzag DCT coeffs of
+    an 8x8 block to an s×s pixel tile (s=8: exact IDCT; s<8: exact
+    block-average downsample of the IDCT — DCT-domain scaled decode, the
+    TPU-native generalization of the reference's `lowres` fast paths).
+    The whole 2-D transform becomes ONE (blocks, ncoeff)@(ncoeff, s²)
+    matmul, which is the MXU-native formulation."""
+    a = _dct8_matrix()           # A[u, x]
+    # pix[x*8+y, u*8+v] = A[u,x] * A[v,y]
+    w_full = np.einsum("ux,vy->xyuv", a, a).reshape(64, 64)
+    r = 8 // s
+    g = np.zeros((s * s, 64))
+    for bx in range(s):
+        for by in range(s):
+            for ix in range(r):
+                for iy in range(r):
+                    g[bx * s + by, (bx * r + ix) * 8 + (by * r + iy)] = 1.0 / (r * r)
+    w_s = g @ w_full             # (s², 64) in raster coeff order
+    w_zz = w_s[:, ZIGZAG]        # columns reordered to zigzag
+    return np.ascontiguousarray(w_zz[:, :ncoeff]).astype(np.float32)
+
+
+def jpeg_plane_reconstruct(coeffs_zz, qtab, out_h: int, out_w: int,
+                           bit_depth: int = 8, scale: int = 1):
+    """Traceable fused JPEG plane reconstruction, batched over leading dims.
+
+    coeffs_zz: (..., rows, cols, L) int16, first L zigzag coefficients per
+               block, as produced by the host entropy stage (L=64 full).
+    qtab:      (64,) quantizer, zigzag order (first L entries used).
+    scale:     1, 2, 4 or 8 — output is downscaled by `scale` (DCT-domain),
+               out_h/out_w are in the DOWNSCALED grid.
+    Returns (..., out_h, out_w) uint8/uint16 plane (cropped from s×s tiles).
+    """
+    *lead, rows, cols, ncoeff = coeffs_zz.shape
+    s = 8 // scale
+    w = jnp.asarray(_recon_matrix(s, ncoeff))            # (s², L)
+    q = qtab.astype(jnp.float32)[:ncoeff]
+    wq = w * q[None, :]                                   # fold dequant
+    flat = coeffs_zz.reshape(*lead, rows * cols, ncoeff).astype(jnp.float32)
+    pix = jnp.matmul(flat, wq.T, preferred_element_type=jnp.float32)
+    level = 1 << (bit_depth - 1)
+    maxv = (1 << bit_depth) - 1
+    pix = jnp.clip(pix + (level + 0.5), 0, maxv)          # +0.5: round via floor-cast
+    pix = pix.reshape(*lead, rows, cols, s, s)
+    nd = pix.ndim
+    perm = tuple(range(nd - 4)) + (nd - 4, nd - 2, nd - 3, nd - 1)
+    plane = pix.transpose(perm).reshape(*lead, rows * s, cols * s)
+    dtype = jnp.uint8 if bit_depth <= 8 else jnp.uint16
+    return plane[..., :out_h, :out_w].astype(dtype)
+
+
 @partial(jax.jit, static_argnames=("out_h", "out_w", "bit_depth"))
 def jpeg_block_transform(coeffs_zz, qtab, out_h: int, out_w: int,
                          bit_depth: int = 8):
-    """Fused JPEG plane reconstruction.
-
-    coeffs_zz: (rows, cols, 64) int16, zigzag order, as produced by the
-               host entropy stage.
-    qtab:      (64,) quantizer, zigzag order.
-    Returns (out_h, out_w) uint8/uint16 plane (cropped from 8x8 tiles).
-    """
-    rows, cols, _ = coeffs_zz.shape
-    deq = coeffs_zz.astype(jnp.float32) * qtab.astype(jnp.float32)
-    # dezigzag: scatter each of the 64 zigzag entries to its raster slot
-    blocks = jnp.take(deq, jnp.asarray(UNZIGZAG), axis=-1).reshape(rows, cols, 8, 8)
-    pix = idct8x8(blocks)
-    level = 1 << (bit_depth - 1)
-    maxv = (1 << bit_depth) - 1
-    pix = jnp.clip(jnp.round(pix + level), 0, maxv)
-    # (rows, cols, 8, 8) → (rows*8, cols*8)
-    plane = pix.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
-    dtype = jnp.uint8 if bit_depth <= 8 else jnp.uint16
-    return plane[:out_h, :out_w].astype(dtype)
+    """Jitted wrapper around jpeg_plane_reconstruct (per-plane decode path)."""
+    return jpeg_plane_reconstruct(coeffs_zz, qtab, out_h, out_w, bit_depth)
 
 
 @partial(jax.jit, static_argnames=("rows", "cols"))
