@@ -1,0 +1,457 @@
+"""fftpu — the transcoder CLI (analog of fftools/ffmpeg.c).
+
+Option surface mirrors ffmpeg: options before -i bind to that input,
+options between inputs' end and an output URL bind to that output
+(per-stream :v/:a suffixes supported for the common ones). The run loop
+is the host pipeline: demux → decode → filtergraph (fused XLA programs)
+→ encode → mux with DTS interleaving.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from ..codecs import CodecContext, decoder_names, encoder_names
+from ..core.frame import Frame
+from ..core.packet import Packet
+from ..filters import parse_graph, filter_names
+from ..io import open_input, open_output, demuxer_names, muxer_names
+from ..io.stream import CodecParameters, MediaType
+from ..utils import log as _log
+from ..utils.error import EndOfStream, FFTPUError, InvalidData, TryAgain
+from ..utils.rational import NOPTS, Rational, rescale_q
+from ..utils.options import _parse_duration, _parse_video_size
+
+
+@dataclass
+class InputSpec:
+    url: str = ""
+    format: Optional[str] = None
+    options: Dict[str, str] = field(default_factory=dict)
+    seek: Optional[int] = None          # -ss (us)
+    duration: Optional[int] = None      # -t (us)
+
+
+@dataclass
+class OutputSpec:
+    url: str = ""
+    format: Optional[str] = None
+    vcodec: Optional[str] = None
+    acodec: Optional[str] = None
+    vf: Optional[str] = None
+    af: Optional[str] = None
+    pix_fmt: Optional[str] = None
+    size: Optional[tuple] = None
+    framerate: Optional[str] = None
+    sample_rate: Optional[int] = None
+    channels: Optional[int] = None
+    sample_fmt: Optional[str] = None
+    max_vframes: Optional[int] = None
+    no_video: bool = False
+    no_audio: bool = False
+    quality: Optional[float] = None
+    options: Dict[str, str] = field(default_factory=dict)
+    seek: Optional[int] = None
+    duration: Optional[int] = None
+
+
+@dataclass
+class CliOptions:
+    inputs: List[InputSpec] = field(default_factory=list)
+    outputs: List[OutputSpec] = field(default_factory=list)
+    overwrite: bool = False
+    loglevel: Optional[str] = None
+    benchmark: bool = False
+    bitexact: bool = False
+
+
+def parse_args(argv: List[str]) -> CliOptions:
+    o = CliOptions()
+    cur_in = InputSpec()
+    cur_out = OutputSpec()
+    i = 0
+
+    def take():
+        nonlocal i
+        i += 1
+        if i >= len(argv):
+            raise InvalidData(f"option {argv[i-1]} needs an argument")
+        return argv[i]
+
+    while i < len(argv):
+        a = argv[i]
+        if a == "-i":
+            cur_in.url = take()
+            o.inputs.append(cur_in)
+            cur_in = InputSpec()
+        elif a == "-f":
+            v = take()
+            if o.inputs and not cur_in.url and _is_output_pending(cur_in):
+                cur_out.format = v
+            elif not o.inputs or _before_input(cur_in):
+                cur_in.format = v
+                cur_out.format = v   # also remember for a following output
+            else:
+                cur_out.format = v
+        elif a in ("-c:v", "-vcodec", "-codec:v"):
+            cur_out.vcodec = take()
+        elif a in ("-c:a", "-acodec", "-codec:a"):
+            cur_out.acodec = take()
+        elif a in ("-c", "-codec"):
+            v = take()
+            cur_out.vcodec = cur_out.acodec = v
+        elif a in ("-vf", "-filter:v"):
+            cur_out.vf = take()
+        elif a in ("-af", "-filter:a"):
+            cur_out.af = take()
+        elif a == "-pix_fmt":
+            cur_out.pix_fmt = take()
+        elif a in ("-s", "-video_size", "-s:v"):
+            v = _parse_video_size(take())
+            if not o.inputs:
+                cur_in.options["video_size"] = v
+            else:
+                cur_out.size = v
+        elif a in ("-r", "-framerate"):
+            v = take()
+            if not o.inputs:
+                cur_in.options["framerate"] = _parse_rate(v)
+            else:
+                cur_out.framerate = v
+        elif a == "-ar":
+            v = int(take())
+            if not o.inputs:
+                cur_in.options["sample_rate"] = v
+            else:
+                cur_out.sample_rate = v
+        elif a == "-ac":
+            v = int(take())
+            if not o.inputs:
+                cur_in.options["channels"] = v
+            else:
+                cur_out.channels = v
+        elif a == "-sample_fmt":
+            cur_out.sample_fmt = take()
+        elif a == "-pixel_format":
+            cur_in.options["pixel_format"] = take()
+        elif a in ("-frames:v", "-vframes", "-frames"):
+            cur_out.max_vframes = int(take())
+        elif a == "-ss":
+            v = _parse_duration(take())
+            if not o.inputs:
+                cur_in.seek = v
+            else:
+                cur_out.seek = v
+        elif a == "-t":
+            v = _parse_duration(take())
+            if not o.inputs:
+                cur_in.duration = v
+            else:
+                cur_out.duration = v
+        elif a == "-an":
+            cur_out.no_audio = True
+        elif a == "-vn":
+            cur_out.no_video = True
+        elif a in ("-q:v", "-qscale:v", "-q"):
+            cur_out.quality = float(take())
+        elif a == "-y":
+            o.overwrite = True
+        elif a in ("-v", "-loglevel"):
+            o.loglevel = take()
+        elif a == "-benchmark":
+            o.benchmark = True
+        elif a == "-fflags":
+            v = take()
+            if "bitexact" in v:
+                o.bitexact = True
+        elif a in ("-hide_banner", "-nostdin", "-stats", "-nostats"):
+            pass
+        elif a.startswith("-") and len(a) > 1:
+            # unknown option with value — store for codec/muxer
+            cur_out.options[a[1:]] = take()
+        else:
+            cur_out.url = a
+            o.outputs.append(cur_out)
+            cur_out = OutputSpec(format=None)
+        i += 1
+    return o
+
+
+def _parse_rate(v):
+    if "/" in v:
+        n, d = v.split("/")
+        return Rational(int(n), int(d))
+    return Rational.from_float(float(v))
+
+
+def _before_input(spec: InputSpec) -> bool:
+    return not spec.url
+
+
+def _is_output_pending(spec) -> bool:
+    return False
+
+
+# ---------------------------------------------------------------------------
+
+_VENC_DEFAULT = {"yuv4mpegpipe": "rawvideo", "rawvideo": "rawvideo",
+                 "framecrc": "rawvideo", "framemd5": "rawvideo",
+                 "md5": "rawvideo", "crc": "rawvideo", "null": "rawvideo",
+                 "mjpeg": "mjpeg", "image2": "mjpeg", "avi": "mjpeg"}
+_AENC_DEFAULT = {"wav": "pcm_s16le", "s16le": "pcm_s16le",
+                 "f32le": "pcm_f32le", "framecrc": "pcm_s16le",
+                 "framemd5": "pcm_s16le", "md5": "pcm_s16le",
+                 "crc": "pcm_s16le", "null": "pcm_s16le"}
+
+
+def transcode(o: CliOptions) -> None:
+    if not o.inputs or not o.outputs:
+        raise InvalidData("need at least one input (-i) and one output")
+    inp = o.inputs[0]
+    out = o.outputs[0]
+    demux = open_input(inp.url, format=inp.format, **inp.options)
+
+    # pick streams (best video + best audio, like av_find_best_stream)
+    vstream = next((s for s in demux.streams
+                    if s.codec_type == MediaType.VIDEO), None)
+    astream = next((s for s in demux.streams
+                    if s.codec_type == MediaType.AUDIO), None)
+    if out.no_video:
+        vstream = None
+    if out.no_audio:
+        astream = None
+
+    mux = open_output(out.url if not o.overwrite or True else out.url,
+                      format=out.format)
+    fmt_name = mux.name
+
+    vcopy = out.vcodec == "copy"
+    acopy = out.acodec == "copy"
+
+    # ---- set up per-stream chains ------------------------------------------
+    chains: Dict[int, dict] = {}
+    if vstream is not None:
+        ch: dict = {"type": "video", "in_st": vstream}
+        if vcopy:
+            ch["copy"] = True
+            ost = mux.add_stream(vstream.codecpar, time_base=vstream.time_base)
+        else:
+            ch["copy"] = False
+            ch["dec"] = CodecContext.open_decoder(vstream.codecpar)
+            graph_txt = out.vf or "null"
+            extra = []
+            if out.size:
+                extra.append(f"scale={out.size[0]}:{out.size[1]}")
+            if out.pix_fmt:
+                extra.append(f"format={out.pix_fmt}")
+            if out.framerate:
+                extra.append(f"fps={out.framerate}")
+            if extra:
+                graph_txt = graph_txt + "," + ",".join(extra) \
+                    if graph_txt != "null" else ",".join(extra)
+            ch["graph"] = parse_graph(graph_txt)
+            vcodec = out.vcodec or _VENC_DEFAULT.get(fmt_name, "rawvideo")
+            ch["enc_name"] = vcodec
+            ch["enc"] = None         # opened lazily on first frame
+            ch["opts"] = {}
+            if out.quality is not None:
+                # map ffmpeg qscale (2..31) to JPEG quality approx
+                ch["opts"]["quality"] = int(max(2, min(97, 100 - out.quality * 3)))
+            ost = mux.add_stream(vstream.codecpar.copy(),
+                                 time_base=vstream.time_base)
+        ch["out_st"] = ost
+        ch["count"] = 0
+        chains[vstream.index] = ch
+    if astream is not None:
+        ch = {"type": "audio", "in_st": astream}
+        if acopy:
+            ch["copy"] = True
+            ost = mux.add_stream(astream.codecpar, time_base=astream.time_base)
+        else:
+            ch["copy"] = False
+            ch["dec"] = CodecContext.open_decoder(astream.codecpar)
+            graph_txt = out.af or "anull"
+            extra = []
+            want_fmt = out.sample_fmt
+            acodec = out.acodec or _AENC_DEFAULT.get(fmt_name, "pcm_s16le")
+            if acodec.startswith("pcm_"):
+                want_fmt = {"pcm_s16le": "s16", "pcm_s16be": "s16",
+                            "pcm_f32le": "flt", "pcm_u8": "u8",
+                            "pcm_s32le": "s32"}.get(acodec, want_fmt)
+            af_parts = []
+            if want_fmt or out.sample_rate or out.channels:
+                parts = []
+                if want_fmt:
+                    parts.append(f"sample_fmts={want_fmt}")
+                if out.sample_rate:
+                    parts.append(f"sample_rates={out.sample_rate}")
+                if out.channels:
+                    layouts = {1: "mono", 2: "stereo", 6: "5.1"}
+                    parts.append(f"channel_layouts={layouts.get(out.channels, out.channels)}")
+                af_parts.append("aformat=" + ":".join(parts))
+            if af_parts:
+                graph_txt = (graph_txt + "," if graph_txt != "anull" else "") \
+                    + ",".join(af_parts)
+            ch["graph"] = parse_graph(graph_txt)
+            ch["enc_name"] = acodec
+            ch["enc"] = None
+            ch["opts"] = {}
+            ost = mux.add_stream(astream.codecpar.copy(),
+                                 time_base=astream.time_base)
+        ch["out_st"] = ost
+        ch["count"] = 0
+        chains[astream.index] = ch
+
+    # renumber output stream indices
+    for ch in chains.values():
+        ch["out_idx"] = ch["out_st"].index
+
+    start_us = inp.seek or 0
+    limit_us = inp.duration if inp.duration is not None else \
+        (out.duration if out.duration is not None else None)
+    vdone = False
+
+    def open_encoder(ch, frame: Frame):
+        par = ch["out_st"].codecpar
+        if ch["type"] == "video":
+            par.width = frame.width
+            par.height = frame.height
+            par.pix_fmt = frame.format
+            par.codec_id = ch["enc_name"]
+            rate = None
+            if frame.time_base:
+                rate = frame.time_base.inv()
+            par.framerate = rate or Rational(25, 1)
+            ch["out_st"].time_base = frame.time_base or Rational(1, 25)
+        else:
+            par.sample_rate = frame.sample_rate
+            par.sample_fmt = frame.format
+            par.ch_layout = frame.ch_layout
+            par.codec_id = ch["enc_name"]
+            ch["out_st"].time_base = Rational(1, frame.sample_rate)
+        ch["enc"] = CodecContext.open_encoder(par, options=ch["opts"])
+
+    def emit_frame(ch, frame: Optional[Frame]):
+        nonlocal vdone
+        if frame is not None and ch["enc"] is None:
+            open_encoder(ch, frame)
+        if ch["enc"] is None:
+            return
+        if frame is not None and ch["type"] == "video":
+            if out.max_vframes is not None and ch["count"] >= out.max_vframes:
+                vdone = True
+                return
+            ch["count"] += 1
+        ch["enc"].send_frame(frame)
+        while True:
+            try:
+                pkt = ch["enc"].receive_packet()
+            except (TryAgain, EndOfStream):
+                break
+            pkt.stream_index = ch["out_idx"]
+            if pkt.time_base and ch["out_st"].time_base and \
+                    pkt.time_base != ch["out_st"].time_base and pkt.pts != NOPTS:
+                pkt.pts = rescale_q(pkt.pts, pkt.time_base, ch["out_st"].time_base)
+                pkt.dts = pkt.pts
+                pkt.time_base = ch["out_st"].time_base
+            mux.write_packet(pkt)
+
+    def run_frames(ch, frames):
+        for f in frames:
+            ch["graph"].feed(f)
+            for of in ch["graph"].pull():
+                emit_frame(ch, of)
+
+    # ---- main loop ------------------------------------------------------------
+    nvideo = 0
+    try:
+        for pkt in demux.packets():
+            ch = chains.get(pkt.stream_index)
+            if ch is None:
+                continue
+            # -ss / -t on input timestamps
+            if pkt.pts != NOPTS and pkt.time_base:
+                t_us = pkt.pts * 1000000 * pkt.time_base.num // pkt.time_base.den
+                if t_us < start_us:
+                    continue
+                if limit_us is not None and t_us >= start_us + limit_us:
+                    if ch["type"] == "video":
+                        vdone = True
+                    continue
+            if ch["copy"]:
+                outpkt = Packet(data=pkt.data, pts=pkt.pts, dts=pkt.dts,
+                                duration=pkt.duration, flags=pkt.flags,
+                                stream_index=ch["out_idx"],
+                                time_base=pkt.time_base)
+                mux.write_packet(outpkt)
+                if ch["type"] == "video":
+                    ch["count"] += 1
+                    if out.max_vframes is not None and \
+                            ch["count"] >= out.max_vframes:
+                        vdone = True
+            else:
+                ch["dec"].send_packet(pkt)
+                frames = []
+                while True:
+                    try:
+                        frames.append(ch["dec"].receive_frame())
+                    except (TryAgain, EndOfStream):
+                        break
+                run_frames(ch, frames)
+            if vdone and (astream is None or out.max_vframes is not None):
+                break
+        # drain
+        for ch in chains.values():
+            if ch["copy"]:
+                continue
+            ch["dec"].send_packet(None)
+            frames = []
+            while True:
+                try:
+                    frames.append(ch["dec"].receive_frame())
+                except EndOfStream:
+                    break
+                except TryAgain:
+                    break
+            run_frames(ch, frames)
+            ch["graph"].feed_eof()
+            for of in ch["graph"].pull():
+                emit_frame(ch, of)
+            emit_frame(ch, None)   # encoder drain
+        mux.write_trailer()
+    finally:
+        mux.close()
+        demux.close()
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: fftpu [options] -i input [options] output")
+        print("  (TPU-native transcoder; ffmpeg-compatible core options)")
+        print(f"demuxers: {', '.join(demuxer_names())}")
+        print(f"muxers: {', '.join(muxer_names())}")
+        print(f"decoders: {', '.join(decoder_names())}")
+        print(f"encoders: {', '.join(encoder_names())}")
+        print(f"filters: {', '.join(filter_names())}")
+        return 0
+    try:
+        o = parse_args(argv)
+        if o.loglevel:
+            _log.set_level(o.loglevel)
+        import time
+        t0 = time.monotonic()
+        transcode(o)
+        if o.benchmark:
+            dt = time.monotonic() - t0
+            sys.stderr.write(f"bench: rtime={dt:.3f}s\n")
+        return 0
+    except FFTPUError as e:
+        sys.stderr.write(f"fftpu: error: {e}\n")
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
