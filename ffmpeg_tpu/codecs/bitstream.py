@@ -35,16 +35,21 @@ class BitReader:
         return v - (1 << n) if v >> (n - 1) else v
 
     def peek(self, n: int) -> int:
+        """Peek n bits; reads past EOF return zero-padding on the RIGHT
+        (keeps left alignment — vital for LUT-based huffman lookups)."""
         p = self.pos
+        pad = 0
         if p + n > self.nbits:
-            n = self.nbits - p
-            if n <= 0:
+            avail = self.nbits - p
+            if avail <= 0:
                 return 0
+            pad = n - avail
+            n = avail
         start = p >> 3
         end = (p + n + 7) >> 3
         chunk = int.from_bytes(self.data[start:end], "big")
         total = (end - start) * 8
-        return (chunk >> (total - (p & 7) - n)) & ((1 << n) - 1)
+        return ((chunk >> (total - (p & 7) - n)) & ((1 << n) - 1)) << pad
 
     def skip(self, n: int) -> None:
         self.pos += n
