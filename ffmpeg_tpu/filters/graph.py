@@ -66,6 +66,7 @@ class _Node:
     eof_seen: int = 0
     is_sink: bool = False
     sink_frames: List[Frame] = field(default_factory=list)
+    sink_labels: List[str] = field(default_factory=list)
 
 
 class FilterGraph:
@@ -75,6 +76,7 @@ class FilterGraph:
         self.nodes: List[_Node] = []
         self.inputs: Dict[str, _Node] = {}
         self.outputs: Dict[str, _Node] = {}
+        self._sink_q: Dict[str, List[Frame]] = {}
 
     # --- construction -----------------------------------------------------------
     def add(self, filt: Filter, name: Optional[str] = None) -> _Node:
@@ -90,7 +92,9 @@ class FilterGraph:
 
     def set_output(self, label: str, node: _Node) -> None:
         node.is_sink = True
+        node.sink_labels.append(label)
         self.outputs[label] = node
+        self._sink_q.setdefault(label, [])
 
     def fuse(self) -> None:
         """Merge linear runs of traceable filters (call before feeding)."""
@@ -115,7 +119,7 @@ class FilterGraph:
                 node.filter = FusedChain(parts + parts2)
                 node.consumers = nxt.consumers
                 node.is_sink = nxt.is_sink
-                node.sink_frames = nxt.sink_frames
+                node.sink_labels = nxt.sink_labels
                 for lbl, n in list(self.outputs.items()):
                     if n is nxt:
                         self.outputs[lbl] = node
@@ -128,7 +132,8 @@ class FilterGraph:
         node = self.inputs.get(label)
         if node is None:
             raise InvalidData(f"no graph input {label!r}")
-        self._push(node, frame, 0)
+        pad = getattr(node, "input_pads", {}).get(label, 0)
+        self._push(node, frame, pad)
 
     def feed_eof(self, label: str = "in") -> None:
         node = self.inputs.get(label)
@@ -138,34 +143,29 @@ class FilterGraph:
 
     def _push(self, node: _Node, frame: Optional[Frame], pad: int) -> None:
         outs = node.filter.process(frame, pad)
-        if node.is_sink and frame is not None and not node.consumers:
-            # sink node: filter output collected
-            node.sink_frames.extend(outs)
-            return
         for f in outs:
-            if node.is_sink and not node.consumers:
-                node.sink_frames.append(f)
+            if node.is_sink:
+                for lbl in node.sink_labels:
+                    self._sink_q[lbl].append(f)
             for nxt, npad in node.consumers:
                 self._push(nxt, f, npad)
-        if node.is_sink and node.consumers:
-            raise InvalidData("sink node with consumers")
 
     def _push_eof(self, node: _Node) -> None:
         tail = node.filter.process(None, 0)
         for f in tail:
-            if node.is_sink and not node.consumers:
-                node.sink_frames.append(f)
+            if node.is_sink:
+                for lbl in node.sink_labels:
+                    self._sink_q[lbl].append(f)
             for nxt, npad in node.consumers:
                 self._push(nxt, f, npad)
         for nxt, _ in node.consumers:
             self._push_eof(nxt)
 
     def pull(self, label: str = "out") -> List[Frame]:
-        node = self.outputs.get(label)
-        if node is None:
+        if label not in self.outputs:
             raise InvalidData(f"no graph output {label!r}")
-        out = node.sink_frames
-        node.sink_frames = []
+        out = self._sink_q.get(label, [])
+        self._sink_q[label] = []
         return out
 
     # convenience: run a full stream through a single-input/-output graph
@@ -217,14 +217,19 @@ def parse_graph(text: str) -> FilterGraph:
             fargs = (m.group(3) or "").strip()
             pos += m.end()
             node = g.add(get_filter(fname)(fargs))
-            # wire inputs
+            # wire inputs (pad index increases per wired input)
+            padno = 0
             if prev is not None:
-                g.link(prev, node)
+                g.link(prev, node, 0)
+                padno = 1
             for lbl in in_labels:
                 if lbl in pending_out:
-                    g.link(pending_out.pop(lbl), node)
+                    g.link(pending_out.pop(lbl), node, padno)
                 else:
                     g.set_input(lbl, node)
+                    node.input_pads = getattr(node, "input_pads", {})
+                    node.input_pads[lbl] = padno
+                padno += 1
             if prev is None and not in_labels:
                 first_in_labels.append("in")
                 g.set_input("in" if ci == 0 else f"in{ci}", node)
