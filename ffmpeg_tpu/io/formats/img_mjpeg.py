@@ -162,3 +162,58 @@ class MjpegMuxer(Muxer):
 
     def _write_packet(self, pkt: Packet) -> None:
         self.w.write(pkt.data)
+
+
+@register_demuxer
+class MpegVideoDemuxer(Demuxer):
+    """Raw MPEG-1/2 elementary stream (libavformat/mpegvideodec.c analog):
+    one packet per coded picture (split on picture start codes)."""
+
+    name = "mpegvideo"
+    extensions = ("m1v", "m2v", "mpg", "mpgv")
+    framerate = Rational(25, 1)
+
+    @classmethod
+    def probe(cls, head: bytes, filename: str = "") -> int:
+        # sequence header start code at buffer head
+        return 60 if head[:4] == b"\x00\x00\x01\xb3" else 0
+
+    def read_header(self) -> None:
+        rate = self.framerate if isinstance(self.framerate, Rational) else \
+            Rational(int(self.framerate), 1)
+        par = CodecParameters(codec_type=MediaType.VIDEO,
+                              codec_id="mpeg2video", framerate=rate)
+        self.add_stream(codecpar=par, time_base=rate.inv())
+        self._buf = b""
+        self._pts = 0
+
+    def read_packet(self) -> Packet:
+        while True:
+            # find the second picture start code; emit everything before it
+            first = self._buf.find(b"\x00\x00\x01\x00")
+            if first >= 0:
+                nxt = self._buf.find(b"\x00\x00\x01\x00", first + 4)
+                if nxt >= 0:
+                    # back up over any headers (seq/gop) preceding next pic
+                    cut = nxt
+                    for code in (b"\x00\x00\x01\xb3", b"\x00\x00\x01\xb8"):
+                        k = self._buf.rfind(code, first + 4, nxt)
+                        if k >= 0:
+                            cut = min(cut, k)
+                    data, self._buf = self._buf[:cut], self._buf[cut:]
+                    pkt = Packet(data=data, pts=self._pts, dts=self._pts,
+                                 duration=1, flags=PKT_FLAG_KEY,
+                                 time_base=self.streams[0].time_base)
+                    self._pts += 1
+                    return pkt
+            chunk = self.r.read(1 << 16)
+            if not chunk:
+                if self._buf.strip(b"\x00"):
+                    data, self._buf = self._buf, b""
+                    pkt = Packet(data=data, pts=self._pts, dts=self._pts,
+                                 duration=1, flags=PKT_FLAG_KEY,
+                                 time_base=self.streams[0].time_base)
+                    self._pts += 1
+                    return pkt
+                raise EndOfStream()
+            self._buf += chunk
