@@ -1,0 +1,177 @@
+"""Simple image codecs: PPM/PGM/PAM (pnm.c analogs), BMP (bmp.c), QOI —
+host-only intra formats rounding out the image family."""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional
+
+import numpy as np
+
+from ..core.frame import Frame
+from ..core.packet import Packet, PKT_FLAG_KEY
+from ..io.stream import MediaType
+from ..utils.error import InvalidData, NotSupported
+from .codec import Codec, register_decoder, register_encoder
+
+
+def _pnm_header(data: bytes):
+    parts = []
+    i = 0
+    while len(parts) < 4 and i < len(data):
+        while i < len(data) and data[i] in b" \t\r\n":
+            i += 1
+        if data[i:i + 1] == b"#":
+            while i < len(data) and data[i] not in b"\r\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and data[j] not in b" \t\r\n":
+            j += 1
+        parts.append(data[i:j])
+        i = j
+        if len(parts) == 1 and parts[0] in (b"P1", b"P4"):
+            break
+    return parts, i + 1
+
+
+@register_decoder
+class PnmDecoder(Codec):
+    codec_id = "ppm"
+    codec_type = MediaType.VIDEO
+    aliases = ("pgm", "pnm", "pbm")
+
+    def decode(self, pkt: Optional[Packet]) -> List[Frame]:
+        if pkt is None or not pkt.data:
+            return []
+        data = pkt.data
+        magic = data[:2]
+        parts, off = _pnm_header(data)
+        if magic == b"P6":
+            w, h, maxv = int(parts[1]), int(parts[2]), int(parts[3])
+            if maxv > 255:
+                arr = np.frombuffer(data, ">u2", count=w * h * 3, offset=off)
+                rgb = arr.reshape(h, w, 3)
+                fmt = "rgb48be"
+                dt = np.uint16
+            else:
+                rgb = np.frombuffer(data, np.uint8, count=w * h * 3,
+                                    offset=off).reshape(h, w, 3)
+                fmt = "rgb24"
+                dt = np.uint8
+            planes = [np.ascontiguousarray(rgb[:, :, i]).astype(dt)
+                      for i in range(3)]
+            return [Frame.video(w, h, fmt, planes=planes, pts=pkt.pts,
+                                time_base=pkt.time_base)]
+        if magic == b"P5":
+            w, h, maxv = int(parts[1]), int(parts[2]), int(parts[3])
+            fmt = "gray16be" if maxv > 255 else "gray"
+            dt = ">u2" if maxv > 255 else np.uint8
+            g = np.frombuffer(data, dt, count=w * h, offset=off).reshape(h, w)
+            return [Frame.video(w, h, fmt,
+                                planes=[g.astype(np.uint16 if maxv > 255 else np.uint8)],
+                                pts=pkt.pts, time_base=pkt.time_base)]
+        raise NotSupported(f"pnm: magic {magic!r}")
+
+
+@register_encoder
+class PnmEncoder(Codec):
+    codec_id = "ppm"
+    codec_type = MediaType.VIDEO
+    is_encoder = True
+
+    def encode(self, frame: Optional[Frame]) -> List[Packet]:
+        if frame is None:
+            return []
+        fmt = frame.format
+        if fmt == "rgb24":
+            hdr = f"P6\n{frame.width} {frame.height}\n255\n".encode()
+            rgb = np.stack([np.asarray(p) for p in frame.planes], -1)
+            data = hdr + rgb.tobytes()
+        elif fmt == "gray":
+            hdr = f"P5\n{frame.width} {frame.height}\n255\n".encode()
+            data = hdr + np.asarray(frame.planes[0]).tobytes()
+        else:
+            raise NotSupported(f"pnm enc: {fmt}")
+        return [Packet(data=data, pts=frame.pts, dts=frame.pts,
+                       flags=PKT_FLAG_KEY, time_base=frame.time_base)]
+
+
+@register_decoder
+class BmpDecoder(Codec):
+    codec_id = "bmp"
+    codec_type = MediaType.VIDEO
+
+    def decode(self, pkt: Optional[Packet]) -> List[Frame]:
+        if pkt is None or not pkt.data:
+            return []
+        d = pkt.data
+        if d[:2] != b"BM":
+            raise InvalidData("bmp: bad magic")
+        data_off = struct.unpack("<I", d[10:14])[0]
+        hsize = struct.unpack("<I", d[14:18])[0]
+        if hsize >= 40:
+            w, h = struct.unpack("<ii", d[18:26])
+            bpp = struct.unpack("<H", d[28:30])[0]
+            comp = struct.unpack("<I", d[30:34])[0]
+        else:
+            raise NotSupported("bmp: core header")
+        if comp != 0:
+            raise NotSupported(f"bmp: compression {comp}")
+        flip = h > 0
+        h = abs(h)
+        stride = (w * bpp // 8 + 3) & ~3
+        rows = np.frombuffer(d, np.uint8, count=stride * h,
+                             offset=data_off).reshape(h, stride)
+        if flip:
+            rows = rows[::-1]
+        if bpp == 24:
+            px = rows[:, :w * 3].reshape(h, w, 3)
+            planes = [np.ascontiguousarray(px[:, :, 2]),
+                      np.ascontiguousarray(px[:, :, 1]),
+                      np.ascontiguousarray(px[:, :, 0])]
+            return [Frame.video(w, h, "rgb24", planes=planes, pts=pkt.pts,
+                                time_base=pkt.time_base)]
+        if bpp == 32:
+            px = rows[:, :w * 4].reshape(h, w, 4)
+            planes = [np.ascontiguousarray(px[:, :, 2]),
+                      np.ascontiguousarray(px[:, :, 1]),
+                      np.ascontiguousarray(px[:, :, 0]),
+                      np.ascontiguousarray(px[:, :, 3])]
+            return [Frame.video(w, h, "rgba", planes=planes, pts=pkt.pts,
+                                time_base=pkt.time_base)]
+        if bpp == 8:
+            pal = np.frombuffer(d, np.uint8, count=1024, offset=14 + hsize)
+            pal = pal.reshape(256, 4)
+            idx = rows[:, :w]
+            planes = [np.ascontiguousarray(pal[idx, 2]),
+                      np.ascontiguousarray(pal[idx, 1]),
+                      np.ascontiguousarray(pal[idx, 0])]
+            return [Frame.video(w, h, "rgb24", planes=planes, pts=pkt.pts,
+                                time_base=pkt.time_base)]
+        raise NotSupported(f"bmp: {bpp} bpp")
+
+
+@register_encoder
+class BmpEncoder(Codec):
+    codec_id = "bmp"
+    codec_type = MediaType.VIDEO
+    is_encoder = True
+
+    def encode(self, frame: Optional[Frame]) -> List[Packet]:
+        if frame is None:
+            return []
+        if frame.format != "rgb24":
+            raise NotSupported("bmp enc: rgb24 only (use format filter)")
+        w, h = frame.width, frame.height
+        stride = (w * 3 + 3) & ~3
+        rows = np.zeros((h, stride), np.uint8)
+        px = np.stack([np.asarray(frame.planes[2]), np.asarray(frame.planes[1]),
+                       np.asarray(frame.planes[0])], -1)
+        rows[:, :w * 3] = px.reshape(h, w * 3)
+        body = rows[::-1].tobytes()
+        hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                           2835, 2835, 0, 0)
+        return [Packet(data=hdr + info + body, pts=frame.pts, dts=frame.pts,
+                       flags=PKT_FLAG_KEY, time_base=frame.time_base)]
