@@ -133,6 +133,7 @@ class Image2Muxer(Muxer):
     extensions = ("jpg", "jpeg", "png", "bmp", "ppm", "pgm")
     default_video_codec = "mjpeg"
     interleave = False
+    flags_no_file = True
 
     def _write_header(self) -> None:
         self._count = 0

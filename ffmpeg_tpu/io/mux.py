@@ -38,6 +38,7 @@ class Muxer(LogMixin):
     default_video_codec: Optional[str] = None
     default_audio_codec: Optional[str] = None
     interleave = True
+    flags_no_file = False     # muxer manages its own file(s) (segment/image2)
 
     def __init__(self, w: avio.Writer, url: str = ""):
         self.w = w
@@ -147,7 +148,11 @@ def open_output(url, format: Optional[str] = None, **kw) -> Muxer:
         cls = _guess_format(url)
         if cls is None:
             raise MuxerNotFound(f"cannot guess output format for {url!r}")
-    w = avio.open_write(url)
+    if cls.flags_no_file:
+        import io as _io
+        w = avio.Writer(_io.BytesIO(), owns=True)
+    else:
+        w = avio.open_write(url)
     m = cls(w, url=str(url))
     for k, v in kw.items():
         setattr(m, k, v)
