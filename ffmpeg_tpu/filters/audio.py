@@ -163,3 +163,94 @@ class APadFilter(Filter):
                             time_base=self._last.time_base)
             return [f]
         return []
+
+
+@register_filter
+class ASplitFilter(Filter):
+    name = "asplit"
+    media_type = "audio"
+    n_outputs = 2
+
+    def process(self, frame: Optional[Frame], pad: int = 0) -> List[Frame]:
+        if frame is None:
+            return []
+        return [frame]
+
+
+@register_filter
+class AMixFilter(Filter):
+    """Mix N inputs sample-wise (af_amix analog, duration=shortest)."""
+
+    name = "amix"
+    media_type = "audio"
+    n_inputs = 2
+    OPTIONS = (opt_int("inputs", default=2),)
+
+    def __init__(self, args: str = "", **opts):
+        super().__init__(args, **opts)
+        from collections import deque
+        self._q = [deque() for _ in range(max(2, self.inputs))]
+
+    def process(self, frame: Optional[Frame], pad: int = 0) -> List[Frame]:
+        if frame is not None:
+            self._q[pad].append(frame)
+        out = []
+        while all(q for q in self._q[:self.inputs]):
+            frames = [q.popleft() for q in self._q[:self.inputs]]
+            n = min(f.nb_samples for f in frames)
+            mixed = sum(_sf.to_float(f.audio_data[:, :n], f.format)
+                        for f in frames) / self.inputs
+            f0 = frames[0]
+            out.append(Frame.audio(mixed.astype(np.float32), f0.sample_rate,
+                                   "fltp", f0.ch_layout, pts=f0.pts,
+                                   time_base=f0.time_base))
+        return out
+
+
+@register_filter
+class ChannelSplitFilter(Filter):
+    """Split channels into mono streams (af_channelsplit analog): output
+    frames carry side_data['channel'] = index; graph outputs one stream
+    per registered sink label."""
+
+    name = "channelsplit"
+    media_type = "audio"
+
+    def process(self, frame: Optional[Frame], pad: int = 0) -> List[Frame]:
+        if frame is None:
+            return []
+        out = []
+        for c in range(len(frame.planes)):
+            f = Frame.audio(frame.audio_data[c:c + 1], frame.sample_rate,
+                            frame.format, None, pts=frame.pts,
+                            time_base=frame.time_base)
+            f.side_data["channel"] = c
+            out.append(f)
+        return out
+
+
+@register_filter
+class PanFilter(Filter):
+    """Simple gain matrix mixer (af_pan's numeric subset):
+    pan=<n_out>:<gain list row-major> e.g. pan=1:0.5:0.5 for stereo→mono."""
+
+    name = "pan"
+    media_type = "audio"
+    OPTIONS = (opt_str("spec", default="1:1"),)
+
+    def _parse_args(self, args):
+        if args:
+            self.set_option("spec", args)
+
+    def process(self, frame: Optional[Frame], pad: int = 0) -> List[Frame]:
+        if frame is None:
+            return []
+        parts = [float(x) for x in str(self.spec).split(":")]
+        n_out = int(parts[0])
+        gains = np.array(parts[1:], np.float32)
+        n_in = len(frame.planes)
+        m = gains.reshape(n_out, n_in)
+        x = _sf.to_float(frame.audio_data, frame.format)
+        y = (m @ x).astype(np.float32)
+        return [Frame.audio(y, frame.sample_rate, "fltp", None,
+                            pts=frame.pts, time_base=frame.time_base)]

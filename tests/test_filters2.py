@@ -138,3 +138,41 @@ def test_noise_bsf_corrupts_deterministically():
 def test_chomp():
     (out,) = get_bsf("chomp").filter(Packet(data=b"abc\x00\x00"))
     assert out.data == b"abc"
+
+
+def test_amix():
+    from ffmpeg_tpu.formats.channel_layout import STEREO
+    x = np.ones((2, 64), np.float32) * 0.25
+    f = Frame.audio(x, 48000, "flt", STEREO, pts=0,
+                    time_base=Rational(1, 48000))
+    g = parse_graph("[a][b]amix[out]")
+    g.feed(f, "a")
+    g.feed(f.clone_props(), "b")
+    (o,) = g.pull("out")
+    assert abs(float(o.audio_data[0, 0]) - 0.25) < 1e-6
+
+
+def test_pan_stereo_to_mono():
+    from ffmpeg_tpu.formats.channel_layout import STEREO
+    x = np.stack([np.full(32, 0.5, np.float32), np.full(32, -0.1, np.float32)])
+    f = Frame.audio(x, 48000, "flt", STEREO, pts=0,
+                    time_base=Rational(1, 48000))
+    (o,) = parse_graph("pan=1:0.5:0.5").run([f])
+    assert o.audio_data.shape[0] == 1
+    assert abs(float(o.audio_data[0, 0]) - 0.2) < 1e-6
+
+
+def test_channelsplit():
+    from ffmpeg_tpu.formats.channel_layout import STEREO
+    x = np.stack([np.full(16, 0.3, np.float32), np.full(16, -0.3, np.float32)])
+    f = Frame.audio(x, 48000, "flt", STEREO, pts=0,
+                    time_base=Rational(1, 48000))
+    from ffmpeg_tpu.filters import get_filter
+    outs = get_filter("channelsplit")().process(f)
+    assert len(outs) == 2
+    assert outs[0].side_data["channel"] == 0
+    assert float(outs[1].audio_data[0, 0]) == np.float32(-0.3)
+
+
+def test_frame_audio_import():
+    pass
