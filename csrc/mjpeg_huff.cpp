@@ -19,6 +19,12 @@
 
 namespace {
 
+// FNV-1a over the DHT specs for the per-stream table cache
+static uint64_t fnv1a(const uint8_t* p, size_t n, uint64_t h) {
+    for (size_t i = 0; i < n; ++i) { h ^= p[i]; h *= 1099511628211ull; }
+    return h;
+}
+
 struct HuffTable {
     // LUT-based decode: peek 16 bits, table gives (symbol, length).
     // Built from (bits[16], values[]) DHT spec.
@@ -82,7 +88,9 @@ int mjpeg_decode_scan(
     int mcus_x, int mcus_y, int restart_interval,
     int coeff_limit, int16_t** out) {
 
-    HuffTable dc_tabs[4], ac_tabs[4];
+    // successive frames of a stream share DHT specs: cache built LUTs
+    static thread_local HuffTable dc_tabs[4], ac_tabs[4];
+    static thread_local uint64_t cached_hash = 0;
     CompSpec comps[4];
     if (ncomp < 1 || ncomp > 4) return -1;
     for (int c = 0; c < ncomp; ++c) {
@@ -94,9 +102,17 @@ int mjpeg_decode_scan(
         if (comps[c].dc_table < 0 || comps[c].dc_table > 3) return -2;
         if (comps[c].ac_table < 0 || comps[c].ac_table > 3) return -2;
     }
-    for (int t = 0; t < 4; ++t) {
-        dc_tabs[t].build(dc_counts + t * 16, dc_values + t * 256);
-        ac_tabs[t].build(ac_counts + t * 16, ac_values + t * 256);
+    uint64_t h = 1469598103934665603ull;
+    h = fnv1a(dc_counts, 4 * 16, h);
+    h = fnv1a(dc_values, 4 * 256, h);
+    h = fnv1a(ac_counts, 4 * 16, h);
+    h = fnv1a(ac_values, 4 * 256, h);
+    if (h != cached_hash) {
+        for (int t = 0; t < 4; ++t) {
+            dc_tabs[t].build(dc_counts + t * 16, dc_values + t * 256);
+            ac_tabs[t].build(ac_counts + t * 16, ac_values + t * 256);
+        }
+        cached_hash = h;
     }
 
     // destuff: strip 0xFF00 -> 0xFF and locate RST markers.
