@@ -476,7 +476,7 @@ class Mpeg12Decoder(Codec):
             else:
                 delta = code
             delta *= sign
-            rng = 1 << (f_code + 4)      # [-rng, rng)
+            rng = 1 << (f_code + 3)      # [-16*2^(f-1), 16*2^(f-1)) (13818-2)
             val = pred_mv[which, store_idx] + delta
             val = ((val + rng) % (2 * rng)) - rng
             pred_mv[which, store_idx] = val

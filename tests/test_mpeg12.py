@@ -82,7 +82,7 @@ def test_mpeg2_ipb_gop(tmp_path):
     assert len(ours) == len(refs) == 12
     # frame order must match (display order with B reordering)
     assert [f.pict_type for f in ours[:4]] == ["I", "B", "B", "P"]
-    assert _min_psnr(ours, refs) > 30
+    assert _min_psnr(ours, refs) > 45
 
 
 @requires_ref
