@@ -37,14 +37,28 @@ BASELINE_CACHE = REPO / "tests" / "data" / "cpu_baseline.json"
 def ensure_clip() -> bool:
     if CLIP.exists() and CLIP.stat().st_size > 0:
         return True
-    if not REF.exists():
-        return False
-    subprocess.run(
-        [str(REF), "-v", "error", "-f", "lavfi",
-         "-i", f"testsrc2=size={W}x{H}:rate=25", "-frames:v", str(NFRAMES),
-         "-pix_fmt", "yuvj420p", "-q:v", "5", "-c:v", "mjpeg",
-         "-f", "mjpeg", "-y", str(CLIP)],
-        check=True, capture_output=True)
+    if REF.exists():
+        subprocess.run(
+            [str(REF), "-v", "error", "-f", "lavfi",
+             "-i", f"testsrc2=size={W}x{H}:rate=25", "-frames:v", str(NFRAMES),
+             "-pix_fmt", "yuvj420p", "-q:v", "5", "-c:v", "mjpeg",
+             "-f", "mjpeg", "-y", str(CLIP)],
+            check=True, capture_output=True)
+        return True
+    # reference binary absent: synthesize the clip with OUR encoder
+    from ffmpeg_tpu.codecs import CodecContext
+    from ffmpeg_tpu.filters import get_filter
+    from ffmpeg_tpu.io.stream import CodecParameters, MediaType
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="mjpeg",
+                          width=W, height=H)
+    enc = CodecContext.open_encoder(par, options={"quality": 88})
+    src = get_filter("testsrc")(f"size={W}x{H}")
+    from ffmpeg_tpu.scale.swscale import scale_frame
+    with open(CLIP, "wb") as f:
+        for fr in src.generate(NFRAMES):
+            yuv = scale_frame(fr, W, H, "yuv420p", dst_range=True)
+            enc.send_frame(yuv)
+            f.write(enc.receive_packet().data)
     return True
 
 
