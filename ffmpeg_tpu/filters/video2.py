@@ -285,3 +285,29 @@ class FadeFilter(Filter):
             planes.append(arr.astype(np.asarray(p).dtype))
         out.planes = planes
         return [out]
+
+
+@register_filter
+class DeblockFilter(TraceableFilter):
+    """Block-edge deblocking (vf_deblock analog, libavfilter/vf_deblock.c)
+    using the fused whole-plane stencil in ops/deblock.py."""
+
+    name = "deblock"
+    OPTIONS = (opt_int("strength", default=30),   # maps to qp threshold index
+               opt_int("block", default=8))
+
+    def make_tracer(self, props):
+        from ..ops.deblock import _filter_edges
+        qp, block = int(self.strength), int(self.block)
+
+        def fn(comps):
+            out = []
+            for comp in comps:
+                x = comp.astype(jnp.float32)
+                x = _filter_edges(x, qp, -1, block)
+                x = _filter_edges(x, qp, -2, block)
+                maxv = float(jnp.iinfo(comp.dtype).max) if \
+                    jnp.issubdtype(comp.dtype, jnp.integer) else 1.0
+                out.append(jnp.clip(jnp.round(x), 0, maxv).astype(comp.dtype))
+            return out
+        return fn, props
