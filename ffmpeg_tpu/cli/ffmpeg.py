@@ -42,6 +42,8 @@ class OutputSpec:
     acodec: Optional[str] = None
     vf: Optional[str] = None
     af: Optional[str] = None
+    vbsf: Optional[str] = None
+    absf: Optional[str] = None
     pix_fmt: Optional[str] = None
     size: Optional[tuple] = None
     framerate: Optional[str] = None
@@ -106,6 +108,13 @@ def parse_args(argv: List[str]) -> CliOptions:
             cur_out.vf = take()
         elif a in ("-af", "-filter:a"):
             cur_out.af = take()
+        elif a in ("-bsf:v", "-vbsf"):
+            cur_out.vbsf = take()
+        elif a in ("-bsf:a", "-absf"):
+            cur_out.absf = take()
+        elif a == "-bsf":
+            v = take()
+            cur_out.vbsf = cur_out.absf = v
         elif a == "-pix_fmt":
             cur_out.pix_fmt = take()
         elif a in ("-s", "-video_size", "-s:v"):
@@ -196,6 +205,43 @@ def _is_output_pending(spec) -> bool:
 
 # ---------------------------------------------------------------------------
 
+def _build_bsf_chain(spec: str, par) -> list:
+    """Parse ffmpeg -bsf syntax 'name=opt=val:opt2=val,name2' into filter
+    instances (fftools/ffmpeg_mux_init.c bsf setup analog)."""
+    from ..codecs.bsf import get_bsf
+    chain = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        name, _, argstr = part.partition("=")
+        opts = {}
+        if argstr:
+            for kv in argstr.split(":"):
+                k, _, v = kv.partition("=")
+                try:
+                    opts[k] = int(v)
+                except ValueError:
+                    opts[k] = v
+        chain.append(get_bsf(name, par, **opts))
+    return chain
+
+
+def _apply_bsfs(ch, pkt: Packet, mux) -> None:
+    if "bsfs" not in ch:
+        spec = ch.get("bsf_spec")
+        ch["bsfs"] = _build_bsf_chain(spec, ch["out_st"].codecpar) \
+            if spec else []
+    pkts = [pkt]
+    for f in ch.get("bsfs") or ():
+        nxt = []
+        for p in pkts:
+            nxt.extend(f.filter(p))
+        pkts = nxt
+    for p in pkts:
+        mux.write_packet(p)
+
+
 _VENC_DEFAULT = {"yuv4mpegpipe": "rawvideo", "rawvideo": "rawvideo",
                  "framecrc": "rawvideo", "framemd5": "rawvideo",
                  "md5": "rawvideo", "crc": "rawvideo", "null": "rawvideo",
@@ -263,6 +309,7 @@ def transcode(o: CliOptions) -> None:
                                  time_base=vstream.time_base)
         ch["out_st"] = ost
         ch["count"] = 0
+        ch["bsf_spec"] = out.vbsf
         chains[vstream.index] = ch
     if astream is not None:
         ch = {"type": "audio", "in_st": astream}
@@ -302,6 +349,7 @@ def transcode(o: CliOptions) -> None:
                                  time_base=astream.time_base)
         ch["out_st"] = ost
         ch["count"] = 0
+        ch["bsf_spec"] = out.absf
         chains[astream.index] = ch
 
     # renumber output stream indices
@@ -356,7 +404,7 @@ def transcode(o: CliOptions) -> None:
                 pkt.pts = rescale_q(pkt.pts, pkt.time_base, ch["out_st"].time_base)
                 pkt.dts = pkt.pts
                 pkt.time_base = ch["out_st"].time_base
-            mux.write_packet(pkt)
+            _apply_bsfs(ch, pkt, mux)
 
     def run_frames(ch, frames):
         for f in frames:
@@ -385,7 +433,7 @@ def transcode(o: CliOptions) -> None:
                                 duration=pkt.duration, flags=pkt.flags,
                                 stream_index=ch["out_idx"],
                                 time_base=pkt.time_base)
-                mux.write_packet(outpkt)
+                _apply_bsfs(ch, outpkt, mux)
                 if ch["type"] == "video":
                     ch["count"] += 1
                     if out.max_vframes is not None and \

@@ -111,3 +111,41 @@ def test_probe_packets_csv(y4m_clip, capsys):
     lines = capsys.readouterr().out.strip().splitlines()
     assert len(lines) == 5
     assert lines[0].startswith("packet,video,0,")
+
+
+def test_bsf_chomp_on_stream_copy(tmp_path):
+    # pad PCM packets with trailing zeros is hard to stage; use noise bsf
+    # determinism + chomp no-op instead: copy with chomp must equal plain copy
+    import refutil
+    wav = tmp_path / "in.wav"
+    sr, n = 8000, 800
+    import numpy as np
+    pcm = (np.sin(np.arange(n) * 0.05) * 2000).astype("<i2").tobytes()
+    import struct
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(pcm)))
+    wav.write_bytes(hdr + pcm)
+    a, b = tmp_path / "a.wav", tmp_path / "b.wav"
+    assert fftpu_main(["-i", str(wav), "-c", "copy", "-y", str(a)]) == 0
+    assert fftpu_main(["-i", str(wav), "-c", "copy", "-bsf:a", "chomp",
+                       "-y", str(b)]) == 0
+    # chomp strips trailing NULs; sine data has none mid-stream, so equal
+    assert a.read_bytes() == b.read_bytes()
+
+
+def test_bsf_noise_corrupts_output(y4m_clip, tmp_path):
+    a, b = tmp_path / "a.y4m", tmp_path / "b.y4m"
+    assert fftpu_main(["-i", str(y4m_clip), "-c", "copy", "-y", str(a)]) == 0
+    assert fftpu_main(["-i", str(y4m_clip), "-c", "copy",
+                       "-bsf:v", "noise=amount=50:seed=7",
+                       "-y", str(b)]) == 0
+    assert a.read_bytes() != b.read_bytes()
+    assert a.stat().st_size == b.stat().st_size
+
+
+def test_bsf_unknown_name_errors(y4m_clip, tmp_path, capsys):
+    rc = fftpu_main(["-i", str(y4m_clip), "-c", "copy",
+                     "-bsf:v", "definitely_not_a_bsf",
+                     "-y", str(tmp_path / "o.y4m")])
+    assert rc == 1
