@@ -155,3 +155,187 @@ class AviDemuxer(Demuxer):
                          flags=PKT_FLAG_KEY, time_base=st.time_base)
             self._counts[sid] = n + dur
             return pkt
+
+
+# ---------------------------------------------------------------------------
+# Muxer (reference: libavformat/avienc.c — RIFF/hdrl/strl header, movi chunk
+# stream, idx1 index; sizes back-patched on seekable outputs)
+
+from ..mux import Muxer, register_muxer   # noqa: E402
+
+_CODEC_FOURCC = {
+    "mjpeg": b"MJPG", "h264": b"H264", "hevc": b"HEVC",
+    "mpeg1video": b"mpg1", "mpeg2video": b"mpg2", "mpeg4": b"FMP4",
+    "vp8": b"VP80", "vp9": b"VP90", "ffv1": b"FFV1", "png": b"MPNG",
+    "rawvideo": b"\x00\x00\x00\x00",
+}
+
+
+@register_muxer
+class AviMuxer(Muxer):
+    name = "avi"
+    extensions = ("avi",)
+    default_video_codec = "mjpeg"
+    default_audio_codec = "pcm_s16le"
+
+    def _write_header(self) -> None:
+        from .wav import _CODEC_TO_TAG
+        w = self.w
+        w.tag("RIFF")
+        self._riff_pos = w.tell()
+        w.wl32(0)
+        w.tag("AVI ")
+
+        vstreams = [s for s in self.streams
+                    if s.codecpar.codec_type == MediaType.VIDEO]
+        vpar = vstreams[0].codecpar if vstreams else None
+
+        # hdrl list -----------------------------------------------------------
+        w.tag("LIST")
+        hdrl_pos = w.tell()
+        w.wl32(0)
+        w.tag("hdrl")
+        w.tag("avih")
+        w.wl32(56)
+        if vstreams:
+            tb = vstreams[0].time_base
+            w.wl32(int(1000000 * tb.num / tb.den))
+        else:
+            w.wl32(0)
+        w.wl32(0)                        # max bytes/sec
+        w.wl32(0)                        # padding
+        w.wl32(0x10)                     # AVIF_HASINDEX
+        self._avih_frames_pos = w.tell()
+        w.wl32(0)                        # total frames (patched)
+        w.wl32(0)                        # initial frames
+        w.wl32(len(self.streams))
+        w.wl32(1 << 20)                  # suggested buffer
+        w.wl32(vpar.width if vpar else 0)
+        w.wl32(vpar.height if vpar else 0)
+        w.write(b"\x00" * 16)
+
+        self._len_pos = []
+        self._counts = [0] * len(self.streams)
+        for st in self.streams:
+            par = st.codecpar
+            w.tag("LIST")
+            strl_pos = w.tell()
+            w.wl32(0)
+            w.tag("strl")
+            w.tag("strh")
+            w.wl32(56)
+            if par.codec_type == MediaType.VIDEO:
+                fcc = _CODEC_FOURCC.get(par.codec_id)
+                if fcc is None:
+                    raise InvalidData(f"avi: cannot mux codec {par.codec_id}")
+                w.tag("vids")
+                w.write(fcc)
+                w.wl32(0); w.wl16(0); w.wl16(0); w.wl32(0)
+                w.wl32(st.time_base.num)          # dwScale
+                w.wl32(st.time_base.den)          # dwRate
+                w.wl32(0)
+                self._len_pos.append(w.tell())
+                w.wl32(0)                         # dwLength (patched)
+                w.wl32(1 << 20)
+                w.wl32(0xFFFFFFFF)                # quality
+                w.wl32(0)                         # sample size
+                w.wl16(0); w.wl16(0)
+                w.wl16(par.width); w.wl16(par.height)
+                w.tag("strf")
+                w.wl32(40)
+                w.wl32(40); w.wl32(par.width); w.wl32(par.height)
+                w.wl16(1); w.wl16(24)
+                w.write(fcc if fcc != b"\x00\x00\x00\x00" else b"\x00" * 4)
+                w.wl32(par.width * par.height * 3)
+                w.wl32(0); w.wl32(0); w.wl32(0); w.wl32(0)
+            elif par.codec_type == MediaType.AUDIO:
+                if par.codec_id not in _CODEC_TO_TAG:
+                    raise InvalidData(f"avi: cannot mux codec {par.codec_id}")
+                tag, bits = _CODEC_TO_TAG[par.codec_id]
+                ch = par.channels
+                ba = ch * bits // 8
+                w.tag("auds")
+                w.wl32(0)
+                w.wl32(0); w.wl16(0); w.wl16(0); w.wl32(0)
+                w.wl32(1)                         # dwScale
+                w.wl32(par.sample_rate)           # dwRate
+                w.wl32(0)
+                self._len_pos.append(w.tell())
+                w.wl32(0)                         # dwLength in samples
+                w.wl32(1 << 16)
+                w.wl32(0xFFFFFFFF)
+                w.wl32(ba)                        # sample size
+                w.wl16(0); w.wl16(0); w.wl16(0); w.wl16(0)
+                w.tag("strf")
+                w.wl32(16)
+                w.wl16(tag); w.wl16(ch)
+                w.wl32(par.sample_rate)
+                w.wl32(par.sample_rate * ba)
+                w.wl16(ba); w.wl16(bits)
+            else:
+                raise InvalidData("avi: unsupported stream type")
+            end = w.tell()
+            if w.seekable:
+                w.seek(strl_pos); w.wl32(end - strl_pos - 4); w.seek(end)
+        end = w.tell()
+        if w.seekable:
+            w.seek(hdrl_pos); w.wl32(end - hdrl_pos - 4); w.seek(end)
+
+        # movi list -----------------------------------------------------------
+        w.tag("LIST")
+        self._movi_pos = w.tell()
+        w.wl32(0)
+        w.tag("movi")
+        self._index: List[tuple] = []
+
+    def _chunk_tag(self, st) -> bytes:
+        kind = b"dc" if st.codecpar.codec_type == MediaType.VIDEO else b"wb"
+        return b"%02d" % st.index + kind
+
+    def _write_packet(self, pkt: Packet) -> None:
+        w = self.w
+        st = self.streams[pkt.stream_index]
+        tag = self._chunk_tag(st)
+        # offset in idx1 is relative to the 'movi' fourcc
+        off = w.tell() - (self._movi_pos + 4)
+        self._index.append((tag, bool(pkt.flags & PKT_FLAG_KEY),
+                            off, len(pkt.data)))
+        w.write(tag)
+        w.wl32(len(pkt.data))
+        w.write(pkt.data)
+        if len(pkt.data) & 1:
+            w.write(b"\x00")
+        if st.codecpar.codec_type == MediaType.AUDIO and \
+                st.codecpar.block_align:
+            self._counts[st.index] += len(pkt.data) // st.codecpar.block_align
+        elif st.codecpar.codec_type == MediaType.AUDIO and pkt.duration:
+            self._counts[st.index] += pkt.duration
+        else:
+            self._counts[st.index] += 1
+
+    def _write_trailer(self) -> None:
+        w = self.w
+        movi_end = w.tell()
+        w.tag("idx1")
+        w.wl32(16 * len(self._index))
+        for tag, key, off, size in self._index:
+            w.write(tag)
+            w.wl32(0x10 if key else 0)
+            w.wl32(off)
+            w.wl32(size)
+        end = w.tell()
+        if not w.seekable:
+            return
+        w.seek(self._riff_pos)
+        w.wl32(end - self._riff_pos - 4)
+        w.seek(self._movi_pos)
+        w.wl32(movi_end - self._movi_pos - 4)
+        nvframes = max((self._counts[s.index] for s in self.streams
+                        if s.codecpar.codec_type == MediaType.VIDEO),
+                       default=0)
+        w.seek(self._avih_frames_pos)
+        w.wl32(nvframes)
+        for st, pos in zip(self.streams, self._len_pos):
+            w.seek(pos)
+            w.wl32(self._counts[st.index])
+        w.seek(end)

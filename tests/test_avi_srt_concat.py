@@ -105,3 +105,56 @@ def test_segment_muxer(avi_file, tmp_path):
         pr = subprocess.run([str(refutil.REF), "-v", "error", "-i", s,
                              "-f", "null", "-"], capture_output=True)
         assert pr.returncode == 0, pr.stderr[:200]
+
+
+# ---------------- AVI muxer --------------------------------------------------
+
+@requires_ref
+def test_avi_mux_remux_reference_decodes(avi_file, tmp_path):
+    """Remux reference AVI through our muxer; reference must demux it back
+    with identical payloads and accept the idx1 index."""
+    out = tmp_path / "ours.avi"
+    d = open_input(str(avi_file))
+    m = open_output(str(out), format="avi")
+    for st in d.streams:
+        m.add_stream(st.codecpar, time_base=st.time_base)
+    for p in d.packets():
+        m.write_packet(p)
+    m.write_trailer()
+    m.close()
+    d.close()
+
+    ref = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-i", str(out), "-c", "copy",
+         "-fflags", "+bitexact", "-f", "framecrc", "-"],
+        check=True, capture_output=True)
+    orig = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-i", str(avi_file), "-c", "copy",
+         "-fflags", "+bitexact", "-f", "framecrc", "-"],
+        check=True, capture_output=True)
+    # payload CRCs per packet must match (timestamps may differ in rounding)
+    crc = lambda txt: [l.rsplit(",", 1)[-1] for l in
+                       txt.decode().splitlines() if l.startswith("0,")]
+    assert crc(ref.stdout) == crc(orig.stdout)
+    assert ref.stderr == b""
+
+
+def test_avi_mux_roundtrip_own_demuxer(avi_file, tmp_path):
+    out = tmp_path / "ours.avi"
+    d = open_input(str(avi_file))
+    pkts_in = []
+    m = open_output(str(out), format="avi")
+    for st in d.streams:
+        m.add_stream(st.codecpar, time_base=st.time_base)
+    for p in d.packets():
+        pkts_in.append((p.stream_index, zlib.adler32(p.data, 0)))
+        m.write_packet(p)
+    m.write_trailer()
+    m.close()
+    d.close()
+    d2 = open_input(str(out))
+    pkts_out = [(p.stream_index, zlib.adler32(p.data, 0))
+                for p in d2.packets()]
+    assert pkts_in == pkts_out
+    assert d2.streams[0].codecpar.width == 160
+    assert d2.streams[1].codecpar.sample_rate == 44100
