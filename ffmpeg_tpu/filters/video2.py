@@ -311,3 +311,44 @@ class DeblockFilter(TraceableFilter):
                 out.append(jnp.clip(jnp.round(x), 0, maxv).astype(comp.dtype))
             return out
         return fn, props
+
+
+@register_filter
+class Lut3dFilter(TraceableFilter):
+    """Apply a 3D LUT from a .cube file (vf_lut3d analog). Requires an RGB
+    input format — insert `format=rgb24`/`gbrp` upstream like ffmpeg does."""
+
+    name = "lut3d"
+    OPTIONS = (opt_str("file", default=""),
+               opt_str("interp", default="tetrahedral"))
+
+    def make_tracer(self, props):
+        from ..scale.lut3d import apply_lut3d, identity_lut, parse_cube
+        if self.file:
+            try:
+                with open(self.file) as f:
+                    lut, dmin, dmax = parse_cube(f.read())
+            except (OSError, ValueError) as e:
+                raise InvalidData(f"lut3d: {e}")
+        else:
+            lut, dmin, dmax = identity_lut(17), 0.0, 1.0
+        desc = _pf.get(props.format)
+        if not desc.is_rgb or len(desc.comp) < 3:
+            raise InvalidData("lut3d: RGB input required (use format filter)")
+        lut_j = jnp.asarray(lut)
+        method = self.interp
+        if method not in ("tetrahedral", "trilinear"):
+            raise InvalidData(f"lut3d: unknown interp {method}")
+        maxv = float((1 << desc.comp[0].depth) - 1)
+        scale = 1.0 / (dmax - dmin)
+
+        def fn(comps):
+            rgb = jnp.stack([c.astype(jnp.float32) for c in comps[:3]],
+                            axis=-1) / maxv
+            rgb = (rgb - dmin) * scale
+            out = apply_lut3d(rgb, lut_j, method=method)
+            out = jnp.clip(jnp.round(out * maxv), 0, maxv)
+            dt = comps[0].dtype
+            res = [out[..., i].astype(dt) for i in range(3)]
+            return res + list(comps[3:])
+        return fn, props
