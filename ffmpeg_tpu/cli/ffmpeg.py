@@ -245,7 +245,8 @@ def _apply_bsfs(ch, pkt: Packet, mux) -> None:
 _VENC_DEFAULT = {"yuv4mpegpipe": "rawvideo", "rawvideo": "rawvideo",
                  "framecrc": "rawvideo", "framemd5": "rawvideo",
                  "md5": "rawvideo", "crc": "rawvideo", "null": "rawvideo",
-                 "mjpeg": "mjpeg", "image2": "mjpeg", "avi": "mjpeg"}
+                 "mjpeg": "mjpeg", "image2": "mjpeg", "avi": "mjpeg",
+                 "gif": "gif"}
 _AENC_DEFAULT = {"wav": "pcm_s16le", "s16le": "pcm_s16le",
                  "f32le": "pcm_f32le", "framecrc": "pcm_s16le",
                  "framemd5": "pcm_s16le", "md5": "pcm_s16le",
