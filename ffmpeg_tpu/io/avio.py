@@ -196,7 +196,11 @@ def open_read(url) -> Reader:
     if s.startswith("file:"):
         s = s[5:]
     elif "://" in s:
-        raise ProtocolNotFound(f"protocol of {url!r} not supported yet")
+        from .protocols import open_url
+        f = open_url(s)
+        if f is None:
+            raise ProtocolNotFound(f"protocol of {url!r} not supported yet")
+        return Reader(f, size=getattr(f, "size", None))
     f = open(s, "rb")
     return Reader(f, size=os.fstat(f.fileno()).st_size)
 

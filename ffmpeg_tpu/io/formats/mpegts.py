@@ -73,6 +73,17 @@ class MpegTsDemuxer(Demuxer):
             scanned += 1
         if not self._pes:
             raise InvalidData("mpegts: no PMT found")
+        # private (0x06) streams need their first ES payload to identify
+        # the codec — keep scanning (packets land in the queue, not lost)
+        scanned = 0
+        while any(st.codecpar.codec_id == "data"
+                  for st in self.streams) and scanned < 20000:
+            if not self._read_ts_packet():
+                for ps in self._pes.values():
+                    if ps.started and ps.buffer:
+                        self._emit(ps)
+                break
+            scanned += 1
 
     def _sync(self) -> None:
         while True:
@@ -180,6 +191,8 @@ class MpegTsDemuxer(Demuxer):
         if not data:
             return
         st = self.streams[ps.stream_index]
+        if st.codecpar.codec_id == "data":
+            self._sniff_es(st, data)
         splitter = SPLITTERS.get(st.codecpar.codec_id)
         if splitter is not None:
             frames, rate, rest = splitter(data)
@@ -200,6 +213,21 @@ class MpegTsDemuxer(Demuxer):
         self._queue.append(Packet(
             data=data, pts=pts, dts=dts, stream_index=ps.stream_index,
             flags=PKT_FLAG_KEY, time_base=Rational(1, 90000)))
+
+    @staticmethod
+    def _sniff_es(st, data: bytes) -> None:
+        """stream_type 0x06 (private PES) carries no codec id — identify
+        the ES from its first payload like mpegts.c does by probing."""
+        par = st.codecpar
+        if data[:2] == b"\xff\xd8":
+            par.codec_id, par.codec_type = "mjpeg", MediaType.VIDEO
+        elif data[:3] == b"\x00\x00\x01" and data[3:4] in (b"\xb3", b"\x00"):
+            par.codec_id, par.codec_type = "mpeg2video", MediaType.VIDEO
+        elif len(data) > 1 and data[0] == 0xFF and (data[1] & 0xF6) == 0xF0:
+            par.codec_id, par.codec_type = "aac", MediaType.AUDIO
+        elif data[:3] == b"ID3" or (len(data) > 1 and data[0] == 0xFF and
+                                    (data[1] & 0xE6) in (0xE2, 0xE4, 0xE6)):
+            par.codec_id, par.codec_type = "mp3", MediaType.AUDIO
 
     def read_packet(self) -> Packet:
         while not self._queue:

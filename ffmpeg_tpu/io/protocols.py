@@ -1,0 +1,148 @@
+"""Network/stream protocols (reference: libavformat/tcp.c, http.c, udp.c).
+
+The host runtime owns IO; protocols expose file-like read objects consumed
+by avio.Reader. Built on the stdlib so they work in hermetic environments:
+http(s) via http.client, tcp/udp via socket. Redirects and range-based
+reconnects follow the reference's http semantics."""
+
+from __future__ import annotations
+
+import io
+import socket
+from typing import Optional
+from urllib.parse import urlparse
+
+from ..utils.error import InvalidData, ProtocolNotFound
+
+
+class _SocketFile:
+    """Minimal file-like over a connected socket (tcp.c analog)."""
+
+    def __init__(self, sock: socket.socket):
+        self._s = sock
+        self._f = sock.makefile("rb")
+
+    def read(self, n: int = -1) -> bytes:
+        return self._f.read(n)
+
+    def close(self) -> None:
+        try:
+            self._f.close()
+        finally:
+            self._s.close()
+
+
+def open_tcp(url: str, timeout: float = 10.0) -> _SocketFile:
+    u = urlparse(url)
+    if not u.hostname or not u.port:
+        raise InvalidData(f"tcp: need host:port in {url!r}")
+    s = socket.create_connection((u.hostname, u.port), timeout=timeout)
+    return _SocketFile(s)
+
+
+class HttpStream:
+    """http/https GET body as a file-like, with redirect following and
+    Range-based seek support when the server advertises it (http.c:
+    http_open + http_seek)."""
+
+    MAX_REDIRECTS = 8
+
+    def __init__(self, url: str, timeout: float = 10.0):
+        self.url = url
+        self.timeout = timeout
+        self._resp = None
+        self._conn = None
+        self._pos = 0
+        self.size: Optional[int] = None
+        self.accept_ranges = False
+        self._open(0)
+
+    def _open(self, offset: int) -> None:
+        import http.client
+        url = self.url
+        for _ in range(self.MAX_REDIRECTS):
+            u = urlparse(url)
+            cls = http.client.HTTPSConnection if u.scheme == "https" \
+                else http.client.HTTPConnection
+            conn = cls(u.hostname, u.port, timeout=self.timeout)
+            path = u.path or "/"
+            if u.query:
+                path += "?" + u.query
+            headers = {"User-Agent": "fftpu/0.1", "Accept": "*/*"}
+            if offset:
+                headers["Range"] = f"bytes={offset}-"
+            conn.request("GET", path, headers=headers)
+            resp = conn.getresponse()
+            if resp.status in (301, 302, 303, 307, 308):
+                url = resp.getheader("Location")
+                resp.read()
+                conn.close()
+                if not url:
+                    raise InvalidData("http: redirect without Location")
+                continue
+            if resp.status not in (200, 206):
+                conn.close()
+                raise InvalidData(f"http: status {resp.status} for {url}")
+            self._conn, self._resp = conn, resp
+            self._pos = offset
+            self.accept_ranges = (resp.status == 206 or
+                                  resp.getheader("Accept-Ranges") == "bytes")
+            cl = resp.getheader("Content-Length")
+            if cl is not None and self.size is None:
+                self.size = int(cl) + offset
+            cr = resp.getheader("Content-Range")
+            if cr and "/" in cr:
+                total = cr.rsplit("/", 1)[1]
+                if total.isdigit():
+                    self.size = int(total)
+            return
+        raise InvalidData("http: too many redirects")
+
+    def read(self, n: int = -1) -> bytes:
+        data = self._resp.read(n if n is not None and n >= 0 else None)
+        self._pos += len(data)
+        return data
+
+    def tell(self) -> int:
+        return self._pos
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        if whence == 1:
+            pos += self._pos
+        elif whence == 2:
+            if self.size is None:
+                raise io.UnsupportedOperation("http: unknown size")
+            pos += self.size
+        if pos == self._pos:
+            return pos
+        if not self.accept_ranges:
+            raise io.UnsupportedOperation("http: server has no range support")
+        self._resp.close()
+        self._conn.close()
+        self._open(pos)
+        return pos
+
+    def close(self) -> None:
+        try:
+            if self._resp is not None:
+                self._resp.close()
+        finally:
+            if self._conn is not None:
+                self._conn.close()
+
+
+def open_url(url: str):
+    """Resolve a protocol URL to a file-like (ffurl_open analog). Returns
+    None for protocols avio handles natively (file/pipe/fd/memory)."""
+    scheme = url.split("://", 1)[0] if "://" in url else ""
+    if scheme in ("http", "https"):
+        return HttpStream(url)
+    if scheme == "tcp":
+        return open_tcp(url)
+    if scheme:
+        raise ProtocolNotFound(f"protocol {scheme!r} not supported")
+    return None
+
+
+def protocol_names():
+    return ["file", "pipe", "fd", "memory", "http", "https", "tcp"]
