@@ -171,3 +171,67 @@ class HlsDemuxer(Demuxer):
                 if self._idx >= len(self._segments):
                     raise
                 self._cur = self._open_segment(self._idx)
+
+
+# ---------------------------------------------------------------------------
+# Muxer (reference: libavformat/hlsenc.c VOD path): segment via the segment
+# muxer machinery, then emit the media playlist at trailer time.
+
+from ..mux import Muxer, register_muxer   # noqa: E402
+from .concat_seg import SegmentMuxer      # noqa: E402
+
+
+@register_muxer
+class HlsMuxer(SegmentMuxer):
+    """VOD HLS: url is the .m3u8 path; segments land next to it as
+    <stem><index>.ts. Options: hls_time (target duration seconds),
+    hls_segment_filename (printf pattern)."""
+
+    name = "hls"
+    extensions = ("m3u8",)
+    flags_no_file = True
+    hls_time = 2.0
+    hls_segment_filename = ""
+
+    def _write_header(self) -> None:
+        self.segment_time = float(self.hls_time)
+        stem = self.url[:-5] if self.url.endswith(".m3u8") else self.url
+        self._pattern = self.hls_segment_filename or (stem + "%d.ts")
+        self._durations: List[float] = []
+        self._seg_t0 = None
+        self._last_t = None
+        self._real_url = self.url
+        self.url = self._pattern
+        super()._write_header()
+
+    def _write_packet(self, pkt: Packet) -> None:
+        st = self.streams[pkt.stream_index]
+        if pkt.pts != NOPTS and st.time_base.den:
+            t = pkt.pts * st.time_base.num / st.time_base.den
+            if self._seg_t0 is None:
+                self._seg_t0 = t
+            self._last_t = t + (pkt.duration or 0) * st.time_base.num \
+                / st.time_base.den
+        before = self._seg_idx
+        super()._write_packet(pkt)
+        if self._seg_idx != before:      # rolled into a new segment
+            self._durations.append((self._last_t or 0) - (self._seg_t0 or 0))
+            self._seg_t0 = self._last_t
+
+    def _write_trailer(self) -> None:
+        super()._write_trailer()
+        if self._seg_t0 is not None:
+            self._durations.append((self._last_t or 0) - self._seg_t0)
+        target = max([d for d in self._durations] + [float(self.hls_time)])
+        lines = ["#EXTM3U", "#EXT-X-VERSION:3",
+                 f"#EXT-X-TARGETDURATION:{int(target + 0.999)}",
+                 "#EXT-X-MEDIA-SEQUENCE:0",
+                 "#EXT-X-PLAYLIST-TYPE:VOD"]
+        for i, d in enumerate(self._durations):
+            lines.append(f"#EXTINF:{max(d, 0):.6f},")
+            lines.append(os.path.basename(self._pattern % i
+                                          if "%" in self._pattern
+                                          else f"{self._pattern}.{i}"))
+        lines.append("#EXT-X-ENDLIST")
+        with open(self._real_url, "w") as f:
+            f.write("\n".join(lines) + "\n")

@@ -240,3 +240,185 @@ class MpegTsDemuxer(Demuxer):
                     break
                 raise EndOfStream()
         return self._queue.pop(0)
+
+
+# ---------------------------------------------------------------------------
+# Muxer (reference: libavformat/mpegtsenc.c — PAT/PMT sections with
+# CRC32/MPEG-2, PES packetization with PTS/DTS + PCR, per-PID continuity)
+
+from ..mux import Muxer, register_muxer   # noqa: E402
+
+_CRC_TABLE = None
+
+
+def _crc32_mpeg(data: bytes) -> int:
+    global _CRC_TABLE
+    if _CRC_TABLE is None:
+        tab = []
+        for i in range(256):
+            c = i << 24
+            for _ in range(8):
+                c = ((c << 1) ^ 0x04C11DB7) if c & 0x80000000 else (c << 1)
+            tab.append(c & 0xFFFFFFFF)
+        _CRC_TABLE = tab
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _CRC_TABLE[(crc >> 24) ^ b]
+    return crc
+
+
+_MUX_STREAM_TYPES = {
+    "mpeg1video": 0x01, "mpeg2video": 0x02, "mp2": 0x03, "mp3": 0x03,
+    "mpeg4": 0x10, "h264": 0x1B, "hevc": 0x24, "aac": 0x0F,
+    "ac3": 0x81, "mjpeg": 0x06, "gif": 0x06, "png": 0x06,
+}
+
+_PMT_PID = 0x1000
+_START_PID = 0x100
+
+
+@register_muxer
+class MpegtsMuxer(Muxer):
+    name = "mpegts"
+    extensions = ("ts", "m2t", "mts")
+    default_video_codec = "mpeg2video"
+    default_audio_codec = "aac"
+
+    def _write_header(self) -> None:
+        self._cc: Dict[int, int] = {}
+        self._pcr_pid = None
+        self._types = []
+        for st in self.streams:
+            stype = _MUX_STREAM_TYPES.get(st.codecpar.codec_id)
+            if stype is None:
+                raise InvalidData(
+                    f"mpegts: cannot mux codec {st.codecpar.codec_id}")
+            self._types.append(stype)
+            if self._pcr_pid is None and \
+                    st.codecpar.codec_type == MediaType.VIDEO:
+                self._pcr_pid = _START_PID + st.index
+        if self._pcr_pid is None:
+            self._pcr_pid = _START_PID
+        self._write_tables()
+        self._pkts_since_tables = 0
+
+    # --- sections -------------------------------------------------------------
+    def _section_packet(self, pid: int, table: bytes) -> None:
+        payload = b"\x00" + table          # pointer_field
+        self._ts_packet(pid, payload, pusi=True, pad_sections=True)
+
+    def _write_tables(self) -> None:
+        # PAT: program 1 -> PMT pid
+        pat = bytes([0x00, 0xB0, 13, 0x00, 0x01, 0xC1, 0x00, 0x00,
+                     0x00, 0x01, 0xE0 | (_PMT_PID >> 8), _PMT_PID & 0xFF])
+        pat += _crc32_mpeg(pat).to_bytes(4, "big")
+        self._section_packet(0, pat)
+        # PMT
+        es = b""
+        for st, stype in zip(self.streams, self._types):
+            pid = _START_PID + st.index
+            es += bytes([stype, 0xE0 | (pid >> 8), pid & 0xFF, 0xF0, 0x00])
+        length = 13 + len(es)
+        pmt = bytes([0x02, 0xB0, length, 0x00, 0x01, 0xC1, 0x00, 0x00,
+                     0xE0 | (self._pcr_pid >> 8), self._pcr_pid & 0xFF,
+                     0xF0, 0x00]) + es
+        pmt += _crc32_mpeg(pmt).to_bytes(4, "big")
+        self._section_packet(_PMT_PID, pmt)
+
+    # --- transport packets ------------------------------------------------------
+    def _ts_packet(self, pid: int, payload: bytes, pusi: bool,
+                   pcr: Optional[int] = None,
+                   pad_sections: bool = False) -> bytes:
+        """Emit one 188-byte packet; returns unconsumed payload."""
+        cc = self._cc.get(pid, 0)
+        self._cc[pid] = (cc + 1) & 0xF
+        hdr = bytearray(4)
+        hdr[0] = 0x47
+        hdr[1] = (0x40 if pusi else 0) | (pid >> 8)
+        hdr[2] = pid & 0xFF
+        room = 184
+        af = b""
+        if pcr is not None:
+            base = pcr // 300
+            ext = pcr % 300
+            af = bytes([7, 0x10,
+                        (base >> 25) & 0xFF, (base >> 17) & 0xFF,
+                        (base >> 9) & 0xFF, (base >> 1) & 0xFF,
+                        ((base & 1) << 7) | 0x7E | (ext >> 8), ext & 0xFF])
+            room -= len(af)
+        take = payload[:room]
+        rest = payload[room:]
+        stuffing = room - len(take)
+        if stuffing and pad_sections:
+            # sections are padded with 0xFF after the data
+            body = af + take + b"\xFF" * stuffing
+            hdr[3] = (0x30 if af else 0x10) | cc
+        elif stuffing:
+            # pad via adaptation field stuffing
+            if af:
+                af = bytes([af[0] + stuffing]) + af[1:] + b"\xFF" * stuffing
+            else:
+                if stuffing == 1:
+                    af = b"\x00"
+                else:
+                    af = bytes([stuffing - 1, 0x00]) + b"\xFF" * (stuffing - 2)
+            body = af + take
+            hdr[3] = 0x30 | cc
+        else:
+            body = af + take
+            hdr[3] = (0x30 if af else 0x10) | cc
+        self.w.write(bytes(hdr) + body)
+        return rest
+
+    def _write_packet(self, pkt: Packet) -> None:
+        st = self.streams[pkt.stream_index]
+        pid = _START_PID + st.index
+        if self._pkts_since_tables >= 40 or \
+                (pkt.is_keyframe and self._pkts_since_tables > 0):
+            self._write_tables()
+            self._pkts_since_tables = 0
+        self._pkts_since_tables += 1
+
+        # rescale to 90 kHz
+        pts = dts = None
+        if pkt.pts != NOPTS and pkt.time_base:
+            pts = pkt.pts * 90000 * pkt.time_base.num // pkt.time_base.den
+            d = pkt.dts if pkt.dts != NOPTS else pkt.pts
+            dts = d * 90000 * pkt.time_base.num // pkt.time_base.den
+        sid = 0xE0 if st.codecpar.codec_type == MediaType.VIDEO else 0xC0
+
+        pes = bytearray(b"\x00\x00\x01")
+        pes.append(sid)
+        flags = 0
+        hdata = b""
+        if pts is not None:
+            if dts != pts:
+                flags = 0xC0
+                hdata = _pes_ts(0x3, pts) + _pes_ts(0x1, dts)
+            else:
+                flags = 0x80
+                hdata = _pes_ts(0x2, pts)
+        body_len = 3 + len(hdata) + len(pkt.data)
+        pes += (body_len if body_len <= 0xFFFF else 0).to_bytes(2, "big")
+        pes += bytes([0x80, flags, len(hdata)])
+        pes += hdata
+        pes += pkt.data
+
+        payload = bytes(pes)
+        first = True
+        while payload:
+            pcr = None
+            if first and pid == self._pcr_pid and dts is not None:
+                pcr = max(dts - 9000, 0) * 300
+            payload = self._ts_packet(pid, payload, pusi=first, pcr=pcr)
+            first = False
+
+    def _write_trailer(self) -> None:
+        pass
+
+
+def _pes_ts(prefix: int, ts: int) -> bytes:
+    ts &= (1 << 33) - 1
+    return bytes([(prefix << 4) | ((ts >> 29) & 0x0E) | 1,
+                  (ts >> 22) & 0xFF, ((ts >> 14) & 0xFE) | 1,
+                  (ts >> 7) & 0xFF, ((ts << 1) & 0xFE) | 1])

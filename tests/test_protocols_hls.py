@@ -203,3 +203,72 @@ def test_hls_over_http_master_variant(ts_segments, tmp_path, http_root):
     d = open_input(f"{base}/master.m3u8")
     got = _payloads(d)
     assert len(got) >= 15
+
+
+@requires_ref
+def test_hls_mux_roundtrip(ts_segments, tmp_path):
+    """Transcode-free remux: packets → hls muxer → our hls demuxer."""
+    from ffmpeg_tpu.io import open_output
+    src = open_input(str(ts_segments[0]))
+    out = tmp_path / "out" / "live.m3u8"
+    out.parent.mkdir()
+    m = open_output(str(out), format="hls")
+    m.hls_time = 0.08          # force multiple segments (5 frames @25fps)
+    for st in src.streams:
+        m.add_stream(st.codecpar, time_base=st.time_base)
+    pkts_in = []
+    for p in src.packets():
+        pkts_in.append(zlib.adler32(p.data, 0))
+        m.write_packet(p)
+    m.write_trailer()
+    m.close()
+    text = out.read_text()
+    assert text.startswith("#EXTM3U") and "#EXT-X-ENDLIST" in text
+    segs = [l for l in text.splitlines() if l and not l.startswith("#")]
+    assert len(segs) >= 2      # actually segmented
+    d = open_input(str(out))
+    pkts_out = [zlib.adler32(p.data, 0) for p in d.packets()]
+    assert pkts_out == pkts_in
+
+
+@requires_ref
+def test_reference_plays_our_hls(tmp_path):
+    """Our hls muxer (real TS segments + playlist) must be playable by the
+    reference. Uses mpeg2video: the reference cannot re-identify its own
+    mjpeg-in-TS (stream_type 0x06 probes below threshold -> bin_data), so
+    a properly-typed codec is the honest interop test."""
+    from ffmpeg_tpu.io import open_output
+    if b" hls " not in subprocess.run(
+            [str(refutil.REF), "-hide_banner", "-demuxers"],
+            capture_output=True).stdout:
+        pytest.skip("reference build lacks hls demuxer")
+    src_ts = tmp_path / "src.ts"
+    subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "lavfi",
+         "-i", "testsrc2=size=128x96:rate=25", "-frames:v", "10",
+         "-c:v", "mpeg2video", "-g", "2", "-bf", "0", "-muxdelay", "0",
+         "-y", str(src_ts)], check=True, capture_output=True)
+    src = open_input(str(src_ts))
+    out = tmp_path / "o" / "x.m3u8"
+    out.parent.mkdir()
+    m = open_output(str(out), format="hls")
+    m.hls_time = 0.08
+    for st in src.streams:
+        m.add_stream(st.codecpar, time_base=st.time_base)
+    for p in src.packets():
+        m.write_packet(p)
+    m.write_trailer()
+    m.close()
+    # reference must demux the playlist and decode every frame
+    r = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-i", str(out),
+         "-f", "framecrc", "-"], capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()
+    assert len([l for l in r.stdout.splitlines()
+                if l.startswith(b"0,")]) == 10
+    # and the decoded pixels must match the straight-through file
+    a = subprocess.run([str(refutil.REF), "-v", "error", "-i", str(out),
+                        "-f", "md5", "-"], capture_output=True).stdout
+    b = subprocess.run([str(refutil.REF), "-v", "error", "-i", str(src_ts),
+                        "-f", "md5", "-"], capture_output=True).stdout
+    assert a == b and a.startswith(b"MD5=")
