@@ -73,7 +73,9 @@ def _synth_matrix() -> np.ndarray:
 def _synth_window() -> np.ndarray:
     """Full 512-tap ISO D window reconstructed from the half table
     (mpegaudiodsp_template.c mpa_synth_init sign rule)."""
-    half = np.asarray(ENWINDOW, np.float64) / (1 << 15)
+    # 2^-16: 2^-15 table scale x the 1/2 folded into the ISO matrixing
+    # (calibrated exactly against the reference decoder's output level)
+    half = np.asarray(ENWINDOW, np.float64) / (1 << 16)
     d = np.zeros(512, np.float64)
     d[:257] = half
     for i in range(1, 256):

@@ -1,0 +1,302 @@
+"""MP3 Layer III decoder tests (codecs/mp3.py + ops/mp3fb.py).
+
+No MP3 encoder exists in this environment (the reference has no native
+one), so known-answer frames are crafted bit-by-bit from the ISO Huffman
+tables and decoded by BOTH our decoder and the reference binary — the
+PCM must match."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+import refutil
+from conftest import requires_ref
+
+from ffmpeg_tpu.codecs import CodecContext
+from ffmpeg_tpu.codecs import mp3_tables as T
+from ffmpeg_tpu.codecs.mp3 import _init_tables, _HUFF_LUTS
+from ffmpeg_tpu.io import open_input
+from ffmpeg_tpu.io.stream import CodecParameters, MediaType
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def put(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def bytes(self, pad_to=None):
+        bits = self.bits[:]
+        while len(bits) % 8:
+            bits.append(0)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bits[i + j]
+            out.append(b)
+        if pad_to is not None:
+            out += b"\x00" * (pad_to - len(out))
+        return bytes(out)
+
+
+def _huff_code(table_select, x, y):
+    """Find the canonical code for symbol (x,y) for a table_select index."""
+    vlc_idx, _linbits = T.HUFF_DATA[table_select]
+    pos = sum(T.HUFF_SIZES[:vlc_idx - 1])
+    n = T.HUFF_SIZES[vlc_idx - 1]
+    code = 0
+    for i in range(n):
+        l = T.HUFF_LENS[pos + i]
+        sym = T.HUFF_SYMBOLS[pos + i]
+        c = code >> (32 - l)
+        if sym == ((x << 4) | y):
+            return c, l
+        code += 1 << (32 - l)
+    raise KeyError((vlc_idx, x, y))
+
+
+_SLEN = [(0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+         (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3)]
+
+
+def craft_frame(pairs=((1, 1),), block_type=None, global_gain=210,
+                table_select=1, nch=1, ms=False, quads=(), sfc=0,
+                scalefacs=None, preflag=0, sf_scale=0, escapes=()):
+    """One MPEG-1 44.1kHz 320kbps Layer III frame. Both granules carry the
+    same content. `quads` are count1 4-tuples of 0/±1; `escapes` are
+    (x, y) with components >= 15 encoded via linbits."""
+    w = BitWriter()
+    w.put(0x7FF, 11)
+    w.put(3, 2)          # MPEG-1
+    w.put(1, 2)          # Layer III
+    w.put(1, 1)          # no CRC
+    w.put(14, 4)         # 320 kbps
+    w.put(0, 2)          # 44100
+    w.put(0, 1)          # no padding
+    w.put(0, 1)
+    w.put(1 if ms else (3 if nch == 1 else 0), 2)   # mode
+    w.put(2 if ms else 0, 2)                        # mode_ext (MS on)
+    w.put(0, 1)
+    w.put(0, 1)
+    w.put(0, 2)
+
+    all_pairs = list(pairs) + list(escapes)
+    _vlc, linbits = T.HUFF_DATA[table_select]
+
+    # main data (built first to know part2_3_length)
+    md = BitWriter()
+    nbits = []               # per (gr, ch)
+    sfbits = []
+    slen1, slen2 = _SLEN[sfc]
+    for gr in range(2):
+        for ch in range(nch):
+            start = len(md.bits)
+            if scalefacs is not None:
+                for i in range(11):
+                    md.put(scalefacs[i % len(scalefacs)], slen1)
+                for i in range(10):
+                    md.put(scalefacs[i % len(scalefacs)], slen2)
+            sfbits.append(len(md.bits) - start)
+            for (x, y) in all_pairs:
+                cx, cy = min(x, 15), min(y, 15)
+                c, l = _huff_code(table_select, cx, cy)
+                md.put(c, l)
+                if cx == 15 and linbits:
+                    md.put(x - 15, linbits)
+                if x:
+                    md.put(0, 1)     # positive
+                if cy == 15 and linbits:
+                    md.put(y - 15, linbits)
+                if y:
+                    md.put(0, 1)
+            for q in quads:          # count1 table A
+                sym = sum((1 << (3 - i)) for i, v in enumerate(q) if v)
+                md.put(T.QUAD_CODES[0][sym], T.QUAD_BITS[0][sym])
+                for v in q:
+                    if v:
+                        md.put(1 if v < 0 else 0, 1)
+            nbits.append(len(md.bits) - start)
+
+    # side info: 17 (mono) / 32 (stereo) bytes for MPEG-1
+    w.put(0, 9)                            # main_data_begin
+    w.put(0, 3 if nch == 2 else 5)         # private
+    for _ in range(nch):
+        w.put(0, 4)                        # scfsi
+    for gr in range(2):
+        for ch in range(nch):
+            w.put(nbits[gr * nch + ch], 12)    # part2_3_length
+            w.put(len(all_pairs), 9)           # big_values
+            w.put(global_gain, 8)
+            w.put(sfc if scalefacs is not None else 0, 4)
+            if block_type is None:
+                w.put(0, 1)                    # no window switching
+                for _ in range(3):
+                    w.put(table_select, 5)
+                w.put(0, 4)                    # region_address1
+                w.put(0, 3)                    # region_address2
+            else:
+                w.put(1, 1)                    # window switching
+                w.put(block_type, 2)
+                w.put(0, 1)                    # switch_point
+                for _ in range(2):
+                    w.put(table_select, 5)
+                for _ in range(3):
+                    w.put(0, 3)                # subblock_gain
+            w.put(preflag, 1)
+            w.put(sf_scale, 1)
+            w.put(0, 1)                        # count1table_select A
+    assert len(w.bits) == 32 + (136 if nch == 1 else 256)
+
+    frame = w.bytes() + md.bytes()
+    size = 144 * 320000 // 44100           # 1044
+    assert len(frame) <= size
+    return frame + b"\x00" * (size - len(frame))
+
+
+def _our_decode(path):
+    d = open_input(str(path))
+    assert d.streams[0].codecpar.codec_id == "mp3"
+    dec = CodecContext.open_decoder(d.streams[0].codecpar)
+    frames = dec.decode_all(d.packets())
+    # interleave channels to match the reference's wav layout
+    return np.concatenate([np.asarray(f.audio_data).T.ravel()
+                           for f in frames])
+
+
+def _ref_decode(path):
+    # slim build has no f32le muxer; use wav + pcm_f32le
+    raw = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-i", str(path),
+         "-c:a", "pcm_f32le", "-f", "wav", "-"],
+        check=True, capture_output=True).stdout
+    i = raw.find(b"data")
+    return np.frombuffer(raw[i + 8:], "<f4")
+
+
+def _compare(ours, ref):
+    n = min(len(ours), len(ref))
+    assert n >= 1152 * 3
+    o, r = ours[:n], ref[:n]
+    peak = np.abs(r).max()
+    assert 1e-4 < peak < 0.99               # present, and ref not clipping
+    err = np.abs(o - r).max()
+    # the slim reference build uses the fixed-point mp3 decoder: its
+    # output is quantized to 2^-15 steps
+    assert err < max(5e-4 * peak, 2.0 ** -13), f"max err {err}, peak {peak}"
+
+
+@requires_ref
+def test_long_block_tone_matches_reference(tmp_path):
+    p = tmp_path / "t.mp3"
+    p.write_bytes(craft_frame(pairs=((1, 1), (2, 0), (0, 3)),
+                              table_select=5, global_gain=190) * 8)
+    _compare(_our_decode(p), _ref_decode(p))
+
+
+@requires_ref
+def test_short_block_matches_reference(tmp_path):
+    p = tmp_path / "s.mp3"
+    p.write_bytes(craft_frame(pairs=((1, 1), (1, 0)), block_type=2,
+                              global_gain=190) * 8)
+    _compare(_our_decode(p), _ref_decode(p))
+
+
+@requires_ref
+def test_gain_and_table15(tmp_path):
+    p = tmp_path / "g.mp3"
+    p.write_bytes(craft_frame(pairs=((3, 2), (5, 7)), global_gain=180,
+                              table_select=15) * 8)
+    _compare(_our_decode(p), _ref_decode(p))
+
+
+def test_huffman_luts_are_prefix_complete():
+    _init_tables()
+    for maxlen, sym_t, len_t in _HUFF_LUTS:
+        assert (len_t > 0).all()            # every prefix decodes
+
+
+@requires_ref
+def test_stereo_ms_matches_reference(tmp_path):
+    p = tmp_path / "ms.mp3"
+    p.write_bytes(craft_frame(pairs=((1, 1), (0, 2)), table_select=5,
+                              global_gain=188, nch=2, ms=True) * 8)
+    _compare(_our_decode(p), _ref_decode(p))
+
+
+@requires_ref
+def test_stereo_lr_matches_reference(tmp_path):
+    p = tmp_path / "lr.mp3"
+    p.write_bytes(craft_frame(pairs=((2, 1),), table_select=5,
+                              global_gain=190, nch=2) * 8)
+    _compare(_our_decode(p), _ref_decode(p))
+
+
+@requires_ref
+def test_count1_quads(tmp_path):
+    p = tmp_path / "q.mp3"
+    p.write_bytes(craft_frame(pairs=((1, 1),), table_select=5,
+                              global_gain=190,
+                              quads=((1, 0, -1, 0), (0, 1, 0, -1))) * 8)
+    _compare(_our_decode(p), _ref_decode(p))
+
+
+@requires_ref
+def test_linbits_escape(tmp_path):
+    p = tmp_path / "e.mp3"
+    # table_select 16 -> vlc 14, linbits 1: value 16 = 15 + linbits(1)
+    p.write_bytes(craft_frame(pairs=((1, 1),), escapes=((16, 15),),
+                              table_select=16, global_gain=170) * 8)
+    _compare(_our_decode(p), _ref_decode(p))
+
+
+@requires_ref
+def test_scalefactors_preflag_scale(tmp_path):
+    p = tmp_path / "sf.mp3"
+    p.write_bytes(craft_frame(pairs=((1, 1), (2, 2), (0, 3)),
+                              table_select=5, global_gain=185,
+                              sfc=5, scalefacs=(1, 0, 2), preflag=1,
+                              sf_scale=1) * 8)
+    _compare(_our_decode(p), _ref_decode(p))
+
+
+@requires_ref
+def test_bit_reservoir(tmp_path):
+    """Frame 2's main data lives at the tail of frame 1 (main_data_begin).
+    The whole stream must still decode identically to the reference."""
+    size = 144 * 320000 // 44100
+    base = craft_frame(pairs=((1, 1), (2, 0)), table_select=5,
+                       global_gain=190)
+    # main data bytes of one frame = everything after 4+17 header/side
+    md = base[21:]
+    md_len = 0
+    # recompute used main-data byte length from part2_3 bits
+    bits = 0
+    for _ in range(2):
+        for (x, y) in ((1, 1), (2, 0)):
+            _c, l = _huff_code(5, x, y)
+            bits += l + (1 if x else 0) + (1 if y else 0)
+    md_used = (bits + 7) // 8
+    K = md_used                      # put frame2's md fully in frame1
+    # frame 1: normal, but with frame2's main data appended in its padding
+    f1 = base[:size - K] + md[:K]
+    # frame 2: header + side info with main_data_begin=K, all padding after
+    w = BitWriter()
+    hdr_si = base[:21]
+    # patch main_data_begin (first 9 bits after 32-bit header)
+    b = bytearray(hdr_si)
+    b[4] = (K >> 1) & 0xFF
+    b[5] = (b[5] & 0x7F) | ((K & 1) << 7)
+    f2 = bytes(b) + b"\x00" * (size - 21)
+    stream = base + f1 + f2 + base * 2
+    p = tmp_path / "resv.mp3"
+    p.write_bytes(stream)
+    ours = _our_decode(p)
+    ref = _ref_decode(p)
+    _compare(ours, ref)
+    # frame 2 (third frame in stream) must carry real signal, not silence
+    seg = ref[2 * 1152:3 * 1152]
+    assert np.abs(seg).max() > 1e-3
