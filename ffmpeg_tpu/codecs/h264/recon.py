@@ -1,0 +1,267 @@
+"""H.264 exact-integer transforms and intra prediction (reference:
+libavcodec/h264idct_template.c, h264pred_template.c). numpy int32 —
+bit-exact per ITU-T H.264 §8.3/§8.5. The batched-residual path is shaped
+so the per-MB IDCTs can later move to a fused TPU matmul like mpeg12."""
+
+from __future__ import annotations
+
+import numpy as np
+
+DEQUANT_INIT = [(10, 13, 16), (11, 14, 18), (13, 16, 20),
+                (14, 18, 23), (16, 20, 25), (18, 23, 29)]
+
+# zigzag scan for 4x4 (raster index order)
+ZIGZAG4 = np.array([0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15])
+
+_V_IDX = np.zeros(16, np.int32)     # raster pos → dequant column 0/1/2
+for _x in range(16):
+    _V_IDX[_x] = (_x & 1) + ((_x >> 2) & 1)
+
+
+def dequant4(levels_raster: np.ndarray, qp: int) -> np.ndarray:
+    """levels in raster order (16,) → dequantized block, spec 8.5.9."""
+    v = np.array(DEQUANT_INIT[qp % 6], np.int64)[_V_IDX]
+    return (levels_raster.astype(np.int64) * v) << (qp // 6)
+
+
+def idct4_add(dst: np.ndarray, block: np.ndarray) -> None:
+    """In-place: dst(4,4) uint8 += idct(block(16,) raster int)."""
+    b = block.astype(np.int64).reshape(4, 4).copy()
+    b[0, 0] += 32
+    z0 = b[0] + b[2]
+    z1 = b[0] - b[2]
+    z2 = (b[1] >> 1) - b[3]
+    z3 = b[1] + (b[3] >> 1)
+    r = np.stack([z0 + z3, z1 + z2, z1 - z2, z0 - z3])
+    z0 = r[:, 0] + r[:, 2]
+    z1 = r[:, 0] - r[:, 2]
+    z2 = (r[:, 1] >> 1) - r[:, 3]
+    z3 = r[:, 1] + (r[:, 3] >> 1)
+    out = np.stack([z0 + z3, z1 + z2, z1 - z2, z0 - z3], axis=1) >> 6
+    np.clip(dst.astype(np.int64) + out, 0, 255, out=out)
+    dst[:] = out.astype(np.uint8)
+
+
+def luma_dc_transform(dc_levels: np.ndarray, qp: int) -> np.ndarray:
+    """4x4 Hadamard + dequant for Intra16x16 DC (spec 8.5.10); levels in
+    raster order → per-4x4-block DC values (4,4)."""
+    b = dc_levels.astype(np.int64).reshape(4, 4)
+    h = np.array([[1, 1, 1, 1], [1, 1, -1, -1],
+                  [1, -1, -1, 1], [1, -1, 1, -1]], np.int64)
+    t = h @ b @ h.T
+    qmul = (DEQUANT_INIT[qp % 6][0] * 16) << (qp // 6 + 2)
+    return (t * qmul + 128) >> 8
+
+
+def chroma_dc_transform(dc_levels: np.ndarray, qp: int) -> np.ndarray:
+    """2x2 transform + dequant (spec 8.5.11)."""
+    b = dc_levels.astype(np.int64).reshape(2, 2)
+    t = np.array([[b[0, 0] + b[0, 1] + b[1, 0] + b[1, 1],
+                   b[0, 0] - b[0, 1] + b[1, 0] - b[1, 1]],
+                  [b[0, 0] + b[0, 1] - b[1, 0] - b[1, 1],
+                   b[0, 0] - b[0, 1] - b[1, 0] + b[1, 1]]], np.int64)
+    qmul = (DEQUANT_INIT[qp % 6][0] * 16) << (qp // 6 + 2)
+    return (t * qmul) >> 7
+
+
+# ---------------------------------------------------------------------------
+# Intra prediction.  All functions take the plane, position and
+# availability flags, returning the predicted block.
+
+def pred4x4(plane, x, y, mode, avail_l, avail_t, avail_tr, avail_tl):
+    p = plane.astype(np.int32)
+    left = p[y:y + 4, x - 1] if avail_l else None
+    top = p[y - 1, x:x + 4] if avail_t else None
+    tl = int(p[y - 1, x - 1]) if avail_tl else None
+    if avail_t:
+        if avail_tr:
+            tr = p[y - 1, x + 4:x + 8]
+            if len(tr) < 4:
+                tr = np.concatenate([tr, np.full(4 - len(tr), top[3])])
+        else:
+            tr = np.full(4, top[3], np.int32)
+        t8 = np.concatenate([top, tr])
+    if mode == 0:                                  # vertical
+        return np.tile(top, (4, 1))
+    if mode == 1:                                  # horizontal
+        return np.tile(left[:, None], (1, 4))
+    if mode == 2:                                  # DC
+        if avail_l and avail_t:
+            dc = (int(left.sum()) + int(top.sum()) + 4) >> 3
+        elif avail_l:
+            dc = (int(left.sum()) + 2) >> 2
+        elif avail_t:
+            dc = (int(top.sum()) + 2) >> 2
+        else:
+            dc = 128
+        return np.full((4, 4), dc, np.int32)
+    out = np.zeros((4, 4), np.int32)
+    if mode == 3:                                  # diagonal down-left
+        for j in range(4):
+            for i in range(4):
+                k = i + j
+                if k == 6:
+                    out[j, i] = (t8[6] + 3 * t8[7] + 2) >> 2
+                else:
+                    out[j, i] = (t8[k] + 2 * t8[k + 1] + t8[k + 2] + 2) >> 2
+        return out
+    # spec-style reference accessors: t(-1) == l(-1) == top-left sample
+    def t(k):
+        return tl if k < 0 else int(t8[k])
+
+    def l(k):
+        return tl if k < 0 else int(left[k])
+
+    if mode == 4:                                  # diagonal down-right
+        for j in range(4):
+            for i in range(4):
+                if i > j:
+                    out[j, i] = (t(i - j - 2) + 2 * t(i - j - 1)
+                                 + t(i - j) + 2) >> 2
+                elif i < j:
+                    out[j, i] = (l(j - i - 2) + 2 * l(j - i - 1)
+                                 + l(j - i) + 2) >> 2
+                else:
+                    out[j, i] = (t(0) + 2 * tl + l(0) + 2) >> 2
+        return out
+    if mode == 5:                                  # vertical-right (8.3.1.2.6)
+        for j in range(4):
+            for i in range(4):
+                z = 2 * i - j
+                if z >= 0 and z % 2 == 0:
+                    k = i - (j >> 1)
+                    out[j, i] = (t(k - 1) + t(k) + 1) >> 1
+                elif z > 0:
+                    k = i - (j >> 1)
+                    out[j, i] = (t(k - 2) + 2 * t(k - 1) + t(k) + 2) >> 2
+                elif z == -1:
+                    out[j, i] = (l(0) + 2 * tl + t(0) + 2) >> 2
+                else:
+                    k = j - 2 * i
+                    out[j, i] = (l(k - 1) + 2 * l(k - 2) + l(k - 3) + 2) >> 2
+        return out
+    if mode == 6:                                  # horizontal-down (8.3.1.2.7)
+        for j in range(4):
+            for i in range(4):
+                z = 2 * j - i
+                if z >= 0 and z % 2 == 0:
+                    k = j - (i >> 1)
+                    out[j, i] = (l(k - 1) + l(k) + 1) >> 1
+                elif z > 0:
+                    k = j - (i >> 1)
+                    out[j, i] = (l(k - 2) + 2 * l(k - 1) + l(k) + 2) >> 2
+                elif z == -1:
+                    out[j, i] = (t(0) + 2 * tl + l(0) + 2) >> 2
+                else:
+                    k = i - 2 * j
+                    out[j, i] = (t(k - 1) + 2 * t(k - 2) + t(k - 3) + 2) >> 2
+        return out
+    if mode == 7:                                  # vertical-left
+        for j in range(4):
+            for i in range(4):
+                k = i + (j >> 1)
+                if j % 2 == 0:
+                    out[j, i] = (t8[k] + t8[k + 1] + 1) >> 1
+                else:
+                    out[j, i] = (t8[k] + 2 * t8[k + 1] + t8[k + 2] + 2) >> 2
+        return out
+    if mode == 8:                                  # horizontal-up
+        for j in range(4):
+            for i in range(4):
+                z = i + 2 * j
+                if z > 5:
+                    out[j, i] = left[3]
+                elif z == 5:
+                    out[j, i] = (left[2] + 3 * left[3] + 2) >> 2
+                elif z % 2 == 0:
+                    out[j, i] = (left[j + (i >> 1)] +
+                                 left[j + (i >> 1) + 1] + 1) >> 1
+                else:
+                    out[j, i] = (left[j + (i >> 1)] +
+                                 2 * left[j + (i >> 1) + 1] +
+                                 left[j + (i >> 1) + 2] + 2) >> 2
+        return out
+    raise ValueError(f"bad intra4x4 mode {mode}")
+
+
+def pred16x16(plane, x, y, mode, avail_l, avail_t):
+    p = plane.astype(np.int32)
+    if mode == 0:                                  # vertical
+        return np.tile(p[y - 1, x:x + 16], (16, 1))
+    if mode == 1:                                  # horizontal
+        return np.tile(p[y:y + 16, x - 1][:, None], (1, 16))
+    if mode == 2:                                  # DC
+        if avail_l and avail_t:
+            dc = (int(p[y:y + 16, x - 1].sum()) +
+                  int(p[y - 1, x:x + 16].sum()) + 16) >> 5
+        elif avail_l:
+            dc = (int(p[y:y + 16, x - 1].sum()) + 8) >> 4
+        elif avail_t:
+            dc = (int(p[y - 1, x:x + 16].sum()) + 8) >> 4
+        else:
+            dc = 128
+        return np.full((16, 16), dc, np.int32)
+    # plane (mode 3)
+    top = p[y - 1, x - 1:x + 16].astype(np.int64)
+    left = p[y - 1:y + 16, x - 1].astype(np.int64)
+    h = sum((i + 1) * (int(top[9 + i]) - int(top[7 - i])) for i in range(8))
+    v = sum((i + 1) * (int(left[9 + i]) - int(left[7 - i])) for i in range(8))
+    a = 16 * (int(left[16]) + int(top[16]))
+    b = (5 * h + 32) >> 6
+    c = (5 * v + 32) >> 6
+    jj, ii = np.mgrid[0:16, 0:16]
+    out = (a + b * (ii - 7) + c * (jj - 7) + 16) >> 5
+    return np.clip(out, 0, 255)
+
+
+def pred_chroma8x8(plane, x, y, mode, avail_l, avail_t):
+    p = plane.astype(np.int32)
+    if mode == 1:                                  # horizontal
+        return np.tile(p[y:y + 8, x - 1][:, None], (1, 8))
+    if mode == 2:                                  # vertical
+        return np.tile(p[y - 1, x:x + 8], (8, 1))
+    if mode == 3:                                  # plane
+        top = p[y - 1, x - 1:x + 8].astype(np.int64)
+        left = p[y - 1:y + 8, x - 1].astype(np.int64)
+        h = sum((i + 1) * (int(top[5 + i]) - int(top[3 - i]))
+                for i in range(4))
+        v = sum((i + 1) * (int(left[5 + i]) - int(left[3 - i]))
+                for i in range(4))
+        a = 16 * (int(left[8]) + int(top[8]))
+        b = (17 * h + 16) >> 5
+        c = (17 * v + 16) >> 5
+        jj, ii = np.mgrid[0:8, 0:8]
+        return np.clip((a + b * (ii - 3) + c * (jj - 3) + 16) >> 5, 0, 255)
+    # DC (mode 0): per-4x4 quadrant rules (spec 8.3.4.1)
+    out = np.zeros((8, 8), np.int32)
+    for qy in range(2):
+        for qx in range(2):
+            tsum = int(p[y - 1, x + qx * 4:x + qx * 4 + 4].sum()) \
+                if avail_t else None
+            lsum = int(p[y + qy * 4:y + qy * 4 + 4, x - 1].sum()) \
+                if avail_l else None
+            if qx == qy:        # corner blocks use both when available
+                if tsum is not None and lsum is not None:
+                    dc = (tsum + lsum + 4) >> 3
+                elif tsum is not None:
+                    dc = (tsum + 2) >> 2
+                elif lsum is not None:
+                    dc = (lsum + 2) >> 2
+                else:
+                    dc = 128
+            elif qx == 1:       # top-right prefers top
+                if tsum is not None:
+                    dc = (tsum + 2) >> 2
+                elif lsum is not None:
+                    dc = (lsum + 2) >> 2
+                else:
+                    dc = 128
+            else:               # bottom-left prefers left
+                if lsum is not None:
+                    dc = (lsum + 2) >> 2
+                elif tsum is not None:
+                    dc = (tsum + 2) >> 2
+                else:
+                    dc = 128
+            out[qy * 4:qy * 4 + 4, qx * 4:qx * 4 + 4] = dc
+    return out

@@ -1,0 +1,344 @@
+"""H.264 slice decoding: header + CAVLC macroblock layer for I slices
+(reference: libavcodec/h264_slice.c + h264_cavlc.c + h264_mb.c).
+
+Host-side exact-integer reconstruction; batched residual IDCT is shaped
+for later TPU offload (see mpeg12's host-VLC → device-IDCT split)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ...utils.error import InvalidData, NotSupported
+from . import tables as T
+from .bits import Bits
+from .cavlc import decode_residual
+from .params import PPS, SPS
+from . import recon
+
+I_PCM = 25
+
+
+@dataclass
+class SliceHeader:
+    first_mb: int = 0
+    slice_type: int = 2           # 0 P, 1 B, 2 I (mod 5)
+    pps_id: int = 0
+    frame_num: int = 0
+    idr: bool = False
+    qp: int = 26
+    disable_deblocking: int = 0
+    alpha_c0_offset: int = 0
+    beta_offset: int = 0
+
+
+def parse_slice_header(b: Bits, nal_type: int, sps: SPS,
+                       pps: PPS) -> SliceHeader:
+    sh = SliceHeader()
+    sh.first_mb = b.ue()
+    sh.slice_type = b.ue() % 5
+    sh.pps_id = b.ue()
+    sh.idr = nal_type == 5
+    sh.frame_num = b.get(sps.log2_max_frame_num)
+    if sh.idr:
+        b.ue()                    # idr_pic_id
+    if sps.poc_type == 0:
+        b.get(sps.log2_max_poc_lsb)
+        if pps.pic_order_present:
+            b.se()
+    elif sps.poc_type == 1 and not sps.delta_pic_order_always_zero:
+        b.se()
+        if pps.pic_order_present:
+            b.se()
+    if pps.redundant_pic_cnt_present:
+        b.ue()
+    if sh.slice_type == 0:        # P
+        if b.get1():              # num_ref_idx_active_override
+            b.ue()
+        if b.get1():              # ref_pic_list_modification
+            raise NotSupported("h264: ref pic list modification")
+    elif sh.slice_type == 1:
+        raise NotSupported("h264: B slices")
+    if not sh.idr and sh.slice_type != 2:
+        pass
+    # dec_ref_pic_marking
+    if sh.idr:
+        b.get1()                  # no_output_of_prior_pics
+        b.get1()                  # long_term_reference
+    else:
+        if b.get1():              # adaptive_ref_pic_marking
+            raise NotSupported("h264: adaptive ref pic marking")
+    sh.qp = pps.init_qp + b.se()
+    if pps.deblocking_filter_control_present:
+        sh.disable_deblocking = b.ue()
+        if sh.disable_deblocking != 1:
+            sh.alpha_c0_offset = b.se() * 2
+            sh.beta_offset = b.se() * 2
+    return sh
+
+
+# block index (0..15) → (x4, y4) position inside the MB, zscan order
+_BLK_XY = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
+           (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3)]
+
+
+class SliceDecoder:
+    """Decodes one frame's I-slice NALs into planes."""
+
+    def __init__(self, sps: SPS, pps: PPS):
+        self.sps = sps
+        self.pps = pps
+        w, h = sps.mb_width * 16, sps.mb_height * 16
+        self.y = np.full((h, w), 0, np.uint8)
+        self.u = np.full((h // 2, w // 2), 0, np.uint8)
+        self.v = np.full((h // 2, w // 2), 0, np.uint8)
+        nmbx, nmby = sps.mb_width, sps.mb_height
+        self.mb_avail = np.zeros((nmby, nmbx), bool)
+        # per-4x4-block nonzero counts for CAVLC contexts (luma + 2 chroma)
+        self.nnz_y = np.full((nmby * 4, nmbx * 4), -1, np.int32)
+        self.nnz_u = np.full((nmby * 2, nmbx * 2), -1, np.int32)
+        self.nnz_v = np.full((nmby * 2, nmbx * 2), -1, np.int32)
+        self.intra4x4_modes = np.full((nmby * 4, nmbx * 4), -1, np.int32)
+        self.blk_done = np.zeros((nmby * 4, nmbx * 4), bool)
+        self.mb_qp = np.zeros((nmby, nmbx), np.int32)
+        self.mb_intra = np.zeros((nmby, nmbx), bool)
+
+    # --- CAVLC context ---------------------------------------------------------
+    def _pred_nnz(self, nnz, bx, by):
+        left = int(nnz[by, bx - 1]) if bx > 0 else -1
+        top = int(nnz[by - 1, bx]) if by > 0 else -1
+        if left >= 0 and top >= 0:
+            return (left + top + 1) >> 1
+        if left >= 0:
+            return left
+        if top >= 0:
+            return top
+        return 0
+
+    # --- macroblock decode --------------------------------------------------------
+    def decode_slice(self, b: Bits, sh: SliceHeader):
+        if sh.slice_type != 2:
+            raise NotSupported("h264: only I slices decoded yet")
+        sps = self.sps
+        qp = sh.qp
+        mb_addr = sh.first_mb
+        nmbx = sps.mb_width
+        while True:
+            mbx, mby = mb_addr % nmbx, mb_addr // nmbx
+            if mby >= sps.mb_height:
+                break
+            qp = self._decode_mb_i(b, mbx, mby, qp)
+            self.mb_avail[mby, mbx] = True
+            mb_addr += 1
+            if not b.more_rbsp():
+                break
+
+    def _avail(self, mbx, mby, dx, dy):
+        x, y = mbx + dx, mby + dy
+        if x < 0 or y < 0 or x >= self.sps.mb_width:
+            return False
+        return bool(self.mb_avail[y, x])
+
+    def _decode_mb_i(self, b: Bits, mbx: int, mby: int, qp: int) -> int:
+        mb_type = b.ue()
+        if mb_type > 25:
+            raise InvalidData(f"h264: bad I mb_type {mb_type}")
+        self.mb_intra[mby, mbx] = True
+        avail_l = self._avail(mbx, mby, -1, 0)
+        avail_t = self._avail(mbx, mby, 0, -1)
+        avail_tl = self._avail(mbx, mby, -1, -1)
+        avail_tr = self._avail(mbx, mby, 1, -1)
+        x0, y0 = mbx * 16, mby * 16
+        cx0, cy0 = mbx * 8, mby * 8
+
+        if mb_type == I_PCM:
+            # byte-align then raw samples
+            if b.pos & 7:
+                b.pos += 8 - (b.pos & 7)
+            for j in range(16):
+                for i in range(16):
+                    self.y[y0 + j, x0 + i] = b.get(8)
+            for pl in (self.u, self.v):
+                for j in range(8):
+                    for i in range(8):
+                        pl[cy0 + j, cx0 + i] = b.get(8)
+            self.nnz_y[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 16
+            self.nnz_u[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 16
+            self.nnz_v[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 16
+            self.intra4x4_modes[mby * 4:mby * 4 + 4,
+                                mbx * 4:mbx * 4 + 4] = 2
+            self.blk_done[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = True
+            self.mb_qp[mby, mbx] = 0
+            return qp
+
+        if mb_type == 0:
+            # I_NxN: 16 prediction modes (spec 8.3.1.1: unavailable
+            # neighbour -> DC; non-I4x4 neighbours stored as mode 2)
+            modes = []
+            for blk in range(16):
+                bx = mbx * 4 + _BLK_XY[blk][0]
+                by = mby * 4 + _BLK_XY[blk][1]
+                la = self._nbr_avail(bx - 1, by, mbx, mby)
+                ta = self._nbr_avail(bx, by - 1, mbx, mby)
+                if not la or not ta:
+                    pred = 2
+                else:
+                    lm = int(self.intra4x4_modes[by, bx - 1])
+                    tm = int(self.intra4x4_modes[by - 1, bx])
+                    pred = min(lm if lm >= 0 else 2, tm if tm >= 0 else 2)
+                if b.get1():
+                    mode = pred
+                else:
+                    rem = b.get(3)
+                    mode = rem if rem < pred else rem + 1
+                modes.append(mode)
+                self.intra4x4_modes[by, bx] = mode
+            chroma_mode = b.ue()
+            cbp_code = b.ue()
+            if cbp_code > 47:
+                raise InvalidData("h264: bad cbp")
+            cbp = T.GOLOMB_TO_INTRA4X4_CBP[cbp_code]
+            cbp_luma = cbp & 15
+            cbp_chroma = cbp >> 4
+            if cbp:
+                qp = (qp + b.se() + 52) % 52
+            self.mb_qp[mby, mbx] = qp
+
+            for blk in range(16):
+                dx, dy = _BLK_XY[blk]
+                bx4, by4 = mbx * 4 + dx, mby * 4 + dy
+                px, py = x0 + dx * 4, y0 + dy * 4
+                al = self._blk_done_at(bx4 - 1, by4)
+                at = self._blk_done_at(bx4, by4 - 1)
+                atr = self._blk_done_at(bx4 + 1, by4 - 1)
+                atl = self._blk_done_at(bx4 - 1, by4 - 1)
+                pred = recon.pred4x4(self.y, px, py, modes[blk],
+                                     al, at, atr, atl)
+                if cbp_luma & (1 << (blk >> 2)):
+                    nc = self._pred_nnz(self.nnz_y, bx4, by4)
+                    lv, total = decode_residual(b, 16, nc)
+                    self.nnz_y[by4, bx4] = total
+                    raster = np.zeros(16, np.int64)
+                    raster[recon.ZIGZAG4] = lv
+                    block = recon.dequant4(raster, qp)
+                    dst = np.clip(pred, 0, 255).astype(np.uint8)
+                    recon.idct4_add(dst, block)
+                    self.y[py:py + 4, px:px + 4] = dst
+                else:
+                    self.nnz_y[by4, bx4] = 0
+                    self.y[py:py + 4, px:px + 4] = \
+                        np.clip(pred, 0, 255).astype(np.uint8)
+                self.blk_done[by4, bx4] = True
+            self._decode_chroma(b, mbx, mby, qp, chroma_mode, cbp_chroma,
+                                avail_l, avail_t)
+            return qp
+
+        # I_16x16
+        it = mb_type - 1
+        pred_mode = it % 4
+        cbp_chroma = (it // 4) % 3
+        cbp_luma = 15 if it >= 12 else 0
+        chroma_mode = b.ue()
+        qp = (qp + b.se() + 52) % 52
+        self.mb_qp[mby, mbx] = qp
+        self.intra4x4_modes[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 2
+
+        pred = recon.pred16x16(self.y, x0, y0, pred_mode, avail_l, avail_t)
+        base = np.clip(pred, 0, 255).astype(np.uint8)
+
+        # luma DC: context from whole-MB luma nnz of block 0 neighbours
+        nc = self._pred_nnz(self.nnz_y, mbx * 4, mby * 4)
+        dc_lv, _dc_total = decode_residual(b, 16, nc)
+        dc_raster = np.zeros(16, np.int64)
+        dc_raster[recon.ZIGZAG4] = dc_lv
+        dc = recon.luma_dc_transform(dc_raster, qp)
+
+        for blk in range(16):
+            dx, dy = _BLK_XY[blk]
+            bx4, by4 = mbx * 4 + dx, mby * 4 + dy
+            px, py = x0 + dx * 4, y0 + dy * 4
+            raster = np.zeros(16, np.int64)
+            if cbp_luma:
+                nc = self._pred_nnz(self.nnz_y, bx4, by4)
+                lv, total = decode_residual(b, 15, nc)
+                self.nnz_y[by4, bx4] = total
+                raster[recon.ZIGZAG4[1:]] = lv
+            else:
+                self.nnz_y[by4, bx4] = 0
+            block = recon.dequant4(raster, qp)
+            block[0] = dc[dy, dx]
+            dst = base[py - y0:py - y0 + 4, px - x0:px - x0 + 4].copy()
+            recon.idct4_add(dst, block)
+            self.y[py:py + 4, px:px + 4] = dst
+        self.blk_done[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = True
+        self._decode_chroma(b, mbx, mby, qp, chroma_mode, cbp_chroma,
+                            avail_l, avail_t)
+        return qp
+
+    def _decode_chroma(self, b, mbx, mby, qp, chroma_mode, cbp_chroma,
+                       avail_l, avail_t):
+        qpc = T.CHROMA_QP_8BIT[
+            max(0, min(51, qp + self.pps.chroma_qp_index_offset))]
+        qpc2 = T.CHROMA_QP_8BIT[
+            max(0, min(51, qp + self.pps.second_chroma_qp_index_offset))]
+        cx0, cy0 = mbx * 8, mby * 8
+        comps = ((self.u, self.nnz_u, qpc), (self.v, self.nnz_v, qpc2))
+        # bitstream order: both components' DC blocks, then all AC blocks
+        dcs = []
+        for _plane, _nnz, qpc_used in comps:
+            dc = np.zeros((2, 2), np.int64)
+            if cbp_chroma:
+                lv, _ = decode_residual(b, 4, -1)
+                dc = recon.chroma_dc_transform(
+                    np.array([lv[0], lv[1], lv[2], lv[3]], np.int64),
+                    qpc_used)
+            dcs.append(dc)
+        acs_all = []
+        for _plane, nnz, _qpc_used in comps:
+            acs = []
+            for blk in range(4):
+                dx, dy = blk & 1, blk >> 1
+                raster = np.zeros(16, np.int64)
+                if cbp_chroma == 2:
+                    bx2, by2 = mbx * 2 + dx, mby * 2 + dy
+                    nc = self._pred_nnz(nnz, bx2, by2)
+                    lv, total = decode_residual(b, 15, nc)
+                    nnz[by2, bx2] = total
+                    raster[recon.ZIGZAG4[1:]] = lv
+                else:
+                    nnz[mby * 2 + dy, mbx * 2 + dx] = 0
+                acs.append(raster)
+            acs_all.append(acs)
+        for ci, (plane, _nnz, qpc_used) in enumerate(comps):
+            pred = recon.pred_chroma8x8(plane, cx0, cy0, chroma_mode,
+                                        avail_l, avail_t)
+            base = np.clip(pred, 0, 255).astype(np.uint8)
+            for blk in range(4):
+                dx, dy = blk & 1, blk >> 1
+                block = recon.dequant4(acs_all[ci][blk], qpc_used)
+                block[0] = dcs[ci][dy, dx]
+                dst = base[dy * 4:dy * 4 + 4, dx * 4:dx * 4 + 4].copy()
+                recon.idct4_add(dst, block)
+                plane[cy0 + dy * 4:cy0 + dy * 4 + 4,
+                      cx0 + dx * 4:cx0 + dx * 4 + 4] = dst
+
+    # --- 4x4 block availability (frame coords in 4x4 units) ------------------------
+    def _blk_done_at(self, bx, by) -> bool:
+        """Pixel availability: the block has been reconstructed (decode
+        order makes the H.264 top-right corner cases fall out exactly)."""
+        if bx < 0 or by < 0 or bx >= self.sps.mb_width * 4:
+            return False
+        return bool(self.blk_done[by, bx])
+
+    def _nbr_avail(self, bx, by, mbx, mby) -> bool:
+        """Mode-prediction availability during side-info parsing: the
+        neighbour is in a decoded MB, or is an earlier block (zscan) of
+        the current MB (its mode is already recorded)."""
+        if bx < 0 or by < 0 or bx >= self.sps.mb_width * 4:
+            return False
+        nmbx, nmby = bx // 4, by // 4
+        if (nmbx, nmby) == (mbx, mby):
+            return self.intra4x4_modes[by, bx] >= 0
+        return bool(self.mb_avail[nmby, nmbx])

@@ -1,0 +1,483 @@
+"""H.264 I-slice decoder tests (codecs/h264/).
+
+No H.264 encoder exists in this environment; streams are crafted
+bit-by-bit (SPS/PPS/IDR) and our output is compared sample-exactly with
+the reference decoder (see crafted-bitstream notes in test_mp3.py)."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+import refutil
+from conftest import requires_ref
+
+from ffmpeg_tpu.codecs import CodecContext
+from ffmpeg_tpu.codecs.h264 import tables as HT
+from ffmpeg_tpu.io.stream import CodecParameters, MediaType
+from ffmpeg_tpu.core.packet import Packet
+from ffmpeg_tpu.utils.rational import Rational
+
+
+class BW:
+    """RBSP bit writer with trailing-bit + emulation-prevention output."""
+
+    def __init__(self):
+        self.bits = []
+
+    def u(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+        return self
+
+    def ue(self, v):
+        v += 1
+        n = v.bit_length()
+        self.u(0, n - 1)
+        self.u(v, n)
+        return self
+
+    def se(self, v):
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+        return self
+
+    def rbsp(self):
+        bits = self.bits + [1]
+        while len(bits) % 8:
+            bits.append(0)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bits[i + j]
+            out.append(b)
+        return bytes(out)
+
+
+def escape(rbsp: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    for byte in rbsp:
+        if zeros >= 2 and byte <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(byte)
+        zeros = zeros + 1 if byte == 0 else 0
+    return bytes(out)
+
+
+def nal(ref_idc, ntype, rbsp):
+    return b"\x00\x00\x00\x01" + bytes([(ref_idc << 5) | ntype]) + \
+        escape(rbsp)
+
+
+def make_sps(mb_w=4, mb_h=3):
+    w = BW()
+    w.u(66, 8)            # baseline
+    w.u(0, 8)
+    w.u(30, 8)            # level 3.0
+    w.ue(0)               # sps_id
+    w.ue(4)               # log2_max_frame_num - 4 ... (value 4 -> 8)
+    w.ue(0)               # poc type 0
+    w.ue(4)               # log2_max_poc_lsb - 4
+    w.ue(1)               # num_ref_frames
+    w.u(0, 1)             # gaps allowed
+    w.ue(mb_w - 1)
+    w.ue(mb_h - 1)
+    w.u(1, 1)             # frame_mbs_only
+    w.u(1, 1)             # direct_8x8_inference
+    w.u(0, 1)             # no cropping
+    w.u(0, 1)             # no vui
+    return nal(3, 7, w.rbsp())
+
+
+def make_pps():
+    w = BW()
+    w.ue(0)               # pps_id
+    w.ue(0)               # sps_id
+    w.u(0, 1)             # CAVLC
+    w.u(0, 1)             # pic_order_present
+    w.ue(0)               # num_slice_groups - 1
+    w.ue(0)               # num_ref_idx_l0 - 1
+    w.ue(0)               # num_ref_idx_l1 - 1
+    w.u(0, 1)             # weighted_pred
+    w.u(0, 2)             # weighted_bipred
+    w.se(0)               # init_qp - 26
+    w.se(0)               # init_qs
+    w.se(0)               # chroma_qp_index_offset
+    w.u(1, 1)             # deblocking_filter_control_present
+    w.u(0, 1)             # constrained intra
+    w.u(0, 1)             # redundant pic cnt
+    return nal(3, 8, w.rbsp())
+
+
+def slice_head(w, qp_delta=0, disable_deblock=True):
+    w.ue(0)               # first_mb
+    w.ue(7)               # slice_type: I (all slices of pic)
+    w.ue(0)               # pps_id
+    w.u(0, 8)             # frame_num (log2=8)
+    w.ue(0)               # idr_pic_id
+    w.u(0, 8)             # poc lsb (log2=8)
+    w.u(0, 1)             # no_output_of_prior_pics
+    w.u(0, 1)             # long_term_reference
+    w.se(qp_delta)        # slice_qp_delta
+    w.ue(1 if disable_deblock else 0)   # disable_deblocking_filter_idc
+    if not disable_deblock:
+        w.se(0)
+        w.se(0)
+
+
+def craft_ipcm(mb_w=2, mb_h=2, seed=0):
+    rng = np.random.default_rng(seed)
+    w = BW()
+    slice_head(w)
+    for _ in range(mb_w * mb_h):
+        w.ue(25)          # I_PCM
+        while len(w.bits) % 8:
+            w.u(0, 1)     # pcm_alignment_zero_bit
+        for _ in range(256):
+            w.u(int(rng.integers(0, 256)), 8)
+        for _ in range(128):
+            w.u(int(rng.integers(0, 256)), 8)
+    return make_sps(mb_w, mb_h) + make_pps() + nal(3, 5, w.rbsp())
+
+
+_CT_INDEX = [0, 0, 1, 1, 2, 2, 2, 2] + [3] * 9
+
+
+def write_residual(w, levels, n_coeffs, nc):
+    """CAVLC-encode `levels` (scan order, length n_coeffs) — inverse of
+    cavlc.decode_residual; supports totals the tests need."""
+    nz = [(i, v) for i, v in enumerate(levels) if v]
+    total = len(nz)
+    # trailing ones: up to 3 |v|==1 at the high-frequency end
+    trailing = 0
+    for i in range(total - 1, -1, -1):
+        if abs(nz[i][1]) == 1 and trailing < 3:
+            trailing += 1
+        else:
+            break
+    if nc == -1:
+        lut_len = HT.CHROMA_DC_COEFF_TOKEN_LEN
+        lut_bits = HT.CHROMA_DC_COEFF_TOKEN_BITS
+        sym = total * 4 + trailing
+        w.u(lut_bits[sym], lut_len[sym])
+    else:
+        t = _CT_INDEX[min(nc, 16)]
+        sym = total * 4 + trailing
+        w.u(HT.COEFF_TOKEN_BITS[t][sym], HT.COEFF_TOKEN_LEN[t][sym])
+    if total == 0:
+        return 0
+    # trailing one signs, highest frequency first
+    for i in range(total - 1, total - 1 - trailing, -1):
+        w.u(1 if nz[i][1] < 0 else 0, 1)
+    # levels, highest-to-lowest frequency after trailing ones
+    suffix_length = 1 if (total > 10 and trailing < 3) else 0
+    first = True
+    for i in range(total - 1 - trailing, -1, -1):
+        level = nz[i][1]
+        lc = 2 * abs(level) - 2 if level > 0 else -2 * level - 1
+        if first and trailing < 3:
+            lc -= 2
+        first = False
+        # encode lc with current suffix_length (small values only)
+        if suffix_length == 0:
+            if lc < 14:
+                w.u(1, lc + 1)                 # lc zeros + 1
+            elif lc < 30:
+                w.u(1, 15)                     # prefix 14 + 4-bit suffix
+                w.u(lc - 14, 4)
+            else:
+                w.u(1, 16)
+                w.u(lc - 30, 12)
+        else:
+            if (lc >> suffix_length) < 15:
+                w.u(1, (lc >> suffix_length) + 1)
+                w.u(lc & ((1 << suffix_length) - 1), suffix_length)
+            else:
+                w.u(1, 16)
+                w.u(lc - (15 << suffix_length), 12)
+        if suffix_length == 0:
+            suffix_length = 1
+        if abs(level) > (3 << (suffix_length - 1)) and suffix_length < 6:
+            suffix_length += 1
+    # total zeros
+    tz = nz[-1][0] + 1 - total
+    if total < n_coeffs:
+        if nc == -1:
+            w.u(HT.CHROMA_DC_TOTAL_ZEROS_BITS[total - 1][tz],
+                HT.CHROMA_DC_TOTAL_ZEROS_LEN[total - 1][tz])
+        else:
+            w.u(HT.TOTAL_ZEROS_BITS[total - 1][tz],
+                HT.TOTAL_ZEROS_LEN[total - 1][tz])
+    else:
+        tz = 0
+    # run_before, highest frequency first
+    zeros_left = tz
+    for i in range(total - 1, 0, -1):
+        if zeros_left <= 0:
+            break
+        run = nz[i][0] - nz[i - 1][0] - 1
+        tbl = min(zeros_left - 1, 6)
+        w.u(HT.RUN_BITS[tbl][run], HT.RUN_LEN[tbl][run])
+        zeros_left -= run
+    return total
+
+
+def craft_i16x16(mb_w=4, mb_h=3, pred_mode=2, qp_delta=0, seed=7):
+    """All-MB I_16x16, no residual (cbp 0). Border MBs fall back to a
+    legal mode (vertical needs top, horizontal needs left, plane both);
+    the interior uses `pred_mode`. First MB is PCM so predictions have
+    real content to work from."""
+    rng = np.random.default_rng(seed)
+    w = BW()
+    slice_head(w)
+    nnz = np.full((mb_h * 4, mb_w * 4), -1, np.int32)
+    for idx in range(mb_w * mb_h):
+        mbx, mby = idx % mb_w, idx // mb_w
+        mode = pred_mode
+        if mode in (0, 3) and mby == 0:
+            mode = 2
+        if mode in (1, 3) and mbx == 0:
+            mode = 2
+        if idx == 0:
+            w.ue(25)
+            while len(w.bits) % 8:
+                w.u(0, 1)
+            for _ in range(384):
+                w.u(int(rng.integers(0, 256)), 8)
+            nnz[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 16
+            continue
+        cmode = 0
+        if mode == 3 and mbx > 0 and mby > 0:
+            cmode = 3              # chroma plane too
+        w.ue(1 + mode)             # I_16x16, cbp 0
+        w.ue(cmode)
+        w.se(qp_delta)             # mb_qp_delta
+        # luma DC block is always coded for I_16x16 — emit total=0 with
+        # the context the decoder will compute
+        nc = _nc(nnz, mbx * 4, mby * 4)
+        write_residual(w, [0] * 16, 16, nc)
+        nnz[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 0
+    return make_sps(mb_w, mb_h) + make_pps() + nal(3, 5, w.rbsp())
+
+
+def _nc(nnz, bx, by):
+    left = int(nnz[by, bx - 1]) if bx > 0 else -1
+    top = int(nnz[by - 1, bx]) if by > 0 else -1
+    if left >= 0 and top >= 0:
+        return (left + top + 1) >> 1
+    if left >= 0:
+        return left
+    return top if top >= 0 else 0
+
+
+def _ours(data, nframes=1):
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264")
+    dec = CodecContext.open_decoder(par)
+    frames = dec.decode_all([Packet(data=data, pts=0,
+                                    time_base=Rational(1, 25))])
+    assert len(frames) == nframes
+    return [np.asarray(p) for p in frames[0].planes]
+
+
+def _ref(data, w, h, tmp_path):
+    p = tmp_path / "t.h264"
+    p.write_bytes(data)
+    raw = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "h264", "-i", str(p),
+         "-f", "rawvideo", "-"], check=True, capture_output=True).stdout
+    n = w * h
+    y = np.frombuffer(raw[:n], np.uint8).reshape(h, w)
+    u = np.frombuffer(raw[n:n + n // 4], np.uint8).reshape(h // 2, w // 2)
+    v = np.frombuffer(raw[n + n // 4:n + n // 2],
+                      np.uint8).reshape(h // 2, w // 2)
+    return [y, u, v]
+
+
+@requires_ref
+def test_ipcm_exact(tmp_path):
+    data = craft_ipcm()
+    ours = _ours(data)
+    ref = _ref(data, 32, 32, tmp_path)
+    for a, b in zip(ours, ref):
+        np.testing.assert_array_equal(a, b)
+
+
+@requires_ref
+@pytest.mark.parametrize("mode", [0, 1, 2, 3])
+def test_i16x16_pred_modes_exact(tmp_path, mode):
+    data = craft_i16x16(pred_mode=mode)
+    ours = _ours(data)
+    ref = _ref(data, 64, 48, tmp_path)
+    for a, b in zip(ours, ref):
+        np.testing.assert_array_equal(a, b)
+
+
+def craft_i16x16_residual(mb_w=4, mb_h=3, seed=3, qp_delta=0):
+    """I_16x16 DC-pred MBs with real luma DC+AC and chroma residuals."""
+    rng = np.random.default_rng(seed)
+    w = BW()
+    slice_head(w)
+    nnz = np.full((mb_h * 4, mb_w * 4), -1, np.int32)
+    nnz_c = [np.full((mb_h * 2, mb_w * 2), -1, np.int32) for _ in range(2)]
+    for idx in range(mb_w * mb_h):
+        mbx, mby = idx % mb_w, idx // mb_w
+        cbp_luma, cbp_chroma = 15, 2
+        w.ue(1 + 2 + 4 * cbp_chroma + 12)      # DC pred, cbp 15/2
+        w.ue(0)                                # chroma DC pred
+        w.se(qp_delta)
+        # luma DC: a few small levels
+        dc = [0] * 16
+        dc[0] = int(rng.integers(-4, 5)) or 1
+        dc[2] = int(rng.integers(-2, 3))
+        nc = _nc(nnz, mbx * 4, mby * 4)
+        write_residual(w, dc, 16, nc)
+        # 16 AC blocks in zscan order
+        from ffmpeg_tpu.codecs.h264.slice_dec import _BLK_XY
+        for blk in range(16):
+            dx, dy = _BLK_XY[blk]
+            bx, by = mbx * 4 + dx, mby * 4 + dy
+            ac = [0] * 15
+            n = int(rng.integers(0, 4))
+            posv = sorted(rng.choice(15, n, replace=False)) if n else []
+            for pv in posv:
+                ac[pv] = int(rng.integers(-6, 7)) or 2
+            nc = _nc(nnz, bx, by)
+            total = write_residual(w, ac, 15, nc)
+            nnz[by, bx] = total
+        # chroma DC (2 components), then AC
+        cdc = []
+        for ci in range(2):
+            lv = [int(rng.integers(-3, 4)), 0, int(rng.integers(-2, 3)), 0]
+            write_residual(w, lv, 4, -1)
+            cdc.append(lv)
+        for ci in range(2):
+            for blk in range(4):
+                dx, dy = blk & 1, blk >> 1
+                bx, by = mbx * 2 + dx, mby * 2 + dy
+                ac = [0] * 15
+                if rng.integers(0, 2):
+                    ac[int(rng.integers(0, 6))] = int(rng.integers(-3, 4)) or 1
+                nc = _nc(nnz_c[ci], bx, by)
+                total = write_residual(w, ac, 15, nc)
+                nnz_c[ci][by, bx] = total
+    return make_sps(mb_w, mb_h) + make_pps() + nal(3, 5, w.rbsp())
+
+
+_INV_I4_CBP = {v: i for i, v in
+               enumerate(HT.GOLOMB_TO_INTRA4X4_CBP)}
+
+
+def craft_i4x4(mb_w=3, mb_h=3, seed=11, with_residual=True):
+    """I_NxN MBs cycling through legal 4x4 modes, optional residual."""
+    from ffmpeg_tpu.codecs.h264.slice_dec import _BLK_XY
+    rng = np.random.default_rng(seed)
+    w = BW()
+    slice_head(w)
+    nmbx4 = mb_w * 4
+    modes_arr = np.full((mb_h * 4, nmbx4), -1, np.int32)
+    done = np.zeros((mb_h * 4, nmbx4), bool)
+    nnz = np.full((mb_h * 4, mb_w * 4), -1, np.int32)
+    nnz_c = [np.full((mb_h * 2, mb_w * 2), -1, np.int32) for _ in range(2)]
+    mb_done = np.zeros((mb_h, mb_w), bool)
+
+    def navail(bx, by, mbx, mby):
+        if bx < 0 or by < 0 or bx >= nmbx4:
+            return False
+        if (bx // 4, by // 4) == (mbx, mby):
+            return modes_arr[by, bx] >= 0
+        return bool(mb_done[by // 4, bx // 4])
+
+    for idx in range(mb_w * mb_h):
+        mbx, mby = idx % mb_w, idx // mb_w
+        w.ue(0)              # I_NxN
+        mb_modes = []
+        for blk in range(16):
+            dx, dy = _BLK_XY[blk]
+            bx, by = mbx * 4 + dx, mby * 4 + dy
+            la = navail(bx - 1, by, mbx, mby)
+            ta = navail(bx, by - 1, mbx, mby)
+            pred = 2
+            if la and ta:
+                lm = int(modes_arr[by, bx - 1])
+                tm = int(modes_arr[by - 1, bx])
+                pred = min(lm if lm >= 0 else 2, tm if tm >= 0 else 2)
+            # choose a legal mode: need left for 1,4,5,6,8; top for 0,3..7
+            legal = [2]
+            if ta:
+                legal += [0, 3, 7]
+            if la:
+                legal += [1, 8]
+            if ta and la:
+                legal += [4, 5, 6]
+            mode = int(legal[rng.integers(0, len(legal))])
+            if mode == pred:
+                w.u(1, 1)
+            else:
+                w.u(0, 1)
+                w.u(mode if mode < pred else mode - 1, 3)
+            modes_arr[by, bx] = mode
+            mb_modes.append(mode)
+        w.ue(0)              # chroma DC pred
+        cbp_luma = 15 if with_residual else 0
+        cbp_chroma = 0
+        w.ue(_INV_I4_CBP[cbp_luma + 16 * cbp_chroma])
+        if cbp_luma or cbp_chroma:
+            w.se(0)          # mb_qp_delta
+        if cbp_luma:
+            for blk in range(16):
+                dx, dy = _BLK_XY[blk]
+                bx, by = mbx * 4 + dx, mby * 4 + dy
+                lv = [0] * 16
+                n = int(rng.integers(0, 5))
+                posv = sorted(rng.choice(16, n, replace=False)) if n else []
+                for pv in posv:
+                    lv[pv] = int(rng.integers(-8, 9)) or 3
+                nc = _nc(nnz, bx, by)
+                total = write_residual(w, lv, 16, nc)
+                nnz[by, bx] = total
+        else:
+            nnz[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 0
+        for ci in range(2):
+            nnz_c[ci][mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+        mb_done[mby, mbx] = True
+    return make_sps(mb_w, mb_h) + make_pps() + nal(3, 5, w.rbsp())
+
+
+@requires_ref
+def test_i16x16_with_residual_exact(tmp_path):
+    data = craft_i16x16_residual()
+    ours = _ours(data)
+    ref = _ref(data, 64, 48, tmp_path)
+    for a, b in zip(ours, ref):
+        np.testing.assert_array_equal(a, b)
+
+
+@requires_ref
+def test_i16x16_qp_delta_exact(tmp_path):
+    # qp_delta -1 per MB: exercises the qp chain without wrapping into
+    # coefficient magnitudes that overflow the reference's int16 blocks
+    data = craft_i16x16_residual(seed=9, qp_delta=-1)
+    ours = _ours(data)
+    ref = _ref(data, 64, 48, tmp_path)
+    for a, b in zip(ours, ref):
+        np.testing.assert_array_equal(a, b)
+
+
+@requires_ref
+def test_i4x4_modes_exact(tmp_path):
+    data = craft_i4x4(with_residual=False)
+    ours = _ours(data)
+    ref = _ref(data, 48, 48, tmp_path)
+    for a, b in zip(ours, ref):
+        np.testing.assert_array_equal(a, b)
+
+
+@requires_ref
+def test_i4x4_with_residual_exact(tmp_path):
+    data = craft_i4x4(with_residual=True, seed=13)
+    ours = _ours(data)
+    ref = _ref(data, 48, 48, tmp_path)
+    for a, b in zip(ours, ref):
+        np.testing.assert_array_equal(a, b)
