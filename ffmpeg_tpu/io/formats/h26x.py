@@ -1,0 +1,106 @@
+"""Raw Annex-B H.264 demuxer (reference: libavformat/h264dec.c raw
+demuxer + h264 parser AU splitting). Packets are access units: leading
+parameter sets attach to the next VCL NAL; a new AU starts at a slice
+with first_mb_in_slice == 0."""
+
+from __future__ import annotations
+
+from ...core.packet import Packet, PKT_FLAG_KEY
+from ...utils.error import EndOfStream, InvalidData
+from ...utils.rational import Rational
+from ..demux import Demuxer, register_demuxer
+from ..stream import CodecParameters, MediaType
+
+
+def _nal_type(nal: bytes) -> int:
+    return nal[0] & 0x1F
+
+
+def _first_mb_zero(nal: bytes) -> bool:
+    # ue(v) == 0 <=> first bit after the header is 1
+    return len(nal) > 1 and bool(nal[1] & 0x80)
+
+
+@register_demuxer
+class H264RawDemuxer(Demuxer):
+    name = "h264"
+    long_name = "raw H.264 video (Annex B)"
+    extensions = ("h264", "264", "avc")
+
+    @classmethod
+    def probe(cls, head: bytes, filename: str = "") -> int:
+        i = 0
+        sps = pps = idr = 0
+        while True:
+            j = head.find(b"\x00\x00\x01", i)
+            if j < 0 or j + 4 > len(head):
+                break
+            t = head[j + 3] & 0x1F
+            if t == 7:
+                sps += 1
+            elif t == 8:
+                pps += 1
+            elif t in (1, 5):
+                idr += 1
+            i = j + 3
+        return 52 if (sps and pps and idr) else 0
+
+    def read_header(self) -> None:
+        chunks = []
+        while not self.r.at_eof():
+            b = self.r.read(1 << 20)
+            if not b:
+                break
+            chunks.append(b)
+        self._buf = b"".join(chunks)
+        if b"\x00\x00\x01" not in self._buf:
+            raise InvalidData("h264: no start code")
+        par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264")
+        self.add_stream(codecpar=par, time_base=Rational(1, 25))
+        self._pos = 0
+        self._pts = 0
+
+    def _next_nal(self, pos):
+        j = self._buf.find(b"\x00\x00\x01", pos)
+        if j < 0:
+            return None, len(self._buf)
+        start = j + 3
+        k = self._buf.find(b"\x00\x00\x01", start)
+        end = len(self._buf) if k < 0 else \
+            (k - 1 if k > 0 and self._buf[k - 1] == 0 else k)
+        return (j, start, end), end
+
+    def read_packet(self) -> Packet:
+        if self._pos >= len(self._buf):
+            raise EndOfStream()
+        au_start = None
+        seen_vcl = False
+        pos = self._pos
+        while True:
+            span, nxt = self._next_nal(pos)
+            if span is None:
+                if au_start is None:
+                    raise EndOfStream()
+                end = len(self._buf)
+                break
+            scode, start, end_nal = span
+            nal = self._buf[start:end_nal]
+            t = _nal_type(nal) if nal else 0
+            if au_start is None:
+                au_start = scode
+            if t in (1, 5):
+                if seen_vcl and _first_mb_zero(nal):
+                    end = scode
+                    break
+                seen_vcl = True
+            elif seen_vcl and t in (7, 8, 9, 6):
+                end = scode
+                break
+            pos = end_nal
+        data = self._buf[au_start:end]
+        self._pos = end
+        pkt = Packet(data=data, pts=self._pts, dts=self._pts, duration=1,
+                     stream_index=0, flags=PKT_FLAG_KEY,
+                     time_base=Rational(1, 25))
+        self._pts += 1
+        return pkt
