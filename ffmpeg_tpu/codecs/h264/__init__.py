@@ -96,11 +96,16 @@ class H264Decoder(Codec):
                         frames.append(self._emit(dec, pkt))
                     dec = SliceDecoder(sps, pps)
                 dec.decode_slice(b, sh)
+                dec.last_sh = sh
         if dec is not None:
             frames.append(self._emit(dec, pkt))
         return frames
 
     def _emit(self, dec: SliceDecoder, pkt: Packet) -> Frame:
+        sh = getattr(dec, "last_sh", None)
+        if sh is not None and sh.disable_deblocking != 1:
+            from .loopfilter import deblock_frame
+            deblock_frame(dec, sh.alpha_c0_offset, sh.beta_offset)
         sps = dec.sps
         t, b = sps.crop_top * 2, sps.crop_bottom * 2
         l, r = sps.crop_left * 2, sps.crop_right * 2

@@ -1,0 +1,175 @@
+"""H.264 in-loop deblocking filter (ITU-T H.264 §8.7; reference:
+libavcodec/h264_loopfilter.c). Exact integer per-edge filtering; the
+whole-plane vectorized variant lives in ops/deblock.py for the display
+path — this one is the conformance-exact reconstruction filter."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import tables as T
+
+
+def _clip3(x, lo, hi):
+    return max(lo, min(hi, x))
+
+
+def _filter_luma_edge(P, Q, bs, index_a, beta):
+    """P/Q: lists of 4 samples each side (p3..p0 / q0..q3) per pixel row.
+    Returns filtered (P, Q)."""
+    alpha = T.ALPHA_TABLE[52 + index_a]
+    p3, p2, p1, p0 = P
+    q0, q1, q2, q3 = Q
+    if abs(p0 - q0) >= alpha or abs(p1 - p0) >= beta or \
+            abs(q1 - q0) >= beta:
+        return P, Q
+    if bs < 4:
+        tc0 = T.TC0_TABLE[52 + index_a][bs]
+        ap = abs(p2 - p0) < beta
+        aq = abs(q2 - q0) < beta
+        tc = tc0 + (1 if ap else 0) + (1 if aq else 0)
+        delta = _clip3((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+        np0 = _clip3(p0 + delta, 0, 255)
+        nq0 = _clip3(q0 - delta, 0, 255)
+        np1 = p1 + _clip3((p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1,
+                          -tc0, tc0) if ap else p1
+        nq1 = q1 + _clip3((q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1,
+                          -tc0, tc0) if aq else q1
+        return (p3, p2, np1, np0), (nq0, nq1, q2, q3)
+    # bS == 4
+    strong = abs(p0 - q0) < (alpha >> 2) + 2
+    if strong and abs(p2 - p0) < beta:
+        np0 = (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3
+        np1 = (p2 + p1 + p0 + q0 + 2) >> 2
+        np2 = (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3
+    else:
+        np0 = (2 * p1 + p0 + q1 + 2) >> 2
+        np1, np2 = p1, p2
+    if strong and abs(q2 - q0) < beta:
+        nq0 = (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3
+        nq1 = (q2 + q1 + q0 + p0 + 2) >> 2
+        nq2 = (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3
+    else:
+        nq0 = (2 * q1 + q0 + p1 + 2) >> 2
+        nq1, nq2 = q1, q2
+    return (p3, np2, np1, np0), (nq0, nq1, nq2, q3)
+
+
+def _filter_chroma_edge(p1, p0, q0, q1, bs, index_a, beta):
+    alpha = T.ALPHA_TABLE[52 + index_a]
+    if abs(p0 - q0) >= alpha or abs(p1 - p0) >= beta or \
+            abs(q1 - q0) >= beta:
+        return p0, q0
+    if bs < 4:
+        tc = T.TC0_TABLE[52 + index_a][bs] + 1
+        delta = _clip3((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+        return _clip3(p0 + delta, 0, 255), _clip3(q0 - delta, 0, 255)
+    return (2 * p1 + p0 + q1 + 2) >> 2, (2 * q1 + q0 + p1 + 2) >> 2
+
+
+def deblock_frame(dec, alpha_off=0, beta_off=0):
+    """Filter all MB edges in raster order; vertical edges first per MB
+    (spec 8.7). `dec` is a SliceDecoder with y/u/v, mb_qp, mb_intra,
+    nnz_y; I-frames: MB edges bS 4, internal bS 3 when coeffs present."""
+    sps = dec.sps
+    nmbx, nmby = sps.mb_width, sps.mb_height
+    qpc_off = dec.pps.chroma_qp_index_offset
+    qpc2_off = dec.pps.second_chroma_qp_index_offset
+
+    def bs_for(mbx, mby, internal):
+        # all-intra frames (extend for P: coeffs/mv checks)
+        return 3 if internal else 4
+
+    for mby in range(nmby):
+        for mbx in range(nmbx):
+            if not dec.mb_avail[mby, mbx]:
+                continue
+            qp_cur = int(dec.mb_qp[mby, mbx])
+            # ---- vertical edges (filter across columns) ----------------
+            for e in range(4):
+                x = mbx * 16 + e * 4
+                if e == 0:
+                    if mbx == 0:
+                        continue
+                    qp_p = int(dec.mb_qp[mby, mbx - 1])
+                    bs = bs_for(mbx, mby, False)
+                else:
+                    qp_p = qp_cur
+                    bs = bs_for(mbx, mby, True)
+                qp_avg = (qp_p + qp_cur + 1) >> 1
+                ia = _clip3(qp_avg + alpha_off, 0, 51)
+                beta = T.BETA_TABLE[52 + _clip3(qp_avg + beta_off, 0, 51)]
+                if T.ALPHA_TABLE[52 + ia] == 0:
+                    continue
+                for row in range(mby * 16, mby * 16 + 16):
+                    Pv = tuple(int(dec.y[row, x - 4 + k]) for k in range(4))
+                    Qv = tuple(int(dec.y[row, x + k]) for k in range(4))
+                    Pn, Qn = _filter_luma_edge(Pv, Qv, bs, ia, beta)
+                    for k in range(4):
+                        dec.y[row, x - 4 + k] = Pn[k]
+                        dec.y[row, x + k] = Qn[k]
+                if e in (0, 2):
+                    cxe = mbx * 8 + (e // 2) * 4
+                    for ci, plane in enumerate((dec.u, dec.v)):
+                        coff = qpc_off if ci == 0 else qpc2_off
+                        qpc = (T.CHROMA_QP_8BIT[_clip3(qp_p + coff, 0, 51)] +
+                               T.CHROMA_QP_8BIT[_clip3(qp_cur + coff, 0, 51)]
+                               + 1) >> 1
+                        cia = _clip3(qpc + alpha_off, 0, 51)
+                        cbeta = T.BETA_TABLE[
+                            52 + _clip3(qpc + beta_off, 0, 51)]
+                        if T.ALPHA_TABLE[52 + cia] == 0:
+                            continue
+                        for row in range(mby * 8, mby * 8 + 8):
+                            p1, p0 = int(plane[row, cxe - 2]), \
+                                int(plane[row, cxe - 1])
+                            q0, q1 = int(plane[row, cxe]), \
+                                int(plane[row, cxe + 1])
+                            np0, nq0 = _filter_chroma_edge(
+                                p1, p0, q0, q1, bs, cia, cbeta)
+                            plane[row, cxe - 1] = np0
+                            plane[row, cxe] = nq0
+            # ---- horizontal edges ---------------------------------------
+            for e in range(4):
+                y = mby * 16 + e * 4
+                if e == 0:
+                    if mby == 0:
+                        continue
+                    qp_p = int(dec.mb_qp[mby - 1, mbx])
+                    bs = bs_for(mbx, mby, False)
+                else:
+                    qp_p = qp_cur
+                    bs = bs_for(mbx, mby, True)
+                qp_avg = (qp_p + qp_cur + 1) >> 1
+                ia = _clip3(qp_avg + alpha_off, 0, 51)
+                beta = T.BETA_TABLE[52 + _clip3(qp_avg + beta_off, 0, 51)]
+                if T.ALPHA_TABLE[52 + ia] == 0:
+                    continue
+                for col in range(mbx * 16, mbx * 16 + 16):
+                    Pv = tuple(int(dec.y[y - 4 + k, col]) for k in range(4))
+                    Qv = tuple(int(dec.y[y + k, col]) for k in range(4))
+                    Pn, Qn = _filter_luma_edge(Pv, Qv, bs, ia, beta)
+                    for k in range(4):
+                        dec.y[y - 4 + k, col] = Pn[k]
+                        dec.y[y + k, col] = Qn[k]
+                if e in (0, 2):
+                    cye = mby * 8 + (e // 2) * 4
+                    for ci, plane in enumerate((dec.u, dec.v)):
+                        coff = qpc_off if ci == 0 else qpc2_off
+                        qpc = (T.CHROMA_QP_8BIT[_clip3(qp_p + coff, 0, 51)] +
+                               T.CHROMA_QP_8BIT[_clip3(qp_cur + coff, 0, 51)]
+                               + 1) >> 1
+                        cia = _clip3(qpc + alpha_off, 0, 51)
+                        cbeta = T.BETA_TABLE[
+                            52 + _clip3(qpc + beta_off, 0, 51)]
+                        if T.ALPHA_TABLE[52 + cia] == 0:
+                            continue
+                        for col in range(mbx * 8, mbx * 8 + 8):
+                            p1, p0 = int(plane[cye - 2, col]), \
+                                int(plane[cye - 1, col])
+                            q0, q1 = int(plane[cye, col]), \
+                                int(plane[cye + 1, col])
+                            np0, nq0 = _filter_chroma_edge(
+                                p1, p0, q0, q1, bs, cia, cbeta)
+                            plane[cye - 1, col] = np0
+                            plane[cye, col] = nq0

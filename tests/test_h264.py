@@ -481,3 +481,25 @@ def test_i4x4_with_residual_exact(tmp_path):
     ref = _ref(data, 48, 48, tmp_path)
     for a, b in zip(ours, ref):
         np.testing.assert_array_equal(a, b)
+
+
+@requires_ref
+def test_deblocking_filter_exact(tmp_path):
+    """Same residual-rich stream, deblocking ON — the in-loop filter must
+    match the reference bit-exactly."""
+    import test_h264 as me
+    orig = me.slice_head
+
+    def head_with_deblock(w, qp_delta=0, disable_deblock=False):
+        orig(w, qp_delta, disable_deblock)
+    me.slice_head = head_with_deblock
+    try:
+        data = craft_i16x16_residual(seed=5)
+        data2 = craft_i4x4(with_residual=True, seed=17)
+    finally:
+        me.slice_head = orig
+    for stream, (w, h) in ((data, (64, 48)), (data2, (48, 48))):
+        ours = _ours(stream)
+        ref = _ref(stream, w, h, tmp_path)
+        for a, b in zip(ours, ref):
+            np.testing.assert_array_equal(a, b)

@@ -101,3 +101,19 @@ def extend():
 
 
 extend()
+
+
+def extend2():
+    text3 = Path("/root/reference/libavcodec/h264_loopfilter.c").read_text()
+    out = ["", "# loop filter thresholds (ITU-T H.264 Table 8-16),"
+           " index biased by 52"]
+    out.append(f"ALPHA_TABLE = {parse_array(text3, 'alpha_table')}")
+    out.append(f"BETA_TABLE = {parse_array(text3, 'beta_table')}")
+    out.append(f"TC0_TABLE = {parse_rows(text3, 'tc0_table')}")
+    out.append("")
+    with open(DST, "a") as f:
+        f.write("\n".join(out))
+    print("extended2")
+
+
+extend2()
