@@ -51,11 +51,13 @@ class H264Decoder(Codec):
         elif ed:
             for u in _nal.split_annexb(ed):
                 self._handle_nal(u)
+        self._ref = None           # last decoded picture (DPB of depth 1)
 
     def _handle_nal(self, unit: bytes):
         if not unit:
             return None
-        _ref, ntype = _nal.parse_nal_header(unit)
+        ref_idc, ntype = _nal.parse_nal_header(unit)
+        self._last_ref_idc = ref_idc
         rbsp = _nal.unescape(unit[1:])
         if ntype == _nal.NAL_SPS:
             s = parse_sps(rbsp)
@@ -90,11 +92,13 @@ class H264Decoder(Codec):
                 sps = self.sps.get(pps.sps_id)
                 if sps is None:
                     raise InvalidData("h264: unknown SPS")
-                sh = parse_slice_header(b, ntype, sps, pps)
+                sh = parse_slice_header(b, ntype, sps, pps,
+                                        self._last_ref_idc)
                 if dec is None or sh.first_mb == 0:
                     if dec is not None:
                         frames.append(self._emit(dec, pkt))
                     dec = SliceDecoder(sps, pps)
+                    dec.ref_frame = self._ref
                 dec.decode_slice(b, sh)
                 dec.last_sh = sh
         if dec is not None:
@@ -106,6 +110,7 @@ class H264Decoder(Codec):
         if sh is not None and sh.disable_deblocking != 1:
             from .loopfilter import deblock_frame
             deblock_frame(dec, sh.alpha_c0_offset, sh.beta_offset)
+        self._ref = (dec.y.copy(), dec.u.copy(), dec.v.copy())
         sps = dec.sps
         t, b = sps.crop_top * 2, sps.crop_bottom * 2
         l, r = sps.crop_left * 2, sps.crop_right * 2
@@ -113,7 +118,9 @@ class H264Decoder(Codec):
         y = dec.y[t:t + h, l:l + w]
         u = dec.u[t // 2:(t + h) // 2, l // 2:(l + w) // 2]
         v = dec.v[t // 2:(t + h) // 2, l // 2:(l + w) // 2]
-        f = Frame.video(w, h, "yuv420p", planes=[y, u, v], pts=pkt.pts,
+        f = Frame.video(w, h, "yuv420p", planes=[y.copy(), u.copy(),
+                                                  v.copy()], pts=pkt.pts,
                         time_base=pkt.time_base or Rational(1, 25))
-        f.key_frame = True
+        f.key_frame = bool(getattr(dec, "last_sh", None)
+                           and dec.last_sh.idr)
         return f

@@ -76,9 +76,19 @@ def deblock_frame(dec, alpha_off=0, beta_off=0):
     qpc_off = dec.pps.chroma_qp_index_offset
     qpc2_off = dec.pps.second_chroma_qp_index_offset
 
-    def bs_for(mbx, mby, internal):
-        # all-intra frames (extend for P: coeffs/mv checks)
-        return 3 if internal else 4
+    def seg_bs(bxp, byp, bxq, byq, mb_edge):
+        if dec.mb_intra[byp // 4, bxp // 4] or \
+                dec.mb_intra[byq // 4, bxq // 4]:
+            return 4 if mb_edge else 3
+        if dec.nnz_y[byp, bxp] > 0 or dec.nnz_y[byq, bxq] > 0:
+            return 2
+        if dec.mv_ref[byp, bxp] != dec.mv_ref[byq, bxq]:
+            return 1
+        if abs(int(dec.mv[byp, bxp, 0]) - int(dec.mv[byq, bxq, 0])) >= 4 \
+                or abs(int(dec.mv[byp, bxp, 1])
+                       - int(dec.mv[byq, bxq, 1])) >= 4:
+            return 1
+        return 0
 
     for mby in range(nmby):
         for mbx in range(nmbx):
@@ -92,16 +102,19 @@ def deblock_frame(dec, alpha_off=0, beta_off=0):
                     if mbx == 0:
                         continue
                     qp_p = int(dec.mb_qp[mby, mbx - 1])
-                    bs = bs_for(mbx, mby, False)
                 else:
                     qp_p = qp_cur
-                    bs = bs_for(mbx, mby, True)
                 qp_avg = (qp_p + qp_cur + 1) >> 1
                 ia = _clip3(qp_avg + alpha_off, 0, 51)
                 beta = T.BETA_TABLE[52 + _clip3(qp_avg + beta_off, 0, 51)]
                 if T.ALPHA_TABLE[52 + ia] == 0:
                     continue
+                bxq = mbx * 4 + e
                 for row in range(mby * 16, mby * 16 + 16):
+                    byq = row // 4
+                    bs = seg_bs(bxq - 1, byq, bxq, byq, e == 0)
+                    if bs == 0:
+                        continue
                     Pv = tuple(int(dec.y[row, x - 4 + k]) for k in range(4))
                     Qv = tuple(int(dec.y[row, x + k]) for k in range(4))
                     Pn, Qn = _filter_luma_edge(Pv, Qv, bs, ia, beta)
@@ -121,6 +134,10 @@ def deblock_frame(dec, alpha_off=0, beta_off=0):
                         if T.ALPHA_TABLE[52 + cia] == 0:
                             continue
                         for row in range(mby * 8, mby * 8 + 8):
+                            byq = (row * 2) // 4
+                            bs = seg_bs(bxq - 1, byq, bxq, byq, e == 0)
+                            if bs == 0:
+                                continue
                             p1, p0 = int(plane[row, cxe - 2]), \
                                 int(plane[row, cxe - 1])
                             q0, q1 = int(plane[row, cxe]), \
@@ -136,16 +153,19 @@ def deblock_frame(dec, alpha_off=0, beta_off=0):
                     if mby == 0:
                         continue
                     qp_p = int(dec.mb_qp[mby - 1, mbx])
-                    bs = bs_for(mbx, mby, False)
                 else:
                     qp_p = qp_cur
-                    bs = bs_for(mbx, mby, True)
                 qp_avg = (qp_p + qp_cur + 1) >> 1
                 ia = _clip3(qp_avg + alpha_off, 0, 51)
                 beta = T.BETA_TABLE[52 + _clip3(qp_avg + beta_off, 0, 51)]
                 if T.ALPHA_TABLE[52 + ia] == 0:
                     continue
+                byq = mby * 4 + e
                 for col in range(mbx * 16, mbx * 16 + 16):
+                    bxq = col // 4
+                    bs = seg_bs(bxq, byq - 1, bxq, byq, e == 0)
+                    if bs == 0:
+                        continue
                     Pv = tuple(int(dec.y[y - 4 + k, col]) for k in range(4))
                     Qv = tuple(int(dec.y[y + k, col]) for k in range(4))
                     Pn, Qn = _filter_luma_edge(Pv, Qv, bs, ia, beta)
@@ -165,6 +185,10 @@ def deblock_frame(dec, alpha_off=0, beta_off=0):
                         if T.ALPHA_TABLE[52 + cia] == 0:
                             continue
                         for col in range(mbx * 8, mbx * 8 + 8):
+                            bxq = (col * 2) // 4
+                            bs = seg_bs(bxq, byq - 1, bxq, byq, e == 0)
+                            if bs == 0:
+                                continue
                             p1, p0 = int(plane[cye - 2, col]), \
                                 int(plane[cye - 1, col])
                             q0, q1 = int(plane[cye, col]), \

@@ -35,7 +35,7 @@ class SliceHeader:
 
 
 def parse_slice_header(b: Bits, nal_type: int, sps: SPS,
-                       pps: PPS) -> SliceHeader:
+                       pps: PPS, ref_idc: int = 1) -> SliceHeader:
     sh = SliceHeader()
     sh.first_mb = b.ue()
     sh.slice_type = b.ue() % 5
@@ -63,12 +63,12 @@ def parse_slice_header(b: Bits, nal_type: int, sps: SPS,
         raise NotSupported("h264: B slices")
     if not sh.idr and sh.slice_type != 2:
         pass
-    # dec_ref_pic_marking
-    if sh.idr:
-        b.get1()                  # no_output_of_prior_pics
-        b.get1()                  # long_term_reference
-    else:
-        if b.get1():              # adaptive_ref_pic_marking
+    # dec_ref_pic_marking (only for reference pictures)
+    if ref_idc != 0:
+        if sh.idr:
+            b.get1()              # no_output_of_prior_pics
+            b.get1()              # long_term_reference
+        elif b.get1():            # adaptive_ref_pic_marking
             raise NotSupported("h264: adaptive ref pic marking")
     sh.qp = pps.init_qp + b.se()
     if pps.deblocking_filter_control_present:
@@ -104,6 +104,10 @@ class SliceDecoder:
         self.blk_done = np.zeros((nmby * 4, nmbx * 4), bool)
         self.mb_qp = np.zeros((nmby, nmbx), np.int32)
         self.mb_intra = np.zeros((nmby, nmbx), bool)
+        # inter state: per-4x4 motion vectors (quarter pel) and ref flag
+        self.mv = np.zeros((nmby * 4, nmbx * 4, 2), np.int32)
+        self.mv_ref = np.full((nmby * 4, nmbx * 4), -1, np.int32)
+        self.ref_frame = None      # (y, u, v) of the reference picture
 
     # --- CAVLC context ---------------------------------------------------------
     def _pred_nnz(self, nnz, bx, by):
@@ -119,21 +123,204 @@ class SliceDecoder:
 
     # --- macroblock decode --------------------------------------------------------
     def decode_slice(self, b: Bits, sh: SliceHeader):
-        if sh.slice_type != 2:
-            raise NotSupported("h264: only I slices decoded yet")
+        if sh.slice_type not in (0, 2):
+            raise NotSupported("h264: only I/P slices decoded yet")
         sps = self.sps
         qp = sh.qp
         mb_addr = sh.first_mb
         nmbx = sps.mb_width
+        is_p = sh.slice_type == 0
+        if is_p and self.ref_frame is None:
+            raise InvalidData("h264: P slice without reference")
         while True:
             mbx, mby = mb_addr % nmbx, mb_addr // nmbx
             if mby >= sps.mb_height:
                 break
-            qp = self._decode_mb_i(b, mbx, mby, qp)
+            if is_p:
+                skip_run = b.ue()
+                for _ in range(skip_run):
+                    mbx, mby = mb_addr % nmbx, mb_addr // nmbx
+                    if mby >= sps.mb_height:
+                        raise InvalidData("h264: skip run overflow")
+                    self._decode_mb_skip(mbx, mby, qp)
+                    self.mb_avail[mby, mbx] = True
+                    mb_addr += 1
+                if not b.more_rbsp():
+                    break
+                mbx, mby = mb_addr % nmbx, mb_addr // nmbx
+                if mby >= sps.mb_height:
+                    break
+                mb_type = b.ue()
+                if mb_type >= 5:
+                    qp = self._decode_mb_i(b, mbx, mby, qp,
+                                           mb_type=mb_type - 5)
+                else:
+                    qp = self._decode_mb_p(b, mbx, mby, qp, mb_type)
+            else:
+                qp = self._decode_mb_i(b, mbx, mby, qp)
             self.mb_avail[mby, mbx] = True
             mb_addr += 1
             if not b.more_rbsp():
                 break
+
+    # --- motion vector prediction (spec 8.4.1.3) -----------------------------------
+    def _mv_nbr(self, bx, by):
+        """→ (mv, ref) for the 4x4 block, ((0,0), -1) if unavailable or
+        intra."""
+        if bx < 0 or by < 0 or bx >= self.sps.mb_width * 4 or \
+                not self.blk_done[by, bx]:
+            return (0, 0), -1, False
+        return (int(self.mv[by, bx, 0]), int(self.mv[by, bx, 1])), \
+            int(self.mv_ref[by, bx]), True
+
+    def _pred_mv(self, bx, by, w4, h4):
+        """Median predictor for a partition at 4x4 coords (bx,by) of size
+        (w4,h4) in 4x4 units, ref 0."""
+        from .inter import median_mv
+        a, ra, avail_a = self._mv_nbr(bx - 1, by)
+        bvec, rb, avail_b = self._mv_nbr(bx, by - 1)
+        c, rc, avail_c = self._mv_nbr(bx + w4, by - 1)
+        if not avail_c:
+            c, rc, avail_c = self._mv_nbr(bx - 1, by - 1)
+        # directional rules for 16x8 / 8x16 partitions
+        if w4 == 4 and h4 == 2:          # 16x8
+            if by % 4 == 0 and rb == 0:
+                return bvec
+            if by % 4 == 2 and ra == 0:
+                return a
+        elif w4 == 2 and h4 == 4:        # 8x16
+            if bx % 4 == 0 and ra == 0:
+                return a
+            if bx % 4 == 2 and rc == 0:
+                return c
+        if avail_a and not avail_b and not avail_c:
+            return a
+        matches = [(m, r) for m, r in ((a, ra), (bvec, rb), (c, rc))
+                   if r == 0]
+        if len(matches) == 1:
+            return matches[0][0]
+        return median_mv(a, bvec, c)
+
+    def _store_mv(self, bx, by, w4, h4, mv):
+        self.mv[by:by + h4, bx:bx + w4] = mv
+        self.mv_ref[by:by + h4, bx:bx + w4] = 0
+        self.blk_done[by:by + h4, bx:bx + w4] = True
+        self.intra4x4_modes[by:by + h4, bx:bx + w4] = 2
+
+    def _mc_partition(self, mbx, mby, px4, py4, w4, h4, mv):
+        from .inter import mc_chroma, mc_luma
+        ry, ru, rv = self.ref_frame
+        x, y = (mbx * 4 + px4) * 4, (mby * 4 + py4) * 4
+        self.y[y:y + h4 * 4, x:x + w4 * 4] = mc_luma(
+            ry, mv[0], mv[1], x, y, w4 * 4, h4 * 4)
+        cx, cy = x // 2, y // 2
+        self.u[cy:cy + h4 * 2, cx:cx + w4 * 2] = mc_chroma(
+            ru, mv[0], mv[1], cx, cy, w4 * 2, h4 * 2)
+        self.v[cy:cy + h4 * 2, cx:cx + w4 * 2] = mc_chroma(
+            rv, mv[0], mv[1], cx, cy, w4 * 2, h4 * 2)
+
+    def _decode_mb_skip(self, mbx, mby, qp):
+        bx, by = mbx * 4, mby * 4
+        a, ra, avail_a = self._mv_nbr(bx - 1, by)
+        bvec, rb, avail_b = self._mv_nbr(bx, by - 1)
+        if not avail_a or not avail_b or \
+                (ra == 0 and a == (0, 0)) or (rb == 0 and bvec == (0, 0)):
+            mv = (0, 0)
+        else:
+            mv = self._pred_mv(bx, by, 4, 4)
+        self._store_mv(bx, by, 4, 4, mv)
+        self._mc_partition(mbx, mby, 0, 0, 4, 4, mv)
+        self.nnz_y[by:by + 4, bx:bx + 4] = 0
+        self.nnz_u[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+        self.nnz_v[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+        self.mb_qp[mby, mbx] = qp
+
+    def _decode_mb_p(self, b, mbx, mby, qp, mb_type):
+        if mb_type > 2:
+            raise NotSupported("h264: P_8x8 partitions")
+        bx, by = mbx * 4, mby * 4
+        parts = {0: [(0, 0, 4, 4)],
+                 1: [(0, 0, 4, 2), (0, 2, 4, 2)],
+                 2: [(0, 0, 2, 4), (2, 0, 2, 4)]}[mb_type]
+        mvds = []
+        for _ in parts:
+            mvds.append((b.se(), b.se()))
+        for (px, py, w4, h4), mvd in zip(parts, mvds):
+            pred = self._pred_mv(bx + px, by + py, w4, h4)
+            mv = (pred[0] + mvd[0], pred[1] + mvd[1])
+            self._store_mv(bx + px, by + py, w4, h4, mv)
+            self._mc_partition(mbx, mby, px, py, w4, h4, mv)
+        cbp_code = b.ue()
+        if cbp_code > 47:
+            raise InvalidData("h264: bad cbp")
+        cbp = T.GOLOMB_TO_INTER_CBP[cbp_code]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = (qp + b.se() + 52) % 52
+        self.mb_qp[mby, mbx] = qp
+        x0, y0 = mbx * 16, mby * 16
+        for blk in range(16):
+            dx, dy = _BLK_XY[blk]
+            bx4, by4 = bx + dx, by + dy
+            if not (cbp_luma & (1 << (blk >> 2))):
+                self.nnz_y[by4, bx4] = 0
+                continue
+            nc = self._pred_nnz(self.nnz_y, bx4, by4)
+            lv, total = decode_residual(b, 16, nc)
+            self.nnz_y[by4, bx4] = total
+            raster = np.zeros(16, np.int64)
+            raster[recon.ZIGZAG4] = lv
+            block = recon.dequant4(raster, qp)
+            px, py = x0 + dx * 4, y0 + dy * 4
+            dst = self.y[py:py + 4, px:px + 4].copy()
+            recon.idct4_add(dst, block)
+            self.y[py:py + 4, px:px + 4] = dst
+        self._decode_chroma_inter(b, mbx, mby, qp, cbp_chroma)
+        return qp
+
+    def _decode_chroma_inter(self, b, mbx, mby, qp, cbp_chroma):
+        qpc = T.CHROMA_QP_8BIT[
+            max(0, min(51, qp + self.pps.chroma_qp_index_offset))]
+        qpc2 = T.CHROMA_QP_8BIT[
+            max(0, min(51, qp + self.pps.second_chroma_qp_index_offset))]
+        cx0, cy0 = mbx * 8, mby * 8
+        comps = ((self.u, self.nnz_u, qpc), (self.v, self.nnz_v, qpc2))
+        dcs = []
+        for _pl, _nnz, qpc_used in comps:
+            dc = np.zeros((2, 2), np.int64)
+            if cbp_chroma:
+                lv, _ = decode_residual(b, 4, -1)
+                dc = recon.chroma_dc_transform(
+                    np.array(lv[:4], np.int64), qpc_used)
+            dcs.append(dc)
+        acs_all = []
+        for _pl, nnz, _q in comps:
+            acs = []
+            for blk in range(4):
+                dx, dy = blk & 1, blk >> 1
+                raster = np.zeros(16, np.int64)
+                if cbp_chroma == 2:
+                    bx2, by2 = mbx * 2 + dx, mby * 2 + dy
+                    nc = self._pred_nnz(nnz, bx2, by2)
+                    lv, total = decode_residual(b, 15, nc)
+                    nnz[by2, bx2] = total
+                    raster[recon.ZIGZAG4[1:]] = lv
+                else:
+                    nnz[mby * 2 + dy, mbx * 2 + dx] = 0
+                acs.append(raster)
+            acs_all.append(acs)
+        if not cbp_chroma:
+            return
+        for ci, (plane, _nnz, qpc_used) in enumerate(comps):
+            for blk in range(4):
+                dx, dy = blk & 1, blk >> 1
+                block = recon.dequant4(acs_all[ci][blk], qpc_used)
+                block[0] = dcs[ci][dy, dx]
+                dst = plane[cy0 + dy * 4:cy0 + dy * 4 + 4,
+                            cx0 + dx * 4:cx0 + dx * 4 + 4].copy()
+                recon.idct4_add(dst, block)
+                plane[cy0 + dy * 4:cy0 + dy * 4 + 4,
+                      cx0 + dx * 4:cx0 + dx * 4 + 4] = dst
 
     def _avail(self, mbx, mby, dx, dy):
         x, y = mbx + dx, mby + dy
@@ -141,8 +328,10 @@ class SliceDecoder:
             return False
         return bool(self.mb_avail[y, x])
 
-    def _decode_mb_i(self, b: Bits, mbx: int, mby: int, qp: int) -> int:
-        mb_type = b.ue()
+    def _decode_mb_i(self, b: Bits, mbx: int, mby: int, qp: int,
+                     mb_type: Optional[int] = None) -> int:
+        if mb_type is None:
+            mb_type = b.ue()
         if mb_type > 25:
             raise InvalidData(f"h264: bad I mb_type {mb_type}")
         self.mb_intra[mby, mbx] = True

@@ -503,3 +503,176 @@ def test_deblocking_filter_exact(tmp_path):
         ref = _ref(stream, w, h, tmp_path)
         for a, b in zip(ours, ref):
             np.testing.assert_array_equal(a, b)
+
+
+def p_slice_head(w, frame_num=1, disable_deblock=True):
+    w.ue(0)               # first_mb
+    w.ue(5)               # slice_type: P (all slices)
+    w.ue(0)               # pps_id
+    w.u(frame_num & 0xFF, 8)
+    w.u(0, 8)             # poc lsb
+    w.u(0, 1)             # num_ref_idx_active_override
+    w.u(0, 1)             # ref_pic_list_modification
+    w.u(0, 1)             # adaptive_ref_pic_marking
+    w.se(0)               # slice_qp_delta
+    w.ue(1 if disable_deblock else 0)
+    if not disable_deblock:
+        w.se(0)
+        w.se(0)
+
+
+def craft_p_frame(mb_w=4, mb_h=3, frame_num=1, seed=0, deblock=False,
+                  with_residual=True):
+    """P frame: mix of skip runs, P_16x16/16x8/8x16 with random mvds and
+    optional residual."""
+    rng = np.random.default_rng(seed)
+    w = BW()
+    p_slice_head(w, frame_num, disable_deblock=not deblock)
+    nnz = np.full((mb_h * 4, mb_w * 4), -1, np.int32)
+    nnz_c = [np.full((mb_h * 2, mb_w * 2), -1, np.int32) for _ in range(2)]
+    idx = 0
+    n = mb_w * mb_h
+    while idx < n:
+        # occasional skip run
+        run = int(rng.integers(0, 3)) if idx > 0 and n - idx > 2 else 0
+        w.ue(run)
+        for _ in range(run):
+            mbx, mby = idx % mb_w, idx // mb_w
+            nnz[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 0
+            for c in nnz_c:
+                c[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+            idx += 1
+        if idx >= n:
+            break
+        mbx, mby = idx % mb_w, idx // mb_w
+        mb_type = int(rng.integers(0, 3))
+        w.ue(mb_type)
+        nparts = 1 if mb_type == 0 else 2
+        for _ in range(nparts):
+            w.se(int(rng.integers(-10, 11)))    # mvd x (quarter pel)
+            w.se(int(rng.integers(-10, 11)))    # mvd y
+        if with_residual and rng.integers(0, 2):
+            cbp_luma, cbp_chroma = 15, int(rng.integers(0, 3))
+        else:
+            cbp_luma, cbp_chroma = 0, 0
+        cbp = cbp_luma + 16 * cbp_chroma
+        code = HT.GOLOMB_TO_INTER_CBP.index(cbp)
+        w.ue(code)
+        if cbp:
+            w.se(0)
+        from ffmpeg_tpu.codecs.h264.slice_dec import _BLK_XY
+        if cbp_luma:
+            for blk in range(16):
+                dx, dy = _BLK_XY[blk]
+                bx, by = mbx * 4 + dx, mby * 4 + dy
+                lv = [0] * 16
+                nlv = int(rng.integers(0, 3))
+                posv = sorted(rng.choice(16, nlv, replace=False)) \
+                    if nlv else []
+                for pv in posv:
+                    lv[pv] = int(rng.integers(-5, 6)) or 1
+                nc = _nc(nnz, bx, by)
+                total = write_residual(w, lv, 16, nc)
+                nnz[by, bx] = total
+        else:
+            nnz[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 0
+        if cbp_chroma:
+            for ci in range(2):
+                lv = [int(rng.integers(-2, 3)), 0, 0, 0]
+                write_residual(w, lv, 4, -1)
+            for ci in range(2):
+                for blk in range(4):
+                    dx, dy = blk & 1, blk >> 1
+                    bx, by = mbx * 2 + dx, mby * 2 + dy
+                    ac = [0] * 15
+                    if cbp_chroma == 2 and rng.integers(0, 2):
+                        ac[int(rng.integers(0, 5))] = \
+                            int(rng.integers(-2, 3)) or 1
+                    if cbp_chroma == 2:
+                        nc = _nc(nnz_c[ci], bx, by)
+                        total = write_residual(w, ac, 15, nc)
+                        nnz_c[ci][by, bx] = total
+                    else:
+                        nnz_c[ci][by, bx] = 0
+        else:
+            for ci in range(2):
+                nnz_c[ci][mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+        idx += 1
+    return nal(2, 1, w.rbsp())
+
+
+@requires_ref
+def test_p_slices_exact(tmp_path):
+    ref_frame = craft_i16x16_residual(seed=4)
+    stream = ref_frame
+    for i in range(3):
+        stream += craft_p_frame(frame_num=i + 1, seed=30 + i)
+    p = tmp_path / "p.h264"
+    p.write_bytes(stream)
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264")
+    dec = CodecContext.open_decoder(par)
+    frames = dec.decode_all([Packet(data=stream, pts=0,
+                                    time_base=Rational(1, 25))])
+    assert len(frames) == 4
+    raw = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "h264", "-i", str(p),
+         "-f", "rawvideo", "-"], check=True, capture_output=True).stdout
+    sz = 64 * 48 * 3 // 2
+    assert len(raw) == 4 * sz
+    for i, f in enumerate(frames):
+        got = np.concatenate([np.asarray(pl).ravel() for pl in f.planes])
+        want = np.frombuffer(raw[i * sz:(i + 1) * sz], np.uint8)
+        np.testing.assert_array_equal(got, want, err_msg=f"frame {i}")
+
+
+@requires_ref
+def test_p_slices_with_deblock_exact(tmp_path):
+    ref_frame = craft_i16x16_residual(seed=8)
+    stream = ref_frame + craft_p_frame(frame_num=1, seed=44, deblock=True)
+    p = tmp_path / "pd.h264"
+    p.write_bytes(stream)
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264")
+    dec = CodecContext.open_decoder(par)
+    frames = dec.decode_all([Packet(data=stream, pts=0,
+                                    time_base=Rational(1, 25))])
+    raw = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "h264", "-i", str(p),
+         "-f", "rawvideo", "-"], check=True, capture_output=True).stdout
+    sz = 64 * 48 * 3 // 2
+    for i, f in enumerate(frames):
+        got = np.concatenate([np.asarray(pl).ravel() for pl in f.planes])
+        want = np.frombuffer(raw[i * sz:(i + 1) * sz], np.uint8)
+        np.testing.assert_array_equal(got, want, err_msg=f"frame {i}")
+
+
+@requires_ref
+def test_full_gop_all_deblocked(tmp_path):
+    """I + 3 P frames, every frame deblocked — P references the filtered
+    reconstruction, so any filter divergence compounds and gets caught."""
+    import test_h264 as me
+    orig = me.slice_head
+
+    def head_deblock(w, qp_delta=0, disable_deblock=False):
+        orig(w, qp_delta, disable_deblock)
+    me.slice_head = head_deblock
+    try:
+        stream = craft_i16x16_residual(seed=2)
+    finally:
+        me.slice_head = orig
+    for i in range(3):
+        stream += craft_p_frame(frame_num=i + 1, seed=60 + i, deblock=True)
+    p = tmp_path / "gop.h264"
+    p.write_bytes(stream)
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264")
+    dec = CodecContext.open_decoder(par)
+    frames = dec.decode_all([Packet(data=stream, pts=0,
+                                    time_base=Rational(1, 25))])
+    raw = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "h264", "-i", str(p),
+         "-f", "rawvideo", "-"], check=True, capture_output=True).stdout
+    sz = 64 * 48 * 3 // 2
+    assert len(frames) == len(raw) // sz == 4
+    for i, f in enumerate(frames):
+        got = np.concatenate([np.asarray(pl).ravel() for pl in f.planes])
+        want = np.frombuffer(raw[i * sz:(i + 1) * sz], np.uint8)
+        np.testing.assert_array_equal(got, want, err_msg=f"frame {i}")
