@@ -235,21 +235,42 @@ class SliceDecoder:
         self.nnz_v[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
         self.mb_qp[mby, mbx] = qp
 
+    # sub_mb_type → partition shapes within an 8x8 (in 4x4 units)
+    _SUB_PARTS = {0: [(0, 0, 2, 2)],
+                  1: [(0, 0, 2, 1), (0, 1, 2, 1)],
+                  2: [(0, 0, 1, 2), (1, 0, 1, 2)],
+                  3: [(0, 0, 1, 1), (1, 0, 1, 1),
+                      (0, 1, 1, 1), (1, 1, 1, 1)]}
+
     def _decode_mb_p(self, b, mbx, mby, qp, mb_type):
-        if mb_type > 2:
-            raise NotSupported("h264: P_8x8 partitions")
+        if mb_type > 4:
+            raise InvalidData(f"h264: bad P mb_type {mb_type}")
         bx, by = mbx * 4, mby * 4
-        parts = {0: [(0, 0, 4, 4)],
-                 1: [(0, 0, 4, 2), (0, 2, 4, 2)],
-                 2: [(0, 0, 2, 4), (2, 0, 2, 4)]}[mb_type]
-        mvds = []
-        for _ in parts:
-            mvds.append((b.se(), b.se()))
-        for (px, py, w4, h4), mvd in zip(parts, mvds):
-            pred = self._pred_mv(bx + px, by + py, w4, h4)
-            mv = (pred[0] + mvd[0], pred[1] + mvd[1])
-            self._store_mv(bx + px, by + py, w4, h4, mv)
-            self._mc_partition(mbx, mby, px, py, w4, h4, mv)
+        if mb_type in (3, 4):         # P_8x8 / P_8x8ref0
+            subs = [b.ue() for _ in range(4)]
+            if any(st > 3 for st in subs):
+                raise InvalidData("h264: bad sub_mb_type")
+            # (single reference: no ref_idx fields with num_ref_idx == 1)
+            for sub in range(4):
+                ox, oy = (sub & 1) * 2, (sub >> 1) * 2
+                for (px, py, w4, h4) in self._SUB_PARTS[subs[sub]]:
+                    mvd = (b.se(), b.se())
+                    pbx, pby = bx + ox + px, by + oy + py
+                    pred = self._pred_mv(pbx, pby, w4, h4)
+                    mv = (pred[0] + mvd[0], pred[1] + mvd[1])
+                    self._store_mv(pbx, pby, w4, h4, mv)
+                    self._mc_partition(mbx, mby, ox + px, oy + py,
+                                       w4, h4, mv)
+        else:
+            parts = {0: [(0, 0, 4, 4)],
+                     1: [(0, 0, 4, 2), (0, 2, 4, 2)],
+                     2: [(0, 0, 2, 4), (2, 0, 2, 4)]}[mb_type]
+            for (px, py, w4, h4) in parts:
+                mvd = (b.se(), b.se())
+                pred = self._pred_mv(bx + px, by + py, w4, h4)
+                mv = (pred[0] + mvd[0], pred[1] + mvd[1])
+                self._store_mv(bx + px, by + py, w4, h4, mv)
+                self._mc_partition(mbx, mby, px, py, w4, h4, mv)
         cbp_code = b.ue()
         if cbp_code > 47:
             raise InvalidData("h264: bad cbp")

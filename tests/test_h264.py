@@ -545,9 +545,15 @@ def craft_p_frame(mb_w=4, mb_h=3, frame_num=1, seed=0, deblock=False,
         if idx >= n:
             break
         mbx, mby = idx % mb_w, idx // mb_w
-        mb_type = int(rng.integers(0, 3))
+        mb_type = int(rng.integers(0, 4))
         w.ue(mb_type)
-        nparts = 1 if mb_type == 0 else 2
+        if mb_type == 3:                        # P_8x8
+            subs = [int(rng.integers(0, 4)) for _ in range(4)]
+            for st in subs:
+                w.ue(st)
+            nparts = sum((1, 2, 2, 4)[st] for st in subs)
+        else:
+            nparts = 1 if mb_type == 0 else 2
         for _ in range(nparts):
             w.se(int(rng.integers(-10, 11)))    # mvd x (quarter pel)
             w.se(int(rng.integers(-10, 11)))    # mvd y
@@ -676,3 +682,28 @@ def test_full_gop_all_deblocked(tmp_path):
         got = np.concatenate([np.asarray(pl).ravel() for pl in f.planes])
         want = np.frombuffer(raw[i * sz:(i + 1) * sz], np.uint8)
         np.testing.assert_array_equal(got, want, err_msg=f"frame {i}")
+
+
+def test_avcc_extradata_path():
+    """Same stream packaged MP4-style: AVCC extradata + length-prefixed
+    NALs must decode identically to Annex B."""
+    from ffmpeg_tpu.codecs.h264 import nal as N
+    stream = craft_i4x4(with_residual=True, seed=13)
+    units = N.split_annexb(stream)
+    sps = [u for u in units if (u[0] & 0x1F) == 7][0]
+    pps = [u for u in units if (u[0] & 0x1F) == 8][0]
+    idr = [u for u in units if (u[0] & 0x1F) == 5][0]
+    avcc = (b"\x01" + sps[1:4] + b"\xff\xe1"
+            + len(sps).to_bytes(2, "big") + sps
+            + b"\x01" + len(pps).to_bytes(2, "big") + pps)
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264",
+                          extradata=avcc)
+    dec = CodecContext.open_decoder(par)
+    payload = len(idr).to_bytes(4, "big") + idr
+    frames = dec.decode_all([Packet(data=payload, pts=0,
+                                    time_base=Rational(1, 25))])
+    assert len(frames) == 1
+    # annexb route for comparison
+    ours = _ours(stream)
+    for a, b in zip(frames[0].planes, ours):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
