@@ -99,7 +99,11 @@ class H264Decoder(Codec):
                         frames.append(self._emit(dec, pkt))
                     dec = SliceDecoder(sps, pps)
                     dec.ref_frame = self._ref
-                dec.decode_slice(b, sh)
+                if pps.cabac:
+                    from .cabac_slice import decode_slice_cabac
+                    decode_slice_cabac(dec, rbsp, b.pos, sh)
+                else:
+                    dec.decode_slice(b, sh)
                 dec.last_sh = sh
         if dec is not None:
             frames.append(self._emit(dec, pkt))

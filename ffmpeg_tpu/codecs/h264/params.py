@@ -112,8 +112,6 @@ def parse_pps(rbsp: bytes) -> PPS:
     p.pps_id = b.ue()
     p.sps_id = b.ue()
     p.cabac = bool(b.get1())
-    if p.cabac:
-        raise NotSupported("h264: CABAC (CAVLC only for now)")
     p.pic_order_present = bool(b.get1())
     if b.ue() != 0:             # num_slice_groups - 1
         raise NotSupported("h264: FMO slice groups")

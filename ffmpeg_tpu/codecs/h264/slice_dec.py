@@ -32,6 +32,7 @@ class SliceHeader:
     disable_deblocking: int = 0
     alpha_c0_offset: int = 0
     beta_offset: int = 0
+    cabac_init_idc: int = 0
 
 
 def parse_slice_header(b: Bits, nal_type: int, sps: SPS,

@@ -1,0 +1,387 @@
+"""H.264 CABAC decoder tests.
+
+Streams are crafted with our own CABAC encoder driving the SAME syntax
+walker the decoder uses; the reference decoder is the independent
+oracle (if our context modelling were wrong, the reference would
+diverge or error)."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+import refutil
+from conftest import requires_ref
+
+from test_h264 import BW, nal, make_sps, _ours, _ref
+
+from ffmpeg_tpu.codecs import CodecContext
+from ffmpeg_tpu.codecs.h264.cabac import CabacEncoder
+from ffmpeg_tpu.codecs.h264.cabac_slice import CabacSliceCoder
+from ffmpeg_tpu.codecs.h264.params import parse_pps, parse_sps
+from ffmpeg_tpu.codecs.h264.slice_dec import SliceDecoder, _BLK_XY
+from ffmpeg_tpu.codecs.h264 import nal as N
+from ffmpeg_tpu.io.stream import CodecParameters, MediaType
+from ffmpeg_tpu.core.packet import Packet
+from ffmpeg_tpu.utils.rational import Rational
+
+
+def make_pps_cabac():
+    w = BW()
+    w.ue(0)
+    w.ue(0)
+    w.u(1, 1)             # CABAC
+    w.u(0, 1)
+    w.ue(0)
+    w.ue(0)
+    w.ue(0)
+    w.u(0, 1)
+    w.u(0, 2)
+    w.se(0)
+    w.se(0)
+    w.se(0)
+    w.u(1, 1)             # deblocking_filter_control_present
+    w.u(0, 1)
+    w.u(0, 1)
+    return nal(3, 8, w.rbsp())
+
+
+def _bits_to_bytes(bits):
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        chunk = bits[i:i + 8]
+        b = 0
+        for j in range(8):
+            b = (b << 1) | (chunk[j] if j < len(chunk) else 0)
+        out.append(b)
+    return bytes(out)
+
+
+def _rand_levels(rng, n, maxn=3, amp=6):
+    lv = [0] * n
+    k = int(rng.integers(0, maxn + 1))
+    pos = sorted(rng.choice(n, k, replace=False)) if k else []
+    for p in pos:
+        lv[p] = int(rng.integers(-amp, amp + 1)) or 1
+    return lv
+
+
+def _setup(mb_w, mb_h, slice_type, idr, frame_num=0, deblock=False):
+    """→ (header BW, scratch SliceDecoder, sps, pps)."""
+    sps_nal = make_sps(mb_w, mb_h)
+    pps_nal = make_pps_cabac()
+    sps = parse_sps(N.unescape(sps_nal[5:]))
+    pps = parse_pps(N.unescape(pps_nal[5:]))
+    w = BW()
+    w.ue(0)                               # first_mb
+    w.ue(7 if slice_type == 2 else 5)     # I / P
+    w.ue(0)
+    w.u(frame_num & 0xFF, 8)
+    if idr:
+        w.ue(0)                           # idr_pic_id
+    w.u(0, 8)                             # poc lsb
+    if slice_type == 0:
+        w.u(0, 1)                         # ref override
+        w.u(0, 1)                         # list modification
+    if idr:
+        w.u(0, 1)
+        w.u(0, 1)
+    else:
+        w.u(0, 1)                         # adaptive marking
+    if slice_type != 2:
+        w.ue(0)                           # cabac_init_idc
+    w.se(0)                               # slice_qp_delta (qp 26)
+    w.ue(1 if not deblock else 0)
+    if deblock:
+        w.se(0)
+        w.se(0)
+    while len(w.bits) % 8:
+        w.u(1, 1)                         # cabac_alignment_one_bit
+    return w, SliceDecoder(sps, pps), sps_nal, pps_nal
+
+
+def _encode_mb_i(dec, sc, mbx, mby, qp, rng):
+    avail_l = dec._avail(mbx, mby, -1, 0)
+    avail_t = dec._avail(mbx, mby, 0, -1)
+    dec.mb_intra[mby, mbx] = True
+    bx, by = mbx * 4, mby * 4
+    is16 = int(rng.integers(0, 2))
+    sc._cur_comp = 0
+
+    # legal chroma mode
+    cl = [0]
+    if avail_l:
+        cl.append(1)
+    if avail_t:
+        cl.append(2)
+    if avail_l and avail_t:
+        cl.append(3)
+    chroma_mode = int(cl[rng.integers(0, len(cl))])
+
+    if is16:
+        pm_legal = [2]
+        if avail_t:
+            pm_legal.append(0)
+        if avail_l:
+            pm_legal.append(1)
+        if avail_l and avail_t:
+            pm_legal.append(3)
+        pm = int(pm_legal[rng.integers(0, len(pm_legal))])
+        cbp_luma = 15 if rng.integers(0, 2) else 0
+        cbp_chroma = int(rng.integers(0, 3))
+        sc.intra_mb_type(mbx, mby, 3, 1,
+                         v=(1, cbp_luma, cbp_chroma, pm))
+        sc.i16_tab[mby, mbx] = True
+        dec.intra4x4_modes[by:by + 4, bx:bx + 4] = 2
+        sc.chroma_mode_tab[mby, mbx] = chroma_mode
+        sc.chroma_pred_mode(mbx, mby, v=chroma_mode)
+        sc.mb_qp_delta(v=0)
+        cbp_entry = cbp_luma | (cbp_chroma << 4)
+        dc = _rand_levels(rng, 16, maxn=3, amp=4)
+        _lv, total = sc.residual(0, mbx, mby, 0, 0, 16, True, levels=dc)
+        if total:
+            cbp_entry |= 0x100
+        for blk in range(16):
+            dxb, dyb = _BLK_XY[blk]
+            bx4, by4 = bx + dxb, by + dyb
+            if cbp_luma:
+                ac = _rand_levels(rng, 15, maxn=2)
+                _lv, t2 = sc.residual(1, mbx, mby, bx4, by4, 15, True,
+                                      levels=ac)
+                dec.nnz_y[by4, bx4] = t2
+            else:
+                dec.nnz_y[by4, bx4] = 0
+    else:
+        sc.intra_mb_type(mbx, mby, 3, 1, v=(0, 0, 0, 0))
+        sc.i4x4_tab[mby, mbx] = True
+        for blk in range(16):
+            dxb, dyb = _BLK_XY[blk]
+            bxx, byy = bx + dxb, by + dyb
+            la = dec._nbr_avail(bxx - 1, byy, mbx, mby)
+            ta = dec._nbr_avail(bxx, byy - 1, mbx, mby)
+            if not la or not ta:
+                pred = 2
+            else:
+                lm = int(dec.intra4x4_modes[byy, bxx - 1])
+                tm = int(dec.intra4x4_modes[byy - 1, bxx])
+                pred = min(lm if lm >= 0 else 2, tm if tm >= 0 else 2)
+            legal = [2]
+            if ta:
+                legal += [0, 3, 7]
+            if la:
+                legal += [1, 8]
+            if ta and la:
+                legal += [4, 5, 6]
+            mode = int(legal[rng.integers(0, len(legal))])
+            sc.intra4x4_mode(pred, v=mode)
+            dec.intra4x4_modes[byy, bxx] = mode
+        sc.chroma_mode_tab[mby, mbx] = chroma_mode
+        sc.chroma_pred_mode(mbx, mby, v=chroma_mode)
+        cbp_luma = 15 if rng.integers(0, 2) else 0
+        cbp_chroma = int(rng.integers(0, 3))
+        cbp_entry = cbp_luma | (cbp_chroma << 4)
+        sc.cbp(mbx, mby, True, v=cbp_entry)
+        if cbp_luma or cbp_chroma:
+            sc.mb_qp_delta(v=0)
+        else:
+            sc.last_dqp = 0
+        for blk in range(16):
+            dxb, dyb = _BLK_XY[blk]
+            bx4, by4 = bx + dxb, by + dyb
+            if cbp_luma:
+                lv = _rand_levels(rng, 16, maxn=3)
+                _l, t2 = sc.residual(2, mbx, mby, bx4, by4, 16, True,
+                                     levels=lv)
+                dec.nnz_y[by4, bx4] = t2
+            else:
+                dec.nnz_y[by4, bx4] = 0
+
+    # chroma residuals
+    cbp_entry = _encode_chroma(dec, sc, mbx, mby, cbp_entry, rng,
+                               intra=True)
+    sc.cbp_tab[mby, mbx] = cbp_entry
+    dec.blk_done[by:by + 4, bx:bx + 4] = True
+    dec.mb_avail[mby, mbx] = True
+    return qp
+
+
+def _encode_chroma(dec, sc, mbx, mby, cbp_entry, rng, intra):
+    cbp_chroma = (cbp_entry >> 4) & 3
+    for ci in range(2):
+        sc._cur_comp = ci
+        if cbp_chroma:
+            lv = _rand_levels(rng, 4, maxn=2, amp=3)
+            _l, total = sc.residual(3, mbx, mby, ci, 0, 4, intra,
+                                    levels=lv)
+            if total:
+                cbp_entry |= 0x40 << ci
+    for ci, nnz in enumerate((dec.nnz_u, dec.nnz_v)):
+        sc._cur_comp = ci
+        for blk in range(4):
+            dxb, dyb = blk & 1, blk >> 1
+            bx2, by2 = mbx * 2 + dxb, mby * 2 + dyb
+            if cbp_chroma == 2:
+                ac = _rand_levels(rng, 15, maxn=2, amp=3)
+                _l, t2 = sc.residual(4, mbx, mby, bx2, by2, 15, intra,
+                                     levels=ac)
+                nnz[by2, bx2] = t2
+            else:
+                nnz[by2, bx2] = 0
+    return cbp_entry
+
+
+def craft_cabac_i(mb_w=4, mb_h=3, seed=0, deblock=False):
+    w, dec, sps_nal, pps_nal = _setup(mb_w, mb_h, 2, True,
+                                      deblock=deblock)
+    rng = np.random.default_rng(seed)
+    enc = CabacEncoder()
+    sc = CabacSliceCoder(dec, enc, 2, 26, encode=True)
+    n = mb_w * mb_h
+    for idx in range(n):
+        mbx, mby = idx % mb_w, idx // mb_w
+        _encode_mb_i(dec, sc, mbx, mby, 26, rng)
+        enc.terminate(1 if idx == n - 1 else 0)
+    payload = _bits_to_bytes(w.bits) + _bits_to_bytes(enc.bitstring())
+    return sps_nal + pps_nal + nal(3, 5, payload)
+
+
+def craft_cabac_p(mb_w=4, mb_h=3, frame_num=1, seed=1, deblock=False):
+    w, dec, _s, _p = _setup(mb_w, mb_h, 0, False, frame_num,
+                            deblock=deblock)
+    rng = np.random.default_rng(seed)
+    enc = CabacEncoder()
+    sc = CabacSliceCoder(dec, enc, 0, 26, encode=True)
+    n = mb_w * mb_h
+    for idx in range(n):
+        mbx, mby = idx % mb_w, idx // mb_w
+        bx, by = mbx * 4, mby * 4
+        skip = bool(rng.integers(0, 3) == 0)
+        sc.mb_skip_flag(mbx, mby, v=1 if skip else 0)
+        if skip:
+            sc.skip_tab[mby, mbx] = True
+            sc.cbp_tab[mby, mbx] = 0
+            sc.last_dqp = 0
+            dec.nnz_y[by:by + 4, bx:bx + 4] = 0
+            dec.nnz_u[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+            dec.nnz_v[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+            dec.blk_done[by:by + 4, bx:bx + 4] = True
+            dec.mb_avail[mby, mbx] = True
+            enc.terminate(1 if idx == n - 1 else 0)
+            continue
+        mb_type = int(rng.integers(0, 4))
+        sc.p_mb_type(v=mb_type)
+        if mb_type == 3:
+            subs = [int(rng.integers(0, 4)) for _ in range(4)]
+            for st in subs:
+                sc.sub_mb_type(v=st)
+            plist = []
+            for sub in range(4):
+                ox, oy = (sub & 1) * 2, (sub >> 1) * 2
+                for (px, py, w4, h4) in dec._SUB_PARTS[subs[sub]]:
+                    plist.append((ox + px, oy + py, w4, h4))
+        else:
+            plist = {0: [(0, 0, 4, 4)],
+                     1: [(0, 0, 4, 2), (0, 2, 4, 2)],
+                     2: [(0, 0, 2, 4), (2, 0, 2, 4)]}[mb_type]
+        from test_h264 import _nc  # noqa (not needed; kept minimal)
+        from ffmpeg_tpu.codecs.h264.cabac_slice import _amvd
+        for (px, py, w4, h4) in plist:
+            pbx, pby = bx + px, by + py
+            for comp in range(2):
+                amvd = _amvd(sc, pbx, pby, comp)
+                mvd = int(rng.integers(-12, 13))
+                sc.mvd(40 if comp == 0 else 47, amvd, v=mvd)
+                sc.mvd_cache[pby:pby + h4, pbx:pbx + w4, comp] = \
+                    min(abs(mvd), 70)
+        cbp_luma = 15 if rng.integers(0, 2) else 0
+        cbp_chroma = int(rng.integers(0, 3))
+        cbp = cbp_luma | (cbp_chroma << 4)
+        sc.cbp(mbx, mby, False, v=cbp)
+        if cbp:
+            sc.mb_qp_delta(v=0)
+        else:
+            sc.last_dqp = 0
+        for blk in range(16):
+            dxb, dyb = _BLK_XY[blk]
+            bx4, by4 = bx + dxb, by + dyb
+            if cbp_luma:
+                lv = _rand_levels(rng, 16, maxn=2)
+                _l, t2 = sc.residual(2, mbx, mby, bx4, by4, 16, False,
+                                     levels=lv)
+                dec.nnz_y[by4, bx4] = t2
+            else:
+                dec.nnz_y[by4, bx4] = 0
+        cbp_entry = _encode_chroma(dec, sc, mbx, mby, cbp, rng,
+                                   intra=False)
+        sc.cbp_tab[mby, mbx] = cbp_entry
+        dec.blk_done[by:by + 4, bx:bx + 4] = True
+        dec.mb_avail[mby, mbx] = True
+        enc.terminate(1 if idx == n - 1 else 0)
+    payload = _bits_to_bytes(w.bits) + _bits_to_bytes(enc.bitstring())
+    return nal(2, 1, payload)
+
+
+@requires_ref
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cabac_i_frame_exact(tmp_path, seed):
+    data = craft_cabac_i(seed=seed)
+    ours = _ours(data)
+    ref = _ref(data, 64, 48, tmp_path)
+    for a, b in zip(ours, ref):
+        np.testing.assert_array_equal(a, b)
+
+
+@requires_ref
+def test_cabac_i_frame_deblocked_exact(tmp_path):
+    data = craft_cabac_i(seed=5, deblock=True)
+    ours = _ours(data)
+    ref = _ref(data, 64, 48, tmp_path)
+    for a, b in zip(ours, ref):
+        np.testing.assert_array_equal(a, b)
+
+
+@requires_ref
+def test_cabac_gop_exact(tmp_path):
+    stream = craft_cabac_i(seed=9, deblock=True)
+    for i in range(2):
+        stream += craft_cabac_p(frame_num=i + 1, seed=20 + i,
+                                deblock=True)
+    p = tmp_path / "c.h264"
+    p.write_bytes(stream)
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264")
+    dec = CodecContext.open_decoder(par)
+    frames = dec.decode_all([Packet(data=stream, pts=0,
+                                    time_base=Rational(1, 25))])
+    raw = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "h264", "-i", str(p),
+         "-f", "rawvideo", "-"], check=True, capture_output=True).stdout
+    sz = 64 * 48 * 3 // 2
+    assert len(frames) == len(raw) // sz == 3
+    for i, f in enumerate(frames):
+        got = np.concatenate([np.asarray(pl).ravel() for pl in f.planes])
+        want = np.frombuffer(raw[i * sz:(i + 1) * sz], np.uint8)
+        np.testing.assert_array_equal(got, want, err_msg=f"frame {i}")
+
+
+@requires_ref
+@pytest.mark.parametrize("seed", [30, 31])
+def test_cabac_long_gop_stress(tmp_path, seed):
+    stream = craft_cabac_i(mb_w=5, mb_h=4, seed=seed, deblock=True)
+    for i in range(4):
+        stream += craft_cabac_p(mb_w=5, mb_h=4, frame_num=i + 1,
+                                seed=seed * 10 + i, deblock=True)
+    p = tmp_path / "cg.h264"
+    p.write_bytes(stream)
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264")
+    dec = CodecContext.open_decoder(par)
+    frames = dec.decode_all([Packet(data=stream, pts=0,
+                                    time_base=Rational(1, 25))])
+    raw = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "h264", "-i", str(p),
+         "-f", "rawvideo", "-"], check=True, capture_output=True).stdout
+    sz = 80 * 64 * 3 // 2
+    assert len(frames) == len(raw) // sz == 5
+    for i, f in enumerate(frames):
+        got = np.concatenate([np.asarray(pl).ravel() for pl in f.planes])
+        want = np.frombuffer(raw[i * sz:(i + 1) * sz], np.uint8)
+        np.testing.assert_array_equal(got, want, err_msg=f"frame {i}")
