@@ -51,7 +51,10 @@ class H264Decoder(Codec):
         elif ed:
             for u in _nal.split_annexb(ed):
                 self._handle_nal(u)
-        self._ref = None           # last decoded picture (DPB of depth 1)
+        self._ref = None           # last decoded picture planes (P path)
+        self._dpb = []             # reference pictures: dicts with poc/mv
+        self._reorder = []         # (poc, frame) awaiting output
+        self._delay = 1            # POC reorder depth (B over 1 ref pair)
 
     def _handle_nal(self, unit: bytes):
         if not unit:
@@ -69,7 +72,11 @@ class H264Decoder(Codec):
 
     def decode(self, pkt: Optional[Packet]) -> List[Frame]:
         if pkt is None:
-            return []
+            frames = []
+            while self._reorder:
+                self._reorder.sort(key=lambda t: t[0])
+                frames.append(self._reorder.pop(0)[1])
+            return frames
         units = _nal.split_avcc(pkt.data, self.nal_size) if self.nal_size \
             else _nal.split_annexb(pkt.data)
         frames: List[Frame] = []
@@ -96,9 +103,26 @@ class H264Decoder(Codec):
                                         self._last_ref_idc)
                 if dec is None or sh.first_mb == 0:
                     if dec is not None:
-                        frames.append(self._emit(dec, pkt))
+                        frames.extend(self._emit(dec, pkt))
                     dec = SliceDecoder(sps, pps)
+                    dec.ref_idc = self._last_ref_idc
                     dec.ref_frame = self._ref
+                    if sh.idr:
+                        self._dpb.clear()
+                        self._reorder.clear()
+                    dec.poc = sh.poc_lsb
+                    # reference lists (single active entry each)
+                    if sh.slice_type == 1:
+                        before = sorted(
+                            (e for e in self._dpb if e["poc"] < dec.poc),
+                            key=lambda e: -e["poc"])
+                        after = sorted(
+                            (e for e in self._dpb if e["poc"] > dec.poc),
+                            key=lambda e: e["poc"])
+                        dec.list0 = before + after
+                        dec.list1 = after + before
+                    elif sh.slice_type == 0:
+                        dec.list0 = list(reversed(self._dpb))
                 if pps.cabac:
                     from .cabac_slice import decode_slice_cabac
                     decode_slice_cabac(dec, rbsp, b.pos, sh)
@@ -106,7 +130,11 @@ class H264Decoder(Codec):
                     dec.decode_slice(b, sh)
                 dec.last_sh = sh
         if dec is not None:
-            frames.append(self._emit(dec, pkt))
+            frames.extend(self._emit(dec, pkt))
+        if pkt is None or not units:
+            while self._reorder:
+                self._reorder.sort(key=lambda t: t[0])
+                frames.append(self._reorder.pop(0)[1])
         return frames
 
     def _emit(self, dec: SliceDecoder, pkt: Packet) -> Frame:
@@ -114,7 +142,19 @@ class H264Decoder(Codec):
         if sh is not None and sh.disable_deblocking != 1:
             from .loopfilter import deblock_frame
             deblock_frame(dec, sh.alpha_c0_offset, sh.beta_offset)
-        self._ref = (dec.y.copy(), dec.u.copy(), dec.v.copy())
+        is_ref = getattr(dec, "ref_idc", 1) != 0
+        planes = (dec.y.copy(), dec.u.copy(), dec.v.copy())
+        if is_ref:
+            self._ref = planes
+            self._dpb.append({"poc": dec.poc, "planes": planes,
+                              "mv": dec.mv[0].copy(),
+                              "ref": dec.mv_ref[0].copy(),
+                              "intra": dec.mb_intra.copy(),
+                              "mb16": dec.mb_16x16.copy(),
+                              "short_term": True})
+            max_refs = max(1, dec.sps.num_ref_frames)
+            while len(self._dpb) > max_refs:
+                self._dpb.pop(0)
         sps = dec.sps
         t, b = sps.crop_top * 2, sps.crop_bottom * 2
         l, r = sps.crop_left * 2, sps.crop_right * 2
@@ -127,4 +167,10 @@ class H264Decoder(Codec):
                         time_base=pkt.time_base or Rational(1, 25))
         f.key_frame = bool(getattr(dec, "last_sh", None)
                            and dec.last_sh.idr)
-        return f
+        # POC output reordering (delay grows to 1 when B frames appear)
+        self._reorder.append((dec.poc, f))
+        out = []
+        while len(self._reorder) > self._delay:
+            self._reorder.sort(key=lambda t: t[0])
+            out.append(self._reorder.pop(0)[1])
+        return out

@@ -77,7 +77,9 @@ class CabacSliceCoder:
         self.skip_tab = np.zeros((nmby, nmbx), bool)
         self.i16_tab = np.zeros((nmby, nmbx), bool)
         self.i4x4_tab = np.zeros((nmby, nmbx), bool)
-        self.mvd_cache = np.zeros((nmby * 4, nmbx * 4, 2), np.int32)
+        self.direct_tab = np.zeros((nmby, nmbx), bool)
+        self.mvd_cache = np.zeros((2, nmby * 4, nmbx * 4, 2),
+                                  np.int32)
 
     # --- neighbor helpers --------------------------------------------------------
     def _mb_ok(self, mbx, mby):
@@ -98,7 +100,8 @@ class CabacSliceCoder:
             ctx += 1
         if self._mb_ok(mbx, mby - 1) and not self.skip_tab[mby - 1, mbx]:
             ctx += 1
-        return self.io.dec(self.ctx[11 + ctx], v)
+        base = 24 if self.slice_type == 1 else 11
+        return self.io.dec(self.ctx[base + ctx], v)
 
     def intra_mb_type(self, mbx, mby, base, intra_slice, v=None):
         """v = (is16, cbp_luma15, cbp_chroma, pred_mode) when encoding;
@@ -155,6 +158,62 @@ class CabacSliceCoder:
         b2 = self.io.dec(self.ctx[17],
                          (1 if v == 1 else 0) if v is not None else None)
         return 2 - b2
+
+    def b_mb_type(self, mbx, mby, v=None):
+        """B mb_type tree (h264_cabac.c); v int 0..21 or ('I', tuple)."""
+        ctx = 0
+        if self._mb_ok(mbx - 1, mby) and not self.direct_tab[mby, mbx - 1]:
+            ctx += 1
+        if self._mb_ok(mbx, mby - 1) and not self.direct_tab[mby - 1, mbx]:
+            ctx += 1
+        is_intra = v is not None and isinstance(v, tuple)
+        b0v = None
+        if v is not None:
+            b0v = 0 if (not is_intra and v == 0) else 1
+        if not self.io.dec(self.ctx[27 + ctx], b0v):
+            return 0
+        nb = None
+        if v is not None:
+            nb = 0 if (not is_intra and v in (1, 2)) else 1
+        if not self.io.dec(self.ctx[27 + 3], nb):
+            bit = None if v is None else (v - 1)
+            return 1 + self.io.dec(self.ctx[27 + 5], bit)
+        # 4-bit suffix
+        if v is not None:
+            if is_intra:
+                bits_v = 13
+            elif v == 11:
+                bits_v = 14
+            elif 3 <= v <= 10:
+                bits_v = v - 3
+            else:              # 12..21 -> 5-bit codes (bits = v+4 over 5)
+                bits_v = (v + 4) >> 1
+        else:
+            bits_v = None
+        bits = self.io.dec(self.ctx[27 + 4],
+                           ((bits_v >> 3) & 1) if v is not None
+                           else None) << 3
+        bits += self.io.dec(self.ctx[27 + 5],
+                            ((bits_v >> 2) & 1) if v is not None
+                            else None) << 2
+        bits += self.io.dec(self.ctx[27 + 5],
+                            ((bits_v >> 1) & 1) if v is not None
+                            else None) << 1
+        bits += self.io.dec(self.ctx[27 + 5],
+                            (bits_v & 1) if v is not None else None)
+        if bits < 8:
+            return bits + 3
+        if bits == 13:
+            return ("I", self.intra_mb_type(0, 0, 32, 0,
+                                            v[1] if v is not None
+                                            else None))
+        if bits == 14:
+            return 11
+        if bits == 15:
+            raise NotSupported("h264 cabac: B_8x8")
+        last = self.io.dec(self.ctx[27 + 5],
+                           ((v + 4) & 1) if v is not None else None)
+        return ((bits << 1) + last) - 4
 
     def sub_mb_type(self, v=None):
         b0 = self.io.dec(self.ctx[21],
@@ -440,25 +499,36 @@ def decode_slice_cabac(dec: SliceDecoder, rbsp: bytes, bit_pos: int, sh):
     qp = sh.qp
     mb_addr = sh.first_mb
     is_p = sh.slice_type == 0
+    is_b = sh.slice_type == 1
     while True:
         mbx, mby = mb_addr % nmbx, mb_addr // nmbx
         if mby >= sps.mb_height:
             break
-        if is_p and sc.mb_skip_flag(mbx, mby):
-            dec._decode_mb_skip(mbx, mby, qp)
+        if (is_p or is_b) and sc.mb_skip_flag(mbx, mby):
+            if is_b:
+                dec._decode_mb_b_direct(mbx, mby, qp)
+                sc.direct_tab[mby, mbx] = True
+            else:
+                dec._decode_mb_skip(mbx, mby, qp)
             sc.skip_tab[mby, mbx] = True
             sc.cbp_tab[mby, mbx] = 0
             sc.last_dqp = 0
             dec.mb_avail[mby, mbx] = True
         else:
-            qp = _decode_mb_cabac(dec, sc, mbx, mby, qp, is_p)
+            qp = _decode_mb_cabac(dec, sc, mbx, mby, qp, is_p, is_b)
             dec.mb_avail[mby, mbx] = True
         mb_addr += 1
         if core.terminate():
             break
 
 
-def _decode_mb_cabac(dec, sc, mbx, mby, qp, is_p):
+def _decode_mb_cabac(dec, sc, mbx, mby, qp, is_p, is_b=False):
+    if is_b:
+        t = sc.b_mb_type(mbx, mby)
+        if isinstance(t, tuple):
+            return _decode_mb_cabac_intra(dec, sc, mbx, mby, qp, t[1],
+                                          intra_slice=False)
+        return _decode_mb_cabac_b(dec, sc, mbx, mby, qp, t)
     if is_p:
         t = sc.p_mb_type()
         if isinstance(t, tuple):
@@ -468,6 +538,76 @@ def _decode_mb_cabac(dec, sc, mbx, mby, qp, is_p):
     t = sc.intra_mb_type(mbx, mby, 3, 1)
     return _decode_mb_cabac_intra(dec, sc, mbx, mby, qp, t,
                                   intra_slice=True)
+
+
+def _decode_mb_cabac_b(dec, sc, mbx, mby, qp, mb_type):
+    bx, by = mbx * 4, mby * 4
+    sc._cur_comp = 0
+    if mb_type == 0:
+        dec._decode_mb_b_direct(mbx, mby, qp, residual_cb=True)
+        sc.direct_tab[mby, mbx] = True
+        parts, masks = [], []
+    elif mb_type <= 3:
+        parts = [(0, 0, 4, 4)]
+        masks = [mb_type]
+    else:
+        v8x16, m0, m1 = dec._B_TWO[mb_type]
+        parts = [(0, 0, 2, 4), (2, 0, 2, 4)] if v8x16 else \
+            [(0, 0, 4, 2), (0, 2, 4, 2)]
+        masks = [m0, m1]
+    for lst in range(2):
+        for i, (px, py, w4, h4) in enumerate(parts):
+            if not (masks[i] & (1 << lst)):
+                dec.mv_ref[lst, by + py:by + py + h4,
+                           bx + px:bx + px + w4] = -1
+    part_mvs = [[None, None] for _ in parts]
+    for lst in range(2):
+        for i, (px, py, w4, h4) in enumerate(parts):
+            if not (masks[i] & (1 << lst)):
+                continue
+            pbx, pby = bx + px, by + py
+            mvdx = sc.mvd(40, _amvd(sc, pbx, pby, 0, lst))
+            mvdy = sc.mvd(47, _amvd(sc, pbx, pby, 1, lst))
+            sc.mvd_cache[lst, pby:pby + h4, pbx:pbx + w4, 0] = \
+                min(abs(mvdx), 70)
+            sc.mvd_cache[lst, pby:pby + h4, pbx:pbx + w4, 1] = \
+                min(abs(mvdy), 70)
+            pred = dec._pred_mv(pbx, pby, w4, h4, lst)
+            mv = (pred[0] + mvdx, pred[1] + mvdy)
+            dec._store_mv(pbx, pby, w4, h4, mv, lst, 0)
+            part_mvs[i][lst] = mv
+    for i, (px, py, w4, h4) in enumerate(parts):
+        dec.blk_done[by + py:by + py + h4, bx + px:bx + px + w4] = True
+        dec.intra4x4_modes[by + py:by + py + h4,
+                           bx + px:bx + px + w4] = 2
+        dec._mc_bi(mbx, mby, px, py, w4, h4, part_mvs[i], [0, 0])
+    cbp = sc.cbp(mbx, mby, False)
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp:
+        qp = (qp + sc.mb_qp_delta() + 52) % 52
+    else:
+        sc.last_dqp = 0
+    dec.mb_qp[mby, mbx] = qp
+    x0, y0 = mbx * 16, mby * 16
+    for blk in range(16):
+        dxb, dyb = _BLK_XY[blk]
+        bx4, by4 = bx + dxb, by + dyb
+        if not (cbp_luma & (1 << (blk >> 2))):
+            dec.nnz_y[by4, bx4] = 0
+            continue
+        lv, total = sc.residual(2, mbx, mby, bx4, by4, 16, False)
+        dec.nnz_y[by4, bx4] = total
+        raster = np.zeros(16, np.int64)
+        raster[recon.ZIGZAG4] = lv
+        block = recon.dequant4(raster, qp)
+        px, py = x0 + dxb * 4, y0 + dyb * 4
+        dst = dec.y[py:py + 4, px:px + 4].copy()
+        recon.idct4_add(dst, block)
+        dec.y[py:py + 4, px:px + 4] = dst
+    cbp_entry = _decode_chroma_cabac(dec, sc, mbx, mby, qp, 0, cbp_chroma,
+                                     False, False, cbp, intra=False)
+    sc.cbp_tab[mby, mbx] = cbp_entry
+    return qp
 
 
 def _decode_mb_cabac_intra(dec, sc, mbx, mby, qp, t, intra_slice):
@@ -592,8 +732,8 @@ def _decode_mb_cabac_p(dec, sc, mbx, mby, qp, mb_type):
         amvd1 = _amvd(sc, pbx, pby, 1)
         mvdx = sc.mvd(40, amvd0)
         mvdy = sc.mvd(47, amvd1)
-        sc.mvd_cache[pby:pby + h4, pbx:pbx + w4, 0] = min(abs(mvdx), 70)
-        sc.mvd_cache[pby:pby + h4, pbx:pbx + w4, 1] = min(abs(mvdy), 70)
+        sc.mvd_cache[0, pby:pby + h4, pbx:pbx + w4, 0] = min(abs(mvdx), 70)
+        sc.mvd_cache[0, pby:pby + h4, pbx:pbx + w4, 1] = min(abs(mvdy), 70)
         pred = dec._pred_mv(pbx, pby, w4, h4)
         mv = (pred[0] + mvdx, pred[1] + mvdy)
         dec._store_mv(pbx, pby, w4, h4, mv)
@@ -627,9 +767,9 @@ def _decode_mb_cabac_p(dec, sc, mbx, mby, qp, mb_type):
     return qp
 
 
-def _amvd(sc, bx, by, comp):
-    l = int(sc.mvd_cache[by, bx - 1, comp]) if bx > 0 else 0
-    t = int(sc.mvd_cache[by - 1, bx, comp]) if by > 0 else 0
+def _amvd(sc, bx, by, comp, lst=0):
+    l = int(sc.mvd_cache[lst, by, bx - 1, comp]) if bx > 0 else 0
+    t = int(sc.mvd_cache[lst, by - 1, bx, comp]) if by > 0 else 0
     return l + t
 
 

@@ -76,18 +76,48 @@ def deblock_frame(dec, alpha_off=0, beta_off=0):
     qpc_off = dec.pps.chroma_qp_index_offset
     qpc2_off = dec.pps.second_chroma_qp_index_offset
 
+    def blk_motion(bx, by):
+        """→ list of (picture-id, mv) pairs for the 4x4 block."""
+        out = []
+        for lst in range(2):
+            r = int(dec.mv_ref[lst, by, bx])
+            if r < 0:
+                continue
+            lstref = dec.list0 if lst == 0 else dec.list1
+            pic = id(lstref[r]) if r < len(lstref) else (-1 - lst)
+            out.append((pic, (int(dec.mv[lst, by, bx, 0]),
+                              int(dec.mv[lst, by, bx, 1]))))
+        return out
+
+    def mv_far(a, b):
+        return abs(a[0] - b[0]) >= 4 or abs(a[1] - b[1]) >= 4
+
     def seg_bs(bxp, byp, bxq, byq, mb_edge):
         if dec.mb_intra[byp // 4, bxp // 4] or \
                 dec.mb_intra[byq // 4, bxq // 4]:
             return 4 if mb_edge else 3
         if dec.nnz_y[byp, bxp] > 0 or dec.nnz_y[byq, bxq] > 0:
             return 2
-        if dec.mv_ref[byp, bxp] != dec.mv_ref[byq, bxq]:
+        # spec 8.7.2.1: compare by reference PICTURE, list-agnostic
+        P = blk_motion(bxp, byp)
+        Q = blk_motion(bxq, byq)
+        if len(P) != len(Q):
             return 1
-        if abs(int(dec.mv[byp, bxp, 0]) - int(dec.mv[byq, bxq, 0])) >= 4 \
-                or abs(int(dec.mv[byp, bxp, 1])
-                       - int(dec.mv[byq, bxq, 1])) >= 4:
+        if sorted(p[0] for p in P) != sorted(q[0] for q in Q):
             return 1
+        if len(P) == 1:
+            return 1 if mv_far(P[0][1], Q[0][1]) else 0
+        if len(P) == 2:
+            if P[0][0] == P[1][0]:       # same picture used twice
+                ok = (not mv_far(P[0][1], Q[0][1]) and
+                      not mv_far(P[1][1], Q[1][1])) or \
+                     (not mv_far(P[0][1], Q[1][1]) and
+                      not mv_far(P[1][1], Q[0][1]))
+                return 0 if ok else 1
+            for pic, mv in P:
+                qmv = next(q[1] for q in Q if q[0] == pic)
+                if mv_far(mv, qmv):
+                    return 1
         return 0
 
     for mby in range(nmby):

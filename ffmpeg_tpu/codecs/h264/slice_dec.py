@@ -33,6 +33,8 @@ class SliceHeader:
     alpha_c0_offset: int = 0
     beta_offset: int = 0
     cabac_init_idc: int = 0
+    direct_spatial: bool = True
+    poc_lsb: int = 0
 
 
 def parse_slice_header(b: Bits, nal_type: int, sps: SPS,
@@ -46,7 +48,7 @@ def parse_slice_header(b: Bits, nal_type: int, sps: SPS,
     if sh.idr:
         b.ue()                    # idr_pic_id
     if sps.poc_type == 0:
-        b.get(sps.log2_max_poc_lsb)
+        sh.poc_lsb = b.get(sps.log2_max_poc_lsb)
         if pps.pic_order_present:
             b.se()
     elif sps.poc_type == 1 and not sps.delta_pic_order_always_zero:
@@ -55,13 +57,19 @@ def parse_slice_header(b: Bits, nal_type: int, sps: SPS,
             b.se()
     if pps.redundant_pic_cnt_present:
         b.ue()
-    if sh.slice_type == 0:        # P
+    if sh.slice_type == 1:        # B
+        sh.direct_spatial = bool(b.get1())
+        if not sh.direct_spatial:
+            raise NotSupported("h264: temporal direct mode")
+    if sh.slice_type in (0, 1):
         if b.get1():              # num_ref_idx_active_override
             b.ue()
-        if b.get1():              # ref_pic_list_modification
+            if sh.slice_type == 1:
+                b.ue()
+        if b.get1():              # ref_pic_list_modification l0
             raise NotSupported("h264: ref pic list modification")
-    elif sh.slice_type == 1:
-        raise NotSupported("h264: B slices")
+        if sh.slice_type == 1 and b.get1():
+            raise NotSupported("h264: ref pic list modification l1")
     if not sh.idr and sh.slice_type != 2:
         pass
     # dec_ref_pic_marking (only for reference pictures)
@@ -105,10 +113,14 @@ class SliceDecoder:
         self.blk_done = np.zeros((nmby * 4, nmbx * 4), bool)
         self.mb_qp = np.zeros((nmby, nmbx), np.int32)
         self.mb_intra = np.zeros((nmby, nmbx), bool)
-        # inter state: per-4x4 motion vectors (quarter pel) and ref flag
-        self.mv = np.zeros((nmby * 4, nmbx * 4, 2), np.int32)
-        self.mv_ref = np.full((nmby * 4, nmbx * 4), -1, np.int32)
-        self.ref_frame = None      # (y, u, v) of the reference picture
+        self.mb_16x16 = np.zeros((nmby, nmbx), bool)   # 16x16-or-intra
+        # inter state: per-4x4 motion vectors (quarter pel) per list
+        self.mv = np.zeros((2, nmby * 4, nmbx * 4, 2), np.int32)
+        self.mv_ref = np.full((2, nmby * 4, nmbx * 4), -1, np.int32)
+        self.ref_frame = None       # legacy single ref (P path): planes
+        self.list0 = []             # DPB entries for list 0 (planes, ...)
+        self.list1 = []
+        self.poc = 0
 
     # --- CAVLC context ---------------------------------------------------------
     def _pred_nnz(self, nnz, bx, by):
@@ -124,26 +136,30 @@ class SliceDecoder:
 
     # --- macroblock decode --------------------------------------------------------
     def decode_slice(self, b: Bits, sh: SliceHeader):
-        if sh.slice_type not in (0, 2):
-            raise NotSupported("h264: only I/P slices decoded yet")
         sps = self.sps
         qp = sh.qp
         mb_addr = sh.first_mb
         nmbx = sps.mb_width
         is_p = sh.slice_type == 0
+        is_b = sh.slice_type == 1
         if is_p and self.ref_frame is None:
             raise InvalidData("h264: P slice without reference")
+        if is_b and (not self.list0 or not self.list1):
+            raise InvalidData("h264: B slice without both references")
         while True:
             mbx, mby = mb_addr % nmbx, mb_addr // nmbx
             if mby >= sps.mb_height:
                 break
-            if is_p:
+            if is_p or is_b:
                 skip_run = b.ue()
                 for _ in range(skip_run):
                     mbx, mby = mb_addr % nmbx, mb_addr // nmbx
                     if mby >= sps.mb_height:
                         raise InvalidData("h264: skip run overflow")
-                    self._decode_mb_skip(mbx, mby, qp)
+                    if is_b:
+                        self._decode_mb_b_direct(mbx, mby, qp)
+                    else:
+                        self._decode_mb_skip(mbx, mby, qp)
                     self.mb_avail[mby, mbx] = True
                     mb_addr += 1
                 if not b.more_rbsp():
@@ -152,7 +168,13 @@ class SliceDecoder:
                 if mby >= sps.mb_height:
                     break
                 mb_type = b.ue()
-                if mb_type >= 5:
+                if is_b:
+                    if mb_type >= 23:
+                        qp = self._decode_mb_i(b, mbx, mby, qp,
+                                               mb_type=mb_type - 23)
+                    else:
+                        qp = self._decode_mb_b(b, mbx, mby, qp, mb_type)
+                elif mb_type >= 5:
                     qp = self._decode_mb_i(b, mbx, mby, qp,
                                            mb_type=mb_type - 5)
                 else:
@@ -164,25 +186,206 @@ class SliceDecoder:
             if not b.more_rbsp():
                 break
 
+    # --- B slices (spatial direct only) ---------------------------------------------
+    # mb_type 4..21: (is_8x16, mask_part0, mask_part1) with 1=L0 2=L1 3=Bi
+    _B_TWO = {4: (0, 1, 1), 5: (1, 1, 1), 6: (0, 2, 2), 7: (1, 2, 2),
+              8: (0, 1, 2), 9: (1, 1, 2), 10: (0, 2, 1), 11: (1, 2, 1),
+              12: (0, 1, 3), 13: (1, 1, 3), 14: (0, 2, 3), 15: (1, 2, 3),
+              16: (0, 3, 1), 17: (1, 3, 1), 18: (0, 3, 2), 19: (1, 3, 2),
+              20: (0, 3, 3), 21: (1, 3, 3)}
+
+    def _direct_pred(self, bx, by):
+        """Spatial-direct ref/mv derivation (h264_direct.c
+        pred_spatial_direct_motion top): unsigned-min ref + match rule."""
+        from .inter import median_mv
+        out = []
+        for lst in range(2):
+            nbrs = []
+            for nb in ((bx - 1, by), (bx, by - 1), (bx + 4, by - 1)):
+                mv, r, av = self._mv_nbr(*nb, lst)
+                if not av and nb == (bx + 4, by - 1):
+                    mv, r, av = self._mv_nbr(bx - 1, by - 1, lst)
+                nbrs.append((mv, r if av else -2))
+            refs_u = [r & 0xFFFFFFFF for _mv, r in nbrs]
+            ref = min(refs_u)
+            ref = ref if ref < 0x80000000 else (ref - (1 << 32))
+            if ref >= 0:
+                matches = [i for i, (_mv, r) in enumerate(nbrs) if r == ref]
+                if len(matches) > 1:
+                    mv = median_mv(nbrs[0][0], nbrs[1][0], nbrs[2][0])
+                else:
+                    mv = nbrs[matches[0]][0]
+            else:
+                mv = (0, 0)
+            out.append((ref, mv))
+        return out
+
+    def _decode_mb_b_direct(self, mbx, mby, qp, residual_cb=None):
+        """B_Direct_16x16 / B_Skip (spatial, 8.4.1.2.2 +
+        direct_8x8_inference; mirrors pred_spatial_direct_motion)."""
+        bx, by = mbx * 4, mby * 4
+        (r0, mvd0), (r1, mvd1) = self._direct_pred(bx, by)
+        if r0 < 0 and r1 < 0:
+            r0 = r1 = 0
+            mvd0 = mvd1 = (0, 0)
+        mv = [mvd0 if r0 >= 0 else (0, 0), mvd1 if r1 >= 0 else (0, 0)]
+        refs = [r0, r1]
+        col = self.list1[0]
+        col_intra = bool(col["intra"][mby, mbx])
+        col16 = bool(col["mb16"][mby, mbx])
+        short = col.get("short_term", True)
+
+        def col_zero_at(cbx4, cby4):
+            if col_intra or not short:
+                return False
+            if int(col["ref"][cby4 & ~1 if False else cby4,
+                              cbx4]) != 0:
+                return False
+            cmv = col["mv"][cby4, cbx4]
+            return abs(int(cmv[0])) <= 1 and abs(int(cmv[1])) <= 1
+
+        # per-4x4 final mvs
+        final = np.zeros((2, 4, 4, 2), np.int64)
+        for lst in range(2):
+            final[lst, :, :, 0] = mv[lst][0]
+            final[lst, :, :, 1] = mv[lst][1]
+        if not (mv[0] == (0, 0) and mv[1] == (0, 0)):
+            if col16:
+                # single decision from the col MB's first block
+                if col_zero_at(bx, by):
+                    if refs[0] == 0:
+                        final[0] = 0
+                    if refs[1] == 0:
+                        final[1] = 0
+            else:
+                for q in range(4):
+                    x8, y8 = q & 1, q >> 1
+                    # quadrant col ref from its top-left block; corner
+                    # 4x4 mv per direct_8x8_inference
+                    qref = int(col["ref"][by + y8 * 2, bx + x8 * 2])
+                    if col_intra or not short or qref != 0:
+                        continue
+                    cmv = col["mv"][by + y8 * 3, bx + x8 * 3]
+                    if abs(int(cmv[0])) <= 1 and abs(int(cmv[1])) <= 1:
+                        if refs[0] == 0:
+                            final[0, y8 * 2:y8 * 2 + 2,
+                                  x8 * 2:x8 * 2 + 2] = 0
+                        if refs[1] == 0:
+                            final[1, y8 * 2:y8 * 2 + 2,
+                                  x8 * 2:x8 * 2 + 2] = 0
+        for sy in range(4):
+            for sx in range(4):
+                cbx, cby = bx + sx, by + sy
+                mvs = [None, None]
+                for lst in range(2):
+                    if refs[lst] >= 0:
+                        mvs[lst] = (int(final[lst, sy, sx, 0]),
+                                    int(final[lst, sy, sx, 1]))
+                        self.mv[lst, cby, cbx] = mvs[lst]
+                        self.mv_ref[lst, cby, cbx] = refs[lst]
+                    else:
+                        self.mv[lst, cby, cbx] = 0
+                        self.mv_ref[lst, cby, cbx] = -1
+                self._mc_bi(mbx, mby, sx, sy, 1, 1, mvs,
+                            [max(refs[0], 0), max(refs[1], 0)])
+        self.blk_done[by:by + 4, bx:bx + 4] = True
+        self.intra4x4_modes[by:by + 4, bx:bx + 4] = 2
+        self.mb_16x16[mby, mbx] = True
+        if residual_cb is None:
+            self.nnz_y[by:by + 4, bx:bx + 4] = 0
+            self.nnz_u[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+            self.nnz_v[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+        self.mb_qp[mby, mbx] = qp
+
+    def _decode_mb_b(self, b, mbx, mby, qp, mb_type):
+        if mb_type == 22:
+            raise NotSupported("h264: B_8x8 partitions")
+        bx, by = mbx * 4, mby * 4
+        self.mb_16x16[mby, mbx] = mb_type <= 3
+        if mb_type == 0:
+            self._decode_mb_b_direct(mbx, mby, qp, residual_cb=True)
+            parts, masks = [], []
+        elif mb_type <= 3:
+            parts = [(0, 0, 4, 4)]
+            masks = [mb_type]      # 1=L0 2=L1 3=Bi
+        else:
+            v8x16, m0, m1 = self._B_TWO[mb_type]
+            parts = [(0, 0, 2, 4), (2, 0, 2, 4)] if v8x16 else \
+                [(0, 0, 4, 2), (0, 2, 4, 2)]
+            masks = [m0, m1]
+        # mvds coded list-major
+        mvds = {0: [None] * len(parts), 1: [None] * len(parts)}
+        for lst in range(2):
+            for i, m in enumerate(masks):
+                if m & (1 << lst):
+                    mvds[lst][i] = (b.se(), b.se())
+        for lst in range(2):
+            for i, (px, py, w4, h4) in enumerate(parts):
+                if mvds[lst][i] is None:
+                    self.mv_ref[lst, by + py:by + py + h4,
+                                bx + px:bx + px + w4] = -1
+        for i, (px, py, w4, h4) in enumerate(parts):
+            mvs = [None, None]
+            refs = [0, 0]
+            for lst in range(2):
+                if mvds[lst][i] is None:
+                    continue
+                pred = self._pred_mv(bx + px, by + py, w4, h4, lst)
+                mv = (pred[0] + mvds[lst][i][0], pred[1] + mvds[lst][i][1])
+                self._store_mv(bx + px, by + py, w4, h4, mv, lst, 0)
+                mvs[lst] = mv
+            self.blk_done[by + py:by + py + h4, bx + px:bx + px + w4] = True
+            self.intra4x4_modes[by + py:by + py + h4,
+                                bx + px:bx + px + w4] = 2
+            self._mc_bi(mbx, mby, px, py, w4, h4, mvs, refs)
+        # residual identical to P
+        cbp_code = b.ue()
+        if cbp_code > 47:
+            raise InvalidData("h264: bad cbp")
+        cbp = T.GOLOMB_TO_INTER_CBP[cbp_code]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = (qp + b.se() + 52) % 52
+        self.mb_qp[mby, mbx] = qp
+        x0, y0 = mbx * 16, mby * 16
+        for blk in range(16):
+            dx, dy = _BLK_XY[blk]
+            bx4, by4 = bx + dx, by + dy
+            if not (cbp_luma & (1 << (blk >> 2))):
+                self.nnz_y[by4, bx4] = 0
+                continue
+            nc = self._pred_nnz(self.nnz_y, bx4, by4)
+            lv, total = decode_residual(b, 16, nc)
+            self.nnz_y[by4, bx4] = total
+            raster = np.zeros(16, np.int64)
+            raster[recon.ZIGZAG4] = lv
+            block = recon.dequant4(raster, qp)
+            px, py = x0 + dx * 4, y0 + dy * 4
+            dst = self.y[py:py + 4, px:px + 4].copy()
+            recon.idct4_add(dst, block)
+            self.y[py:py + 4, px:px + 4] = dst
+        self._decode_chroma_inter(b, mbx, mby, qp, cbp_chroma)
+        return qp
+
     # --- motion vector prediction (spec 8.4.1.3) -----------------------------------
-    def _mv_nbr(self, bx, by):
+    def _mv_nbr(self, bx, by, lst=0):
         """→ (mv, ref) for the 4x4 block, ((0,0), -1) if unavailable or
         intra."""
         if bx < 0 or by < 0 or bx >= self.sps.mb_width * 4 or \
                 not self.blk_done[by, bx]:
             return (0, 0), -1, False
-        return (int(self.mv[by, bx, 0]), int(self.mv[by, bx, 1])), \
-            int(self.mv_ref[by, bx]), True
+        return (int(self.mv[lst, by, bx, 0]), int(self.mv[lst, by, bx, 1])), \
+            int(self.mv_ref[lst, by, bx]), True
 
-    def _pred_mv(self, bx, by, w4, h4):
+    def _pred_mv(self, bx, by, w4, h4, lst=0):
         """Median predictor for a partition at 4x4 coords (bx,by) of size
         (w4,h4) in 4x4 units, ref 0."""
         from .inter import median_mv
-        a, ra, avail_a = self._mv_nbr(bx - 1, by)
-        bvec, rb, avail_b = self._mv_nbr(bx, by - 1)
-        c, rc, avail_c = self._mv_nbr(bx + w4, by - 1)
+        a, ra, avail_a = self._mv_nbr(bx - 1, by, lst)
+        bvec, rb, avail_b = self._mv_nbr(bx, by - 1, lst)
+        c, rc, avail_c = self._mv_nbr(bx + w4, by - 1, lst)
         if not avail_c:
-            c, rc, avail_c = self._mv_nbr(bx - 1, by - 1)
+            c, rc, avail_c = self._mv_nbr(bx - 1, by - 1, lst)
         # directional rules for 16x8 / 8x16 partitions
         if w4 == 4 and h4 == 2:          # 16x8
             if by % 4 == 0 and rb == 0:
@@ -202,15 +405,17 @@ class SliceDecoder:
             return matches[0][0]
         return median_mv(a, bvec, c)
 
-    def _store_mv(self, bx, by, w4, h4, mv):
-        self.mv[by:by + h4, bx:bx + w4] = mv
-        self.mv_ref[by:by + h4, bx:bx + w4] = 0
+    def _store_mv(self, bx, by, w4, h4, mv, lst=0, ref=0):
+        self.mv[lst, by:by + h4, bx:bx + w4] = mv
+        self.mv_ref[lst, by:by + h4, bx:bx + w4] = ref
         self.blk_done[by:by + h4, bx:bx + w4] = True
         self.intra4x4_modes[by:by + h4, bx:bx + w4] = 2
 
-    def _mc_partition(self, mbx, mby, px4, py4, w4, h4, mv):
+    def _mc_partition(self, mbx, mby, px4, py4, w4, h4, mv,
+                      ref_planes=None):
         from .inter import mc_chroma, mc_luma
-        ry, ru, rv = self.ref_frame
+        ry, ru, rv = ref_planes if ref_planes is not None else \
+            self.ref_frame
         x, y = (mbx * 4 + px4) * 4, (mby * 4 + py4) * 4
         self.y[y:y + h4 * 4, x:x + w4 * 4] = mc_luma(
             ry, mv[0], mv[1], x, y, w4 * 4, h4 * 4)
@@ -219,6 +424,33 @@ class SliceDecoder:
             ru, mv[0], mv[1], cx, cy, w4 * 2, h4 * 2)
         self.v[cy:cy + h4 * 2, cx:cx + w4 * 2] = mc_chroma(
             rv, mv[0], mv[1], cx, cy, w4 * 2, h4 * 2)
+
+    def _mc_bi(self, mbx, mby, px4, py4, w4, h4, mvs, refs):
+        """Uni/bi prediction: mvs/refs per list (None = unused list)."""
+        from .inter import mc_chroma, mc_luma
+        x, y = (mbx * 4 + px4) * 4, (mby * 4 + py4) * 4
+        cx, cy = x // 2, y // 2
+        preds = []
+        for lst in range(2):
+            if mvs[lst] is None:
+                preds.append(None)
+                continue
+            planes = (self.list0 if lst == 0 else self.list1)[refs[lst]]
+            ry, ru, rv = planes["planes"]
+            mv = mvs[lst]
+            preds.append((
+                mc_luma(ry, mv[0], mv[1], x, y, w4 * 4, h4 * 4),
+                mc_chroma(ru, mv[0], mv[1], cx, cy, w4 * 2, h4 * 2),
+                mc_chroma(rv, mv[0], mv[1], cx, cy, w4 * 2, h4 * 2)))
+        if preds[0] is not None and preds[1] is not None:
+            out = tuple(((a.astype(np.int32) + b.astype(np.int32) + 1)
+                         >> 1).astype(np.uint8)
+                        for a, b in zip(preds[0], preds[1]))
+        else:
+            out = preds[0] if preds[0] is not None else preds[1]
+        self.y[y:y + h4 * 4, x:x + w4 * 4] = out[0]
+        self.u[cy:cy + h4 * 2, cx:cx + w4 * 2] = out[1]
+        self.v[cy:cy + h4 * 2, cx:cx + w4 * 2] = out[2]
 
     def _decode_mb_skip(self, mbx, mby, qp):
         bx, by = mbx * 4, mby * 4
@@ -231,6 +463,7 @@ class SliceDecoder:
             mv = self._pred_mv(bx, by, 4, 4)
         self._store_mv(bx, by, 4, 4, mv)
         self._mc_partition(mbx, mby, 0, 0, 4, 4, mv)
+        self.mb_16x16[mby, mbx] = True
         self.nnz_y[by:by + 4, bx:bx + 4] = 0
         self.nnz_u[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
         self.nnz_v[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
@@ -247,6 +480,7 @@ class SliceDecoder:
         if mb_type > 4:
             raise InvalidData(f"h264: bad P mb_type {mb_type}")
         bx, by = mbx * 4, mby * 4
+        self.mb_16x16[mby, mbx] = mb_type == 0
         if mb_type in (3, 4):         # P_8x8 / P_8x8ref0
             subs = [b.ue() for _ in range(4)]
             if any(st > 3 for st in subs):
@@ -357,6 +591,7 @@ class SliceDecoder:
         if mb_type > 25:
             raise InvalidData(f"h264: bad I mb_type {mb_type}")
         self.mb_intra[mby, mbx] = True
+        self.mb_16x16[mby, mbx] = True
         avail_l = self._avail(mbx, mby, -1, 0)
         avail_t = self._avail(mbx, mby, 0, -1)
         avail_tl = self._avail(mbx, mby, -1, -1)

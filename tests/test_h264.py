@@ -71,7 +71,7 @@ def nal(ref_idc, ntype, rbsp):
         escape(rbsp)
 
 
-def make_sps(mb_w=4, mb_h=3):
+def make_sps(mb_w=4, mb_h=3, num_ref=1):
     w = BW()
     w.u(66, 8)            # baseline
     w.u(0, 8)
@@ -80,7 +80,7 @@ def make_sps(mb_w=4, mb_h=3):
     w.ue(4)               # log2_max_frame_num - 4 ... (value 4 -> 8)
     w.ue(0)               # poc type 0
     w.ue(4)               # log2_max_poc_lsb - 4
-    w.ue(1)               # num_ref_frames
+    w.ue(num_ref)         # num_ref_frames
     w.u(0, 1)             # gaps allowed
     w.ue(mb_w - 1)
     w.ue(mb_h - 1)
@@ -707,3 +707,173 @@ def test_avcc_extradata_path():
     ours = _ours(stream)
     for a, b in zip(frames[0].planes, ours):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def b_slice_head(w, frame_num, poc_lsb, deblock=False):
+    w.ue(0)               # first_mb
+    w.ue(6)               # slice_type: B (all slices)
+    w.ue(0)               # pps_id
+    w.u(frame_num & 0xFF, 8)
+    w.u(poc_lsb & 0xFF, 8)
+    w.u(1, 1)             # direct_spatial_mv_pred_flag
+    w.u(0, 1)             # num_ref_idx_active_override
+    w.u(0, 1)             # ref_pic_list_modification l0
+    w.u(0, 1)             # ref_pic_list_modification l1
+    # nal_ref_idc == 0 -> no dec_ref_pic_marking
+    w.se(0)               # slice_qp_delta
+    w.ue(1 if not deblock else 0)
+    if not deblock:
+        return
+    w.se(0)
+    w.se(0)
+
+
+_B_MASKS = {0: (None, ()), 1: ("16x16", (1,)), 2: ("16x16", (2,)),
+            3: ("16x16", (3,)),
+            4: ("16x8", (1, 1)), 5: ("8x16", (1, 1)),
+            6: ("16x8", (2, 2)), 7: ("8x16", (2, 2)),
+            8: ("16x8", (1, 2)), 9: ("8x16", (1, 2)),
+            10: ("16x8", (2, 1)), 11: ("8x16", (2, 1)),
+            12: ("16x8", (1, 3)), 13: ("8x16", (1, 3)),
+            14: ("16x8", (2, 3)), 15: ("8x16", (2, 3)),
+            16: ("16x8", (3, 1)), 17: ("8x16", (3, 1)),
+            18: ("16x8", (3, 2)), 19: ("8x16", (3, 2)),
+            20: ("16x8", (3, 3)), 21: ("8x16", (3, 3))}
+
+
+def craft_b_frame(mb_w=4, mb_h=3, frame_num=2, poc_lsb=2, seed=0,
+                  deblock=False, with_residual=True):
+    rng = np.random.default_rng(seed)
+    w = BW()
+    b_slice_head(w, frame_num, poc_lsb, deblock=deblock)
+    nnz = np.full((mb_h * 4, mb_w * 4), -1, np.int32)
+    nnz_c = [np.full((mb_h * 2, mb_w * 2), -1, np.int32) for _ in range(2)]
+    idx = 0
+    n = mb_w * mb_h
+    while idx < n:
+        run = int(rng.integers(0, 2)) if idx > 0 and n - idx > 2 else 0
+        w.ue(run)
+        for _ in range(run):
+            mbx, mby = idx % mb_w, idx // mb_w
+            nnz[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 0
+            for c in nnz_c:
+                c[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+            idx += 1
+        if idx >= n:
+            break
+        mbx, mby = idx % mb_w, idx // mb_w
+        mb_type = int(rng.choice([0, 1, 2, 3, 3, 8, 9, 10, 12, 16, 20, 21]))
+        w.ue(mb_type)
+        shape, masks = _B_MASKS[mb_type]
+        nparts = len(masks)
+        for lst in range(2):
+            for m in masks:
+                if m & (1 << lst):
+                    w.se(int(rng.integers(-8, 9)))
+                    w.se(int(rng.integers(-8, 9)))
+        if with_residual and rng.integers(0, 2):
+            cbp_luma, cbp_chroma = 15, int(rng.integers(0, 3))
+        else:
+            cbp_luma, cbp_chroma = 0, 0
+        cbp = cbp_luma + 16 * cbp_chroma
+        w.ue(HT.GOLOMB_TO_INTER_CBP.index(cbp))
+        if cbp:
+            w.se(0)
+        from ffmpeg_tpu.codecs.h264.slice_dec import _BLK_XY
+        if cbp_luma:
+            for blk in range(16):
+                dx, dy = _BLK_XY[blk]
+                bx, by = mbx * 4 + dx, mby * 4 + dy
+                lv = [0] * 16
+                nlv = int(rng.integers(0, 3))
+                posv = sorted(rng.choice(16, nlv, replace=False)) \
+                    if nlv else []
+                for pv in posv:
+                    lv[pv] = int(rng.integers(-4, 5)) or 1
+                nc = _nc(nnz, bx, by)
+                total = write_residual(w, lv, 16, nc)
+                nnz[by, bx] = total
+        else:
+            nnz[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 0
+        if cbp_chroma:
+            for ci in range(2):
+                write_residual(w, [int(rng.integers(-2, 3)), 0, 0, 0],
+                               4, -1)
+            for ci in range(2):
+                for blk in range(4):
+                    dx, dy = blk & 1, blk >> 1
+                    bx, by = mbx * 2 + dx, mby * 2 + dy
+                    if cbp_chroma == 2:
+                        ac = [0] * 15
+                        if rng.integers(0, 2):
+                            ac[int(rng.integers(0, 5))] = \
+                                int(rng.integers(-2, 3)) or 1
+                        nc = _nc(nnz_c[ci], bx, by)
+                        total = write_residual(w, ac, 15, nc)
+                        nnz_c[ci][by, bx] = total
+                    else:
+                        nnz_c[ci][by, bx] = 0
+        else:
+            for ci in range(2):
+                nnz_c[ci][mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+        idx += 1
+    return nal(0, 1, w.rbsp())
+
+
+def craft_p_frame_poc(frame_num, poc_lsb, seed, deblock=False):
+    """craft_p_frame but with an explicit poc."""
+    import test_h264 as me
+    orig = me.p_slice_head
+
+    def head(w, fn=1, disable_deblock=True):
+        w.ue(0)
+        w.ue(5)
+        w.ue(0)
+        w.u(fn & 0xFF, 8)
+        w.u(poc_lsb & 0xFF, 8)
+        w.u(0, 1)
+        w.u(0, 1)
+        w.u(0, 1)
+        w.se(0)
+        w.ue(1 if disable_deblock else 0)
+        if not disable_deblock:
+            w.se(0)
+            w.se(0)
+    me.p_slice_head = head
+    try:
+        return craft_p_frame(frame_num=frame_num, seed=seed,
+                             deblock=deblock)
+    finally:
+        me.p_slice_head = orig
+
+
+@requires_ref
+@pytest.mark.parametrize("seed", [0, 3])
+def test_b_frames_exact(tmp_path, seed):
+    """IDR(poc0) P(poc4) B(poc2) with 2 reference slots: the B's L0 is
+    the IDR and L1 the P; display order I,B,P must match the reference
+    sample-exactly."""
+    import test_h264 as me
+    orig = me.make_sps
+    me.make_sps = lambda mb_w=4, mb_h=3: orig(mb_w, mb_h, num_ref=2)
+    try:
+        stream = craft_i16x16_residual(seed=seed)      # poc 0
+    finally:
+        me.make_sps = orig
+    stream += craft_p_frame_poc(1, 4, 50 + seed)       # poc 4
+    stream += craft_b_frame(frame_num=2, poc_lsb=2, seed=60 + seed)
+    p = tmp_path / "b.h264"
+    p.write_bytes(stream)
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264")
+    dec = CodecContext.open_decoder(par)
+    frames = dec.decode_all([Packet(data=stream, pts=0,
+                                    time_base=Rational(1, 25))])
+    raw = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "h264", "-i", str(p),
+         "-f", "rawvideo", "-"], check=True, capture_output=True).stdout
+    sz = 64 * 48 * 3 // 2
+    assert len(frames) == len(raw) // sz == 3
+    for i, f in enumerate(frames):
+        got = np.concatenate([np.asarray(pl).ravel() for pl in f.planes])
+        want = np.frombuffer(raw[i * sz:(i + 1) * sz], np.uint8)
+        np.testing.assert_array_equal(got, want, err_msg=f"frame {i}")

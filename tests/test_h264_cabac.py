@@ -66,7 +66,8 @@ def _rand_levels(rng, n, maxn=3, amp=6):
     return lv
 
 
-def _setup(mb_w, mb_h, slice_type, idr, frame_num=0, deblock=False):
+def _setup(mb_w, mb_h, slice_type, idr, frame_num=0, deblock=False,
+           poc_lsb=0):
     """→ (header BW, scratch SliceDecoder, sps, pps)."""
     sps_nal = make_sps(mb_w, mb_h)
     pps_nal = make_pps_cabac()
@@ -79,7 +80,7 @@ def _setup(mb_w, mb_h, slice_type, idr, frame_num=0, deblock=False):
     w.u(frame_num & 0xFF, 8)
     if idr:
         w.ue(0)                           # idr_pic_id
-    w.u(0, 8)                             # poc lsb
+    w.u(poc_lsb & 0xFF, 8)                # poc lsb
     if slice_type == 0:
         w.u(0, 1)                         # ref override
         w.u(0, 1)                         # list modification
@@ -245,9 +246,10 @@ def craft_cabac_i(mb_w=4, mb_h=3, seed=0, deblock=False):
     return sps_nal + pps_nal + nal(3, 5, payload)
 
 
-def craft_cabac_p(mb_w=4, mb_h=3, frame_num=1, seed=1, deblock=False):
+def craft_cabac_p(mb_w=4, mb_h=3, frame_num=1, seed=1, deblock=False,
+                  poc_lsb=0):
     w, dec, _s, _p = _setup(mb_w, mb_h, 0, False, frame_num,
-                            deblock=deblock)
+                            deblock=deblock, poc_lsb=poc_lsb)
     rng = np.random.default_rng(seed)
     enc = CabacEncoder()
     sc = CabacSliceCoder(dec, enc, 0, 26, encode=True)
@@ -291,7 +293,7 @@ def craft_cabac_p(mb_w=4, mb_h=3, frame_num=1, seed=1, deblock=False):
                 amvd = _amvd(sc, pbx, pby, comp)
                 mvd = int(rng.integers(-12, 13))
                 sc.mvd(40 if comp == 0 else 47, amvd, v=mvd)
-                sc.mvd_cache[pby:pby + h4, pbx:pbx + w4, comp] = \
+                sc.mvd_cache[0, pby:pby + h4, pbx:pbx + w4, comp] = \
                     min(abs(mvd), 70)
         cbp_luma = 15 if rng.integers(0, 2) else 0
         cbp_chroma = int(rng.integers(0, 3))
@@ -381,6 +383,138 @@ def test_cabac_long_gop_stress(tmp_path, seed):
          "-f", "rawvideo", "-"], check=True, capture_output=True).stdout
     sz = 80 * 64 * 3 // 2
     assert len(frames) == len(raw) // sz == 5
+    for i, f in enumerate(frames):
+        got = np.concatenate([np.asarray(pl).ravel() for pl in f.planes])
+        want = np.frombuffer(raw[i * sz:(i + 1) * sz], np.uint8)
+        np.testing.assert_array_equal(got, want, err_msg=f"frame {i}")
+
+
+def craft_cabac_b(mb_w=4, mb_h=3, frame_num=2, poc_lsb=2, seed=7,
+                  deblock=False):
+    w, dec, _s, _p = _setup_b(mb_w, mb_h, frame_num, poc_lsb, deblock)
+    rng = np.random.default_rng(seed)
+    enc = CabacEncoder()
+    sc = CabacSliceCoder(dec, enc, 1, 26, encode=True)
+    from ffmpeg_tpu.codecs.h264.cabac_slice import _amvd
+    n = mb_w * mb_h
+    for idx in range(n):
+        mbx, mby = idx % mb_w, idx // mb_w
+        bx, by = mbx * 4, mby * 4
+        skip = bool(rng.integers(0, 4) == 0)
+        sc.mb_skip_flag(mbx, mby, v=1 if skip else 0)
+        if skip:
+            sc.skip_tab[mby, mbx] = True
+            sc.direct_tab[mby, mbx] = True
+            sc.cbp_tab[mby, mbx] = 0
+            sc.last_dqp = 0
+            dec.nnz_y[by:by + 4, bx:bx + 4] = 0
+            dec.nnz_u[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+            dec.nnz_v[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+            dec.blk_done[by:by + 4, bx:bx + 4] = True
+            dec.mb_avail[mby, mbx] = True
+            enc.terminate(1 if idx == n - 1 else 0)
+            continue
+        mb_type = int(rng.choice([0, 1, 2, 3, 8, 12, 16, 20, 21]))
+        sc.b_mb_type(mbx, mby, v=mb_type)
+        if mb_type == 0:
+            sc.direct_tab[mby, mbx] = True
+            masks, parts = [], []
+        elif mb_type <= 3:
+            parts = [(0, 0, 4, 4)]
+            masks = [mb_type]
+        else:
+            from ffmpeg_tpu.codecs.h264.slice_dec import SliceDecoder
+            v8x16, m0, m1 = SliceDecoder._B_TWO[mb_type]
+            parts = [(0, 0, 2, 4), (2, 0, 2, 4)] if v8x16 else \
+                [(0, 0, 4, 2), (0, 2, 4, 2)]
+            masks = [m0, m1]
+        for lst in range(2):
+            for i, (px, py, w4, h4) in enumerate(parts):
+                if not (masks[i] & (1 << lst)):
+                    continue
+                pbx, pby = bx + px, by + py
+                for comp in range(2):
+                    amvd = _amvd(sc, pbx, pby, comp, lst)
+                    mvd = int(rng.integers(-9, 10))
+                    sc.mvd(40 if comp == 0 else 47, amvd, v=mvd)
+                    sc.mvd_cache[lst, pby:pby + h4, pbx:pbx + w4, comp] = \
+                        min(abs(mvd), 70)
+        cbp_luma = 15 if rng.integers(0, 2) else 0
+        cbp_chroma = int(rng.integers(0, 3))
+        cbp = cbp_luma | (cbp_chroma << 4)
+        sc.cbp(mbx, mby, False, v=cbp)
+        if cbp:
+            sc.mb_qp_delta(v=0)
+        else:
+            sc.last_dqp = 0
+        for blk in range(16):
+            dxb, dyb = _BLK_XY[blk]
+            bx4, by4 = bx + dxb, by + dyb
+            if cbp_luma:
+                lv = _rand_levels(rng, 16, maxn=2, amp=4)
+                _l, t2 = sc.residual(2, mbx, mby, bx4, by4, 16, False,
+                                     levels=lv)
+                dec.nnz_y[by4, bx4] = t2
+            else:
+                dec.nnz_y[by4, bx4] = 0
+        cbp_entry = _encode_chroma(dec, sc, mbx, mby, cbp, rng,
+                                   intra=False)
+        sc.cbp_tab[mby, mbx] = cbp_entry
+        dec.blk_done[by:by + 4, bx:bx + 4] = True
+        dec.mb_avail[mby, mbx] = True
+        enc.terminate(1 if idx == n - 1 else 0)
+    payload = _bits_to_bytes(w.bits) + _bits_to_bytes(enc.bitstring())
+    return nal(0, 1, payload)
+
+
+def _setup_b(mb_w, mb_h, frame_num, poc_lsb, deblock):
+    sps_nal = make_sps(mb_w, mb_h)
+    pps_nal = make_pps_cabac()
+    sps = parse_sps(N.unescape(sps_nal[5:]))
+    pps = parse_pps(N.unescape(pps_nal[5:]))
+    w = BW()
+    w.ue(0)
+    w.ue(6)               # B
+    w.ue(0)
+    w.u(frame_num & 0xFF, 8)
+    w.u(poc_lsb & 0xFF, 8)
+    w.u(1, 1)             # direct_spatial
+    w.u(0, 1)             # ref override
+    w.u(0, 1)             # list mod l0
+    w.u(0, 1)             # list mod l1
+    # nal_ref_idc 0 -> no marking
+    w.ue(0)               # cabac_init_idc
+    w.se(0)               # qp delta
+    w.ue(1 if not deblock else 0)
+    if deblock:
+        w.se(0)
+        w.se(0)
+    while len(w.bits) % 8:
+        w.u(1, 1)
+    return w, SliceDecoder(sps, pps), sps_nal, pps_nal
+
+
+@requires_ref
+@pytest.mark.parametrize("seed", [1, 5])
+def test_cabac_b_gop_exact(tmp_path, seed):
+    stream = craft_cabac_i(seed=40 + seed, deblock=True)
+    stream += craft_cabac_p(frame_num=1, seed=50 + seed, deblock=True,
+                            poc_lsb=4)
+    stream += craft_cabac_b(frame_num=2, poc_lsb=2, seed=60 + seed,
+                            deblock=True)
+    p = tmp_path / "cb.h264"
+    p.write_bytes(stream)
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264")
+    dec = CodecContext.open_decoder(par)
+    frames = dec.decode_all([Packet(data=stream, pts=0,
+                                    time_base=Rational(1, 25))])
+    raw = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "h264", "-i", str(p),
+         "-f", "rawvideo", "-"], capture_output=True)
+    assert raw.returncode == 0, raw.stderr.decode()
+    raw = raw.stdout
+    sz = 64 * 48 * 3 // 2
+    assert len(frames) == len(raw) // sz == 3
     for i, f in enumerate(frames):
         got = np.concatenate([np.asarray(pl).ravel() for pl in f.planes])
         want = np.frombuffer(raw[i * sz:(i + 1) * sz], np.uint8)
