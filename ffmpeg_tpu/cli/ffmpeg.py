@@ -358,6 +358,16 @@ def transcode(o: CliOptions) -> None:
         ch["out_idx"] = ch["out_st"].index
 
     start_us = inp.seek or 0
+    if start_us and demux.streams:
+        # fast seek to the preceding keyframe; the timestamp filter below
+        # discards frames before the exact target (ffmpeg -ss semantics)
+        st0 = vstream or astream or demux.streams[0]
+        try:
+            demux.seek(st0.index,
+                       start_us * st0.time_base.den
+                       // (1000000 * st0.time_base.num))
+        except FFTPUError:
+            pass                   # demuxer without seek: decode+discard
     limit_us = inp.duration if inp.duration is not None else \
         (out.duration if out.duration is not None else None)
     vdone = False

@@ -77,6 +77,7 @@ class AviDemuxer(Demuxer):
         if self._movi_start is None:
             raise InvalidData("avi: no movi")
         self._counts: Dict[int, int] = {}
+        self._idx1 = None          # parsed lazily on seek
 
     def _parse_strh(self, d: bytes) -> None:
         fcc_type = d[0:4]
@@ -114,6 +115,73 @@ class AviDemuxer(Demuxer):
             st = self.streams[-1]
             st.time_base = Rational(1, rate)
         self._pending_par = None
+
+    def _load_idx1(self):
+        """Parse the idx1 index (entries per stream with keyframe flags
+        and movi-relative offsets); restores the read position."""
+        if self._idx1 is not None:
+            return
+        self._idx1 = {i: [] for i in range(len(self.streams))}
+        if not self.r.seekable or self._movi_end is None:
+            return
+        pos = self.r.tell()
+        try:
+            self.r.seek(self._movi_end)
+            counts = {i: 0 for i in range(len(self.streams))}
+            while not self.r.at_eof():
+                tag = self.r.read(4)
+                if tag != b"idx1":
+                    break
+                size = self.r.rl32()
+                data = self.r.read_exact(size)
+                for i in range(0, len(data) - 15, 16):
+                    ck = data[i:i + 4]
+                    flags, off, _sz = struct.unpack("<III",
+                                                    data[i + 4:i + 16])
+                    try:
+                        sid = int(ck[:2])
+                    except ValueError:
+                        continue
+                    if sid >= len(self.streams):
+                        continue
+                    st = self.streams[sid]
+                    n = counts[sid]
+                    self._idx1[sid].append(
+                        (n, off, bool(flags & 0x10)))
+                    if st.codecpar.codec_type == MediaType.AUDIO and \
+                            st.codecpar.block_align:
+                        counts[sid] = n + _sz // st.codecpar.block_align
+                    else:
+                        counts[sid] = n + 1
+                break
+        finally:
+            self.r.seek(pos)
+
+    def seek(self, stream_index: int, ts: int, flags: int = 0) -> None:
+        """Keyframe-aware seek using the idx1 index."""
+        self._load_idx1()
+        entries = self._idx1.get(stream_index) or []
+        if not entries:
+            raise InvalidData("avi: no index for seeking")
+        best = entries[0]
+        for e in entries:
+            if e[0] <= ts and e[2]:
+                best = e
+            if e[0] > ts:
+                break
+        # offsets are relative to the 'movi' fourcc (start - 4)
+        self.r.seek(self._movi_start - 4 + best[1])
+        # reset per-stream counters to the index's packet numbering by
+        # replaying counts up to the seek point
+        self._counts = {}
+        for sid, ents in self._idx1.items():
+            n = 0
+            for e in ents:
+                if self._movi_start - 4 + e[1] >= self.r.tell():
+                    break
+                n = e[0]
+            self._counts[sid] = n
+        self._counts[stream_index] = best[0]
 
     def read_packet(self) -> Packet:
         r = self.r

@@ -95,6 +95,8 @@ class WavDemuxer(Demuxer):
             st.duration = self._data_left // block_align
             self.duration = st.duration * 1000000 // rate
         self._pts = 0
+        self._data_start = r.tell()
+        self._data_size = self._data_left
 
     def read_packet(self) -> Packet:
         st = self.streams[0]
@@ -117,7 +119,18 @@ class WavDemuxer(Demuxer):
         return pkt
 
     def seek(self, stream_index: int, ts: int, flags: int = 0) -> None:
-        raise InvalidData("wav: seek not yet supported")
+        """Sample-accurate byte seek (ts in the stream time base =
+        samples)."""
+        if not self.r.seekable:
+            raise InvalidData("wav: stream not seekable")
+        ba = self.streams[0].codecpar.block_align or 1
+        off = max(0, ts) * ba
+        if self._data_size > 0:
+            off = min(off, self._data_size)
+        self.r.seek(self._data_start + off)
+        self._pts = off // ba
+        if self._data_size > 0:
+            self._data_left = self._data_size - off
 
 
 @register_muxer

@@ -124,3 +124,49 @@ def test_probe_rejects_garbage():
     from ffmpeg_tpu.utils.error import DemuxerNotFound
     with pytest.raises(DemuxerNotFound):
         open_input(b"\x00" * 64)
+
+
+def test_wav_seek(tmp_path):
+    import struct
+    import numpy as np
+    from ffmpeg_tpu.io import open_input
+    sr, n = 8000, 8000
+    samples = np.arange(n, dtype="<i2")
+    pcm = samples.tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(pcm)))
+    p = tmp_path / "s.wav"
+    p.write_bytes(hdr + pcm)
+    d = open_input(str(p))
+    d.seek(0, 4000)
+    pkt = d.read_packet()
+    assert pkt.pts == 4000
+    first = np.frombuffer(pkt.data[:2], "<i2")[0]
+    assert first == 4000
+    # seek back
+    d.seek(0, 100)
+    pkt = d.read_packet()
+    assert pkt.pts == 100
+    assert np.frombuffer(pkt.data[:2], "<i2")[0] == 100
+
+
+def test_avi_seek(tmp_path):
+    import subprocess
+    import refutil
+    import pytest
+    if not refutil.REF.exists():
+        pytest.skip("reference not built")
+    from ffmpeg_tpu.io import open_input
+    p = tmp_path / "s.avi"
+    subprocess.run([str(refutil.REF), "-v", "error", "-f", "lavfi",
+                    "-i", "testsrc2=size=96x64:rate=10", "-frames:v", "20",
+                    "-c:v", "mjpeg", "-q:v", "5", "-y", str(p)],
+                   check=True, capture_output=True)
+    d = open_input(str(p))
+    d.seek(0, 12)
+    pkt = d.read_packet()
+    assert pkt.pts == 12          # mjpeg: every frame is a keyframe
+    assert pkt.data[:2] == b"\xff\xd8"
+    d.seek(0, 0)
+    assert d.read_packet().pts == 0
