@@ -433,7 +433,7 @@ def transcode(o: CliOptions) -> None:
             # -ss / -t on input timestamps
             if pkt.pts != NOPTS and pkt.time_base:
                 t_us = pkt.pts * 1000000 * pkt.time_base.num // pkt.time_base.den
-                if t_us < start_us:
+                if inp.seek is not None and t_us < start_us:
                     continue
                 if limit_us is not None and t_us >= start_us + limit_us:
                     if ch["type"] == "video":

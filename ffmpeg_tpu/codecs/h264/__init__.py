@@ -109,7 +109,11 @@ class H264Decoder(Codec):
                     dec.ref_frame = self._ref
                     if sh.idr:
                         self._dpb.clear()
-                        self._reorder.clear()
+                        # an IDR closes the previous sequence: flush any
+                        # frames still waiting on POC reordering
+                        while self._reorder:
+                            self._reorder.sort(key=lambda t: t[0])
+                            frames.append(self._reorder.pop(0)[1])
                     dec.poc = sh.poc_lsb
                     # reference lists (single active entry each)
                     if sh.slice_type == 1:

@@ -121,3 +121,23 @@ class NullMuxer(Muxer):
 
     def _write_packet(self, pkt: Packet) -> None:
         pass
+
+
+@register_muxer
+class HashMuxer(Muxer):
+    """Whole-stream hash muxer (hashenc.c `hash`): SHA-256 by default,
+    algorithm selectable via the `hash` option (md5/sha1/sha256/sha512)."""
+
+    name = "hash"
+    interleave = False
+    hash = "sha256"
+
+    def _write_header(self) -> None:
+        self._h = hashlib.new(self.hash)
+
+    def _write_packet(self, pkt: Packet) -> None:
+        self._h.update(pkt.data)
+
+    def _write_trailer(self) -> None:
+        self.w.write(f"{self._h.name.upper()}="
+                     f"{self._h.hexdigest()}\n".encode())

@@ -877,3 +877,27 @@ def test_b_frames_exact(tmp_path, seed):
         got = np.concatenate([np.asarray(pl).ravel() for pl in f.planes])
         want = np.frombuffer(raw[i * sz:(i + 1) * sz], np.uint8)
         np.testing.assert_array_equal(got, want, err_msg=f"frame {i}")
+
+
+@requires_ref
+def test_h264_in_mp4_end_to_end(tmp_path):
+    """Crafted h264 wrapped in MP4 by the reference → our mov demuxer
+    (AVCC extradata + length-prefixed samples) → our decoder, byte-exact."""
+    raw = tmp_path / "s.h264"
+    raw.write_bytes(craft_i4x4(with_residual=True, seed=13)
+                    + craft_i4x4(with_residual=True, seed=29))
+    mp4 = tmp_path / "s.mp4"
+    subprocess.run([str(refutil.REF), "-v", "error", "-f", "h264",
+                    "-r", "25", "-i", str(raw), "-c", "copy",
+                    "-y", str(mp4)], check=True, capture_output=True)
+    from ffmpeg_tpu.io import open_input
+    d = open_input(str(mp4))
+    vst = [s for s in d.streams if s.codecpar.codec_id == "h264"][0]
+    dec = CodecContext.open_decoder(vst.codecpar)
+    pkts = [p for p in d.packets() if p.stream_index == vst.index]
+    frames = dec.decode_all(pkts)
+    assert len(frames) == 2
+    want = _ours(raw.read_bytes(), nframes=2)
+    got = [np.asarray(p) for p in frames[0].planes]
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
