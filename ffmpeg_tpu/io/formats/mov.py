@@ -220,11 +220,15 @@ class MovDemuxer(Demuxer):
             self.r.seek(box.start)
             self.r.skip(8)
             handler = self.r.read(4)
-            t.codecpar.codec_type = {
+            mt = {
                 b"vide": MediaType.VIDEO, b"soun": MediaType.AUDIO,
                 b"text": MediaType.SUBTITLE, b"sbtl": MediaType.SUBTITLE,
                 b"subp": MediaType.SUBTITLE,
-            }.get(handler, MediaType.DATA)
+            }.get(handler)
+            # QuickTime movs carry a second hdlr (the data handler,
+            # e.g. 'dhlr'/'alis') inside minf — ignore unknown handlers
+            if mt is not None:
+                t.codecpar.codec_type = mt
         elif box.type == b"minf":
             self._parse_container(box, self._parse_trak_child)
         elif box.type == b"stbl":
