@@ -136,7 +136,13 @@ class ProresDecoder(Codec):
     def decode(self, pkt: Optional[Packet]) -> List[Frame]:
         if pkt is None or len(pkt.data) < 28:
             return []
-        bits12 = self.par.codec_id in ("ap4h", "ap4x")
+        tag = self.par.codec_tag
+        if isinstance(tag, int):
+            tag = tag.to_bytes(4, "big").decode("latin1", "ignore")
+        elif isinstance(tag, bytes):
+            tag = tag.decode("latin1", "ignore")
+        bits12 = self.par.codec_id in ("ap4h", "ap4x") or \
+            tag in ("ap4h", "ap4x")
         buf = pkt.data
         if buf[4:8] == b"icpf":          # frame atom wrapper
             buf = buf[8:]
