@@ -5,7 +5,7 @@ Host/device split: the serial bit work (header/side info/scalefactors/
 Huffman, bit reservoir) runs on the host; requantization, stereo and
 alias reduction are vectorized numpy; the hybrid IMDCT filterbank and the
 32-band polyphase synthesis run as batched matmuls on the TPU
-(ops/mp3fb.py). Layers I/II are not handled here (rare in the wild)."""
+(ops/mp3fb.py). Layer II shares the synthesis filterbank; Layer I TBD."""
 
 from __future__ import annotations
 
@@ -147,8 +147,11 @@ _BR_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
 
 @register_decoder
 class Mp3Decoder(Codec):
+    """MPEG audio Layers II and III (Layer II methods attached below)."""
+
     codec_id = "mp3"
     codec_type = MediaType.AUDIO
+    aliases = ("mp2",)
 
     def __init__(self, par, options=None):
         super().__init__(par, options)
@@ -180,7 +183,7 @@ class Mp3Decoder(Codec):
             raise InvalidData("mp3: bad sync")
         ver = (h >> 19) & 3            # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
         layer = 4 - ((h >> 17) & 3)
-        if layer != 3:
+        if layer not in (2, 3):
             raise InvalidData(f"mp3: layer {layer} not supported")
         br_idx = (h >> 12) & 15
         sr_idx = (h >> 10) & 3
@@ -194,7 +197,7 @@ class Mp3Decoder(Codec):
         # sample_rate_index in table space: 0..8
         sri = sr_idx + 3 * (lsf + mpeg25)
         nch = 1 if mode == 3 else 2
-        return lsf, mpeg25, sri, rate, nch, mode, mode_ext, br_idx
+        return lsf, mpeg25, sri, rate, nch, mode, mode_ext, br_idx, layer
 
     # --- scale factors ----------------------------------------------------------
     def _read_scale_factors_mpeg1(self, bits, g, g_prev, ch, gr, scfsi):
@@ -476,11 +479,14 @@ class Mp3Decoder(Codec):
             return []
         data = pkt.data
         h = int.from_bytes(data[:4], "big")
-        lsf, mpeg25, sri, rate, nch, mode, mode_ext, br_idx = \
+        lsf, mpeg25, sri, rate, nch, mode, mode_ext, br_idx, layer = \
             self._parse_header(h)
         crc = not (h & 0x10000)
         bits = _Bits(data)
         bits.pos = 32 + (16 if crc else 0)
+        if layer == 2:
+            return self._decode_layer2(bits, pkt, lsf, rate, nch, mode,
+                                       mode_ext, br_idx)
 
         ngr = 1 if lsf else 2
         granules = [[_Granule() for _ in range(nch)] for _ in range(ngr)]
@@ -620,6 +626,131 @@ class Mp3Decoder(Codec):
                         time_base=pkt.time_base or Rational(1, rate))
         f.duration = nsamples
         return [f]
+
+
+
+def _l2_requant(mant, steps):
+    """ISO 11172-3 Layer II requantization to (-1, 1) float."""
+    return (2.0 * mant + 1.0 - steps) / steps
+
+
+_SF_TABLE = 2.0 * (2.0 ** (-1.0 / 3.0)) ** np.arange(64)
+
+
+class _Mp2Mixin:
+    def _decode_layer2(self, bits, pkt, lsf, rate, nch, mode, mode_ext,
+                       br_idx):
+        """Layer II (ISO 11172-3 §2.4.3.3 / mpegaudiodec_template.c
+        mp_decode_layer2). Bit allocation + scalefactors on host, the
+        32-band polyphase synthesis shared with Layer III on device."""
+        bitrate = (_BR_V2L3 if lsf else
+                   [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                    256, 320, 384, 0])[br_idx]
+        ch_bitrate = bitrate // nch
+        if not lsf:
+            if (rate == 48000 and ch_bitrate >= 56) or \
+                    (56 <= ch_bitrate <= 80):
+                table = 0
+            elif rate != 48000 and ch_bitrate >= 96:
+                table = 1
+            elif rate != 32000 and ch_bitrate <= 48:
+                table = 2
+            else:
+                table = 3
+        else:
+            table = 4
+        sblimit = T.SBLIMITS[table]
+        alloc = T.ALLOC_TABLES[table]
+        bound = (mode_ext + 1) * 4 if mode == 1 else sblimit
+        bound = min(bound, sblimit)
+
+        bit_alloc = np.zeros((2, sblimit), np.int32)
+        j = 0
+        for i in range(bound):
+            nb = alloc[j]
+            for ch in range(nch):
+                bit_alloc[ch, i] = bits.get(nb)
+            j += 1 << nb
+        for i in range(bound, sblimit):
+            nb = alloc[j]
+            v = bits.get(nb)
+            bit_alloc[0, i] = v
+            bit_alloc[1, i] = v
+            j += 1 << nb
+
+        scale_code = np.zeros((2, sblimit), np.int32)
+        for i in range(sblimit):
+            for ch in range(nch):
+                if bit_alloc[ch, i]:
+                    scale_code[ch, i] = bits.get(2)
+        sf = np.zeros((2, sblimit, 3), np.int32)
+        for i in range(sblimit):
+            for ch in range(nch):
+                if not bit_alloc[ch, i]:
+                    continue
+                code = scale_code[ch, i]
+                if code == 0:
+                    sf[ch, i] = [bits.get(6), bits.get(6), bits.get(6)]
+                elif code == 2:
+                    v = bits.get(6)
+                    sf[ch, i] = [v, v, v]
+                elif code == 1:
+                    a, c = bits.get(6), bits.get(6)
+                    sf[ch, i] = [a, a, c]
+                else:
+                    a, c = bits.get(6), bits.get(6)
+                    sf[ch, i] = [a, c, c]
+
+        sb = np.zeros((nch, 36, 32), np.float32)
+        for k in range(3):
+            for l in range(0, 12, 3):
+                j = 0
+                for i in range(sblimit):
+                    nb = alloc[j]
+                    for ch in range(nch if i < bound else 1):
+                        b = bit_alloc[ch, i]
+                        if b:
+                            qindex = alloc[j + b]
+                            qbits = T.QUANT_BITS[qindex]
+                            steps = T.QUANT_STEPS[qindex]
+                            scale = _SF_TABLE[sf[ch, i, k]]
+                            if qbits < 0:       # grouped: 3 values
+                                v = bits.get(-qbits)
+                                for m in range(3):
+                                    mant = v % steps
+                                    v //= steps
+                                    sb[ch, k * 12 + l + m, i] = \
+                                        _l2_requant(mant, steps) * scale
+                            else:
+                                for m in range(3):
+                                    mant = bits.get(qbits)
+                                    sb[ch, k * 12 + l + m, i] = \
+                                        _l2_requant(mant, steps) * scale
+                            if i >= bound:      # jstereo shared samples
+                                sb[1, k * 12 + l:k * 12 + l + 3, i] = \
+                                    sb[0, k * 12 + l:k * 12 + l + 3, i] \
+                                    * _SF_TABLE[sf[1, i, k]] / scale \
+                                    if bit_alloc[1, i] else 0.0
+                    j += 1 << nb
+
+        # synthesis: 36 slots = 2 x 18-slot granules (shared with mp3)
+        from ..ops import mp3fb
+        import jax.numpy as jnp
+        if self._fifo is None or self._fifo.shape[0] != nch:
+            self._fifo = jnp.zeros((nch, 16, 64), jnp.float32)
+        pcm = np.empty((nch, 1152), np.float32)
+        for g in range(2):
+            out, self._fifo = mp3fb.synth_granule(
+                jnp.asarray(sb[:, g * 18:(g + 1) * 18]), self._fifo)
+            pcm[:, g * 576:(g + 1) * 576] = np.asarray(out)
+        f = Frame.audio(pcm, rate, "fltp", default_layout(nch),
+                        pts=pkt.pts,
+                        time_base=pkt.time_base or Rational(1, rate))
+        f.duration = 1152
+        return [f]
+
+
+Mp3Decoder._decode_layer2 = _Mp2Mixin._decode_layer2
 
 
 _EXP2_TABLE = None

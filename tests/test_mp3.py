@@ -300,3 +300,103 @@ def test_bit_reservoir(tmp_path):
     # frame 2 (third frame in stream) must carry real signal, not silence
     seg = ref[2 * 1152:3 * 1152]
     assert np.abs(seg).max() > 1e-3
+
+
+# ---------------- Layer II ---------------------------------------------------
+
+def craft_mp2_frame(seed=0, nch=1):
+    """MPEG-1 Layer II frame, 44100/64kbps-per-channel (alloc table 0)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    w = BitWriter()
+    w.put(0x7FF, 11)
+    w.put(3, 2)           # MPEG-1
+    w.put(2, 2)           # Layer II
+    w.put(1, 1)           # no CRC
+    br_idx = 5 if nch == 1 else 8    # 64 / 128 kbps total
+    w.put(br_idx, 4)
+    w.put(0, 2)           # 44100
+    w.put(0, 1)
+    w.put(0, 1)
+    w.put(3 if nch == 1 else 0, 2)   # mono / stereo
+    w.put(0, 2)
+    w.put(0, 4)
+    kbps = [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+            256, 320, 384][br_idx]
+    size = 144 * kbps * 1000 // 44100
+
+    sblimit = T.SBLIMITS[0]
+    alloc = T.ALLOC_TABLES[0]
+    # allocate a few low subbands with ungrouped quant, rest zero
+    ba = np.zeros((2, sblimit), np.int32)
+    for i in range(6):
+        ba[:, i] = int(rng.integers(1, 5))
+    j = 0
+    for i in range(sblimit):
+        nb = alloc[j]
+        for ch in range(nch):
+            w.put(int(ba[ch, i]), nb)
+        j += 1 << nb
+    sf = np.zeros((2, sblimit, 3), np.int32)
+    for i in range(sblimit):
+        for ch in range(nch):
+            if ba[ch, i]:
+                w.put(0, 2)          # scale_code 0: three scalefactors
+    for i in range(sblimit):
+        for ch in range(nch):
+            if ba[ch, i]:
+                vals = [int(rng.integers(20, 40)) for _ in range(3)]
+                sf[ch, i] = vals
+                for v in vals:
+                    w.put(v, 6)
+    for k in range(3):
+        for l in range(0, 12, 3):
+            j = 0
+            for i in range(sblimit):
+                nb = alloc[j]
+                for ch in range(nch):
+                    b = int(ba[ch, i])
+                    if b:
+                        qindex = alloc[j + b]
+                        qbits = T.QUANT_BITS[qindex]
+                        steps = T.QUANT_STEPS[qindex]
+                        if qbits < 0:
+                            v = 0
+                            mul = 1
+                            for m in range(3):
+                                v += int(rng.integers(0, steps)) * mul
+                                mul *= steps
+                            w.put(v, -qbits)
+                        else:
+                            for m in range(3):
+                                w.put(int(rng.integers(0, steps)), qbits)
+                j += 1 << nb
+    data = w.bytes()
+    assert len(data) <= size
+    return data + b"\x00" * (size - len(data))
+
+
+@requires_ref
+@pytest.mark.parametrize("nch", [1, 2])
+def test_mp2_matches_reference(tmp_path, nch):
+    p = tmp_path / "t.mp2"
+    p.write_bytes(b"".join(craft_mp2_frame(seed=s, nch=nch)
+                           for s in range(6)))
+    ours = _our_decode_mp2(p)
+    ref = _ref_decode(p)
+    n = min(len(ours), len(ref))
+    assert n >= 1152 * 4 * nch
+    o, r = ours[:n], ref[:n]
+    peak = np.abs(r).max()
+    assert peak > 1e-3
+    err = np.abs(o - r).max()
+    assert err < max(1e-3 * peak, 2.0 ** -12), f"err {err} peak {peak}"
+
+
+def _our_decode_mp2(path):
+    d = open_input(str(path))
+    assert d.streams[0].codecpar.codec_id == "mp2"
+    dec = CodecContext.open_decoder(d.streams[0].codecpar)
+    frames = dec.decode_all(d.packets())
+    return np.concatenate([np.asarray(f.audio_data).T.ravel()
+                           for f in frames])

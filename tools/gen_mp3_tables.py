@@ -79,3 +79,24 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def extend_l2():
+    src = Path("/root/reference/libavcodec/mpegaudiodata.c")
+    text = src.read_text()
+    out = ["", "# Layer I/II allocation tables (ISO 11172-3 Tables B.2)"]
+    out.append(f"QUANT_STEPS = {parse_array(text, 'ff_mpa_quant_steps')}")
+    out.append(f"QUANT_BITS = {parse_array(text, 'ff_mpa_quant_bits')}")
+    for n in (1, 3, 4):
+        out.append(f"ALLOC_TABLE_{n} = "
+                   f"{parse_array(text, f'alloc_table_{n}')}")
+    out.append("ALLOC_TABLES = [ALLOC_TABLE_1, ALLOC_TABLE_1, "
+               "ALLOC_TABLE_3, ALLOC_TABLE_3, ALLOC_TABLE_4]")
+    out.append("SBLIMITS = [27, 30, 8, 12, 30]")
+    out.append("")
+    with open(DST, "a") as f:
+        f.write("\n".join(out))
+    print("extended_l2")
+
+
+extend_l2()
