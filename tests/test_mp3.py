@@ -400,3 +400,65 @@ def _our_decode_mp2(path):
     frames = dec.decode_all(d.packets())
     return np.concatenate([np.asarray(f.audio_data).T.ravel()
                            for f in frames])
+
+
+def craft_frame_lsf(pairs=((1, 1), (2, 0)), table_select=5,
+                    global_gain=190):
+    """MPEG-2 (LSF) mono 22.05kHz Layer III frame: 1 granule, 9-bit
+    scalefac_compress (0 -> no scalefactor bits), no preflag field."""
+    w = BitWriter()
+    w.put(0x7FF, 11)
+    w.put(2, 2)          # MPEG-2
+    w.put(1, 2)          # Layer III
+    w.put(1, 1)          # no CRC
+    w.put(8, 4)          # 64 kbps
+    w.put(0, 2)          # 22050
+    w.put(0, 1)
+    w.put(0, 1)
+    w.put(3, 2)          # mono
+    w.put(0, 2)
+    w.put(0, 4)
+
+    md = BitWriter()
+    for (x, y) in pairs:
+        c, l = _huff_code(table_select, x, y)
+        md.put(c, l)
+        if x:
+            md.put(0, 1)
+        if y:
+            md.put(0, 1)
+    nbits = len(md.bits)
+
+    w.put(0, 8)              # main_data_begin
+    w.put(0, 1)              # private (mono LSF: 1 bit)
+    w.put(nbits, 12)
+    w.put(len(pairs), 9)
+    w.put(global_gain, 8)
+    w.put(0, 9)              # scalefac_compress (LSF: 9 bits)
+    w.put(0, 1)              # no window switching
+    for _ in range(3):
+        w.put(table_select, 5)
+    w.put(0, 4)
+    w.put(0, 3)
+    w.put(0, 1)              # scalefac_scale (no preflag field in LSF)
+    w.put(0, 1)              # count1table_select
+    assert len(w.bits) == 32 + 72
+
+    frame = w.bytes() + md.bytes()
+    size = 144 * 64000 // (22050 * 2)      # LSF L3: 72 slots/frame
+    assert len(frame) <= size
+    return frame + b"\x00" * (size - len(frame))
+
+
+@requires_ref
+def test_lsf_mpeg2_matches_reference(tmp_path):
+    p = tmp_path / "lsf.mp3"
+    p.write_bytes(craft_frame_lsf() * 10)
+    ours = _our_decode(p)
+    ref = _ref_decode(p)
+    n = min(len(ours), len(ref))
+    assert n >= 576 * 6
+    peak = np.abs(ref[:n]).max()
+    assert 1e-4 < peak < 0.99
+    err = np.abs(ours[:n] - ref[:n]).max()
+    assert err < max(5e-4 * peak, 2.0 ** -13), f"err {err} peak {peak}"
