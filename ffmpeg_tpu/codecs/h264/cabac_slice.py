@@ -80,6 +80,9 @@ class CabacSliceCoder:
         self.direct_tab = np.zeros((nmby, nmbx), bool)
         self.mvd_cache = np.zeros((2, nmby * 4, nmbx * 4, 2),
                                   np.int32)
+        # 4x4 blocks of the current MB whose ref_idx is already parsed
+        # (the ref context must see earlier same-MB partitions)
+        self._ref_set = set()
 
     # --- neighbor helpers --------------------------------------------------------
     def _mb_ok(self, mbx, mby):
@@ -318,6 +321,41 @@ class CabacSliceCoder:
         self.last_dqp = dqp
         return dqp
 
+    def ref_idx(self, bx, by, lst, w4, h4, v=None):
+        """ref_idx_lX unary coding (ctx base 54; h264_cabac.c
+        decode_cabac_mb_ref): neighbour refs >0 raise the first
+        context, unless the neighbour was coded as direct. Fills the
+        partition's ref grid immediately so later same-MB partitions
+        see it."""
+        ctx = 0
+        for nbx, nby, inc in ((bx - 1, by, 1), (bx, by - 1, 2)):
+            if nbx < 0 or nby < 0 or \
+                    nbx >= self.dec.sps.mb_width * 4:
+                continue
+            if not self.dec.blk_done[nby, nbx] and \
+                    (lst, nbx, nby) not in self._ref_set:
+                continue
+            if int(self.dec.mv_ref[lst, nby, nbx]) > 0 and \
+                    not self.direct_tab[nby // 4, nbx // 4]:
+                ctx += inc
+        ref = 0
+        while self.io.dec(self.ctx[54 + ctx],
+                          (1 if v > ref else 0) if v is not None
+                          else None):
+            ref += 1
+            if ref >= 32:
+                raise InvalidData("h264 cabac: ref_idx overflow")
+            ctx = (ctx >> 2) + 4
+        if not self.io.encode:
+            lstref = self.dec.list0 if lst == 0 else self.dec.list1
+            if ref >= self.dec.num_ref[lst] or ref >= len(lstref):
+                raise InvalidData("h264 cabac: ref_idx out of range")
+        self.dec.mv_ref[lst, by:by + h4, bx:bx + w4] = ref
+        for yy in range(by, by + h4):
+            for xx in range(bx, bx + w4):
+                self._ref_set.add((lst, xx, yy))
+        return ref
+
     def mvd(self, base, amvd, v=None):
         ctx_inc = (1 if amvd > 2 else 0) + (1 if amvd > 32 else 0)
         av = None if v is None else abs(v)
@@ -497,6 +535,7 @@ def decode_slice_cabac(dec: SliceDecoder, rbsp: bytes, bit_pos: int, sh):
     sps = dec.sps
     nmbx = sps.mb_width
     qp = sh.qp
+    dec.num_ref = sh.num_ref
     mb_addr = sh.first_mb
     is_p = sh.slice_type == 0
     is_b = sh.slice_type == 1
@@ -523,6 +562,7 @@ def decode_slice_cabac(dec: SliceDecoder, rbsp: bytes, bit_pos: int, sh):
 
 
 def _decode_mb_cabac(dec, sc, mbx, mby, qp, is_p, is_b=False):
+    sc._ref_set.clear()
     if is_b:
         t = sc.b_mb_type(mbx, mby)
         if isinstance(t, tuple):
@@ -560,6 +600,14 @@ def _decode_mb_cabac_b(dec, sc, mbx, mby, qp, mb_type):
             if not (masks[i] & (1 << lst)):
                 dec.mv_ref[lst, by + py:by + py + h4,
                            bx + px:bx + px + w4] = -1
+    # ref_idx fields first (list-major), then mvds (list-major)
+    prefs = [[0, 0] for _ in parts]
+    for lst in range(2):
+        nref = dec.num_ref[lst]
+        for i, (px, py, w4, h4) in enumerate(parts):
+            if masks[i] & (1 << lst) and nref > 1:
+                prefs[i][lst] = sc.ref_idx(bx + px, by + py, lst,
+                                           w4, h4)
     part_mvs = [[None, None] for _ in parts]
     for lst in range(2):
         for i, (px, py, w4, h4) in enumerate(parts):
@@ -572,15 +620,15 @@ def _decode_mb_cabac_b(dec, sc, mbx, mby, qp, mb_type):
                 min(abs(mvdx), 70)
             sc.mvd_cache[lst, pby:pby + h4, pbx:pbx + w4, 1] = \
                 min(abs(mvdy), 70)
-            pred = dec._pred_mv(pbx, pby, w4, h4, lst)
+            pred = dec._pred_mv(pbx, pby, w4, h4, lst, prefs[i][lst])
             mv = (pred[0] + mvdx, pred[1] + mvdy)
-            dec._store_mv(pbx, pby, w4, h4, mv, lst, 0)
+            dec._store_mv(pbx, pby, w4, h4, mv, lst, prefs[i][lst])
             part_mvs[i][lst] = mv
     for i, (px, py, w4, h4) in enumerate(parts):
         dec.blk_done[by + py:by + py + h4, bx + px:bx + px + w4] = True
         dec.intra4x4_modes[by + py:by + py + h4,
                            bx + px:bx + px + w4] = 2
-        dec._mc_bi(mbx, mby, px, py, w4, h4, part_mvs[i], [0, 0])
+        dec._mc_bi(mbx, mby, px, py, w4, h4, part_mvs[i], prefs[i])
     cbp = sc.cbp(mbx, mby, False)
     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
     if cbp:
@@ -715,18 +763,27 @@ def _decode_mb_cabac_p(dec, sc, mbx, mby, qp, mb_type):
     from .slice_dec import _BLK_XY as BLK
     bx, by = mbx * 4, mby * 4
     sc._cur_comp = 0
+    nref = dec.num_ref[0]
     if mb_type == 3:
         subs = [sc.sub_mb_type() for _ in range(4)]
+        # per-8x8 ref_idx fields precede all mvds
+        refs8 = [sc.ref_idx(bx + (s & 1) * 2, by + (s >> 1) * 2,
+                            0, 2, 2) if nref > 1 else 0
+                 for s in range(4)]
         plist = []
         for sub in range(4):
             ox, oy = (sub & 1) * 2, (sub >> 1) * 2
             for (px, py, w4, h4) in dec._SUB_PARTS[subs[sub]]:
-                plist.append((ox + px, oy + py, w4, h4))
+                plist.append((ox + px, oy + py, w4, h4, refs8[sub]))
     else:
-        plist = {0: [(0, 0, 4, 4)],
-                 1: [(0, 0, 4, 2), (0, 2, 4, 2)],
-                 2: [(0, 0, 2, 4), (2, 0, 2, 4)]}[mb_type]
-    for (px, py, w4, h4) in plist:
+        shapes = {0: [(0, 0, 4, 4)],
+                  1: [(0, 0, 4, 2), (0, 2, 4, 2)],
+                  2: [(0, 0, 2, 4), (2, 0, 2, 4)]}[mb_type]
+        plist = [(px, py, w4, h4,
+                  sc.ref_idx(bx + px, by + py, 0, w4, h4)
+                  if nref > 1 else 0)
+                 for (px, py, w4, h4) in shapes]
+    for (px, py, w4, h4, ref) in plist:
         pbx, pby = bx + px, by + py
         amvd0 = _amvd(sc, pbx, pby, 0)
         amvd1 = _amvd(sc, pbx, pby, 1)
@@ -734,10 +791,10 @@ def _decode_mb_cabac_p(dec, sc, mbx, mby, qp, mb_type):
         mvdy = sc.mvd(47, amvd1)
         sc.mvd_cache[0, pby:pby + h4, pbx:pbx + w4, 0] = min(abs(mvdx), 70)
         sc.mvd_cache[0, pby:pby + h4, pbx:pbx + w4, 1] = min(abs(mvdy), 70)
-        pred = dec._pred_mv(pbx, pby, w4, h4)
+        pred = dec._pred_mv(pbx, pby, w4, h4, ref=ref)
         mv = (pred[0] + mvdx, pred[1] + mvdy)
-        dec._store_mv(pbx, pby, w4, h4, mv)
-        dec._mc_partition(mbx, mby, px, py, w4, h4, mv)
+        dec._store_mv(pbx, pby, w4, h4, mv, 0, ref)
+        dec._mc_partition(mbx, mby, px, py, w4, h4, mv, ref=ref)
     cbp = sc.cbp(mbx, mby, False)
     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
     if cbp:

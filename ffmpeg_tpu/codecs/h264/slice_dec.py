@@ -35,6 +35,7 @@ class SliceHeader:
     cabac_init_idc: int = 0
     direct_spatial: bool = True
     poc_lsb: int = 0
+    num_ref: tuple = (1, 1)      # active ref counts (list0, list1)
 
 
 def parse_slice_header(b: Bits, nal_type: int, sps: SPS,
@@ -62,10 +63,12 @@ def parse_slice_header(b: Bits, nal_type: int, sps: SPS,
         if not sh.direct_spatial:
             raise NotSupported("h264: temporal direct mode")
     if sh.slice_type in (0, 1):
+        n0, n1 = pps.num_ref_idx
         if b.get1():              # num_ref_idx_active_override
-            b.ue()
+            n0 = b.ue() + 1
             if sh.slice_type == 1:
-                b.ue()
+                n1 = b.ue() + 1
+        sh.num_ref = (n0, n1 if sh.slice_type == 1 else 1)
         if b.get1():              # ref_pic_list_modification l0
             raise NotSupported("h264: ref pic list modification")
         if sh.slice_type == 1 and b.get1():
@@ -120,7 +123,20 @@ class SliceDecoder:
         self.ref_frame = None       # legacy single ref (P path): planes
         self.list0 = []             # DPB entries for list 0 (planes, ...)
         self.list1 = []
+        self.num_ref = (1, 1)       # active ref counts per list
         self.poc = 0
+
+    def _te_ref(self, b: Bits, lst: int) -> int:
+        """ref_idx_lX as te(v) (spec 7.3.5.2 / 9.1.1): 1-bit inverted
+        flag when two refs are active, ue(v) otherwise."""
+        n = self.num_ref[lst]
+        if n <= 1:
+            return 0
+        ref = (1 - b.get1()) if n == 2 else b.ue()
+        lstref = self.list0 if lst == 0 else self.list1
+        if ref >= n or ref >= len(lstref):
+            raise InvalidData("h264: ref_idx out of range")
+        return ref
 
     # --- CAVLC context ---------------------------------------------------------
     def _pred_nnz(self, nnz, bx, by):
@@ -142,7 +158,8 @@ class SliceDecoder:
         nmbx = sps.mb_width
         is_p = sh.slice_type == 0
         is_b = sh.slice_type == 1
-        if is_p and self.ref_frame is None:
+        self.num_ref = sh.num_ref
+        if is_p and self.ref_frame is None and not self.list0:
             raise InvalidData("h264: P slice without reference")
         if is_b and (not self.list0 or not self.list1):
             raise InvalidData("h264: B slice without both references")
@@ -313,7 +330,12 @@ class SliceDecoder:
             parts = [(0, 0, 2, 4), (2, 0, 2, 4)] if v8x16 else \
                 [(0, 0, 4, 2), (0, 2, 4, 2)]
             masks = [m0, m1]
-        # mvds coded list-major
+        # ref_idx fields first (list-major), then mvds (list-major)
+        prefs = {0: [0] * len(parts), 1: [0] * len(parts)}
+        for lst in range(2):
+            for i, m in enumerate(masks):
+                if m & (1 << lst):
+                    prefs[lst][i] = self._te_ref(b, lst)
         mvds = {0: [None] * len(parts), 1: [None] * len(parts)}
         for lst in range(2):
             for i, m in enumerate(masks):
@@ -326,13 +348,15 @@ class SliceDecoder:
                                 bx + px:bx + px + w4] = -1
         for i, (px, py, w4, h4) in enumerate(parts):
             mvs = [None, None]
-            refs = [0, 0]
+            refs = [prefs[0][i], prefs[1][i]]
             for lst in range(2):
                 if mvds[lst][i] is None:
                     continue
-                pred = self._pred_mv(bx + px, by + py, w4, h4, lst)
+                pred = self._pred_mv(bx + px, by + py, w4, h4, lst,
+                                     refs[lst])
                 mv = (pred[0] + mvds[lst][i][0], pred[1] + mvds[lst][i][1])
-                self._store_mv(bx + px, by + py, w4, h4, mv, lst, 0)
+                self._store_mv(bx + px, by + py, w4, h4, mv, lst,
+                               refs[lst])
                 mvs[lst] = mv
             self.blk_done[by + py:by + py + h4, bx + px:bx + px + w4] = True
             self.intra4x4_modes[by + py:by + py + h4,
@@ -377,9 +401,9 @@ class SliceDecoder:
         return (int(self.mv[lst, by, bx, 0]), int(self.mv[lst, by, bx, 1])), \
             int(self.mv_ref[lst, by, bx]), True
 
-    def _pred_mv(self, bx, by, w4, h4, lst=0):
+    def _pred_mv(self, bx, by, w4, h4, lst=0, ref=0):
         """Median predictor for a partition at 4x4 coords (bx,by) of size
-        (w4,h4) in 4x4 units, ref 0."""
+        (w4,h4) in 4x4 units, matching the partition's refIdx."""
         from .inter import median_mv
         a, ra, avail_a = self._mv_nbr(bx - 1, by, lst)
         bvec, rb, avail_b = self._mv_nbr(bx, by - 1, lst)
@@ -388,19 +412,19 @@ class SliceDecoder:
             c, rc, avail_c = self._mv_nbr(bx - 1, by - 1, lst)
         # directional rules for 16x8 / 8x16 partitions
         if w4 == 4 and h4 == 2:          # 16x8
-            if by % 4 == 0 and rb == 0:
+            if by % 4 == 0 and rb == ref:
                 return bvec
-            if by % 4 == 2 and ra == 0:
+            if by % 4 == 2 and ra == ref:
                 return a
         elif w4 == 2 and h4 == 4:        # 8x16
-            if bx % 4 == 0 and ra == 0:
+            if bx % 4 == 0 and ra == ref:
                 return a
-            if bx % 4 == 2 and rc == 0:
+            if bx % 4 == 2 and rc == ref:
                 return c
         if avail_a and not avail_b and not avail_c:
             return a
         matches = [(m, r) for m, r in ((a, ra), (bvec, rb), (c, rc))
-                   if r == 0]
+                   if r == ref]
         if len(matches) == 1:
             return matches[0][0]
         return median_mv(a, bvec, c)
@@ -412,10 +436,12 @@ class SliceDecoder:
         self.intra4x4_modes[by:by + h4, bx:bx + w4] = 2
 
     def _mc_partition(self, mbx, mby, px4, py4, w4, h4, mv,
-                      ref_planes=None):
+                      ref_planes=None, ref=0):
         from .inter import mc_chroma, mc_luma
-        ry, ru, rv = ref_planes if ref_planes is not None else \
-            self.ref_frame
+        if ref_planes is None:
+            ref_planes = self.list0[ref]["planes"] if self.list0 \
+                else self.ref_frame
+        ry, ru, rv = ref_planes
         x, y = (mbx * 4 + px4) * 4, (mby * 4 + py4) * 4
         self.y[y:y + h4 * 4, x:x + w4 * 4] = mc_luma(
             ry, mv[0], mv[1], x, y, w4 * 4, h4 * 4)
@@ -485,27 +511,34 @@ class SliceDecoder:
             subs = [b.ue() for _ in range(4)]
             if any(st > 3 for st in subs):
                 raise InvalidData("h264: bad sub_mb_type")
-            # (single reference: no ref_idx fields with num_ref_idx == 1)
+            # per-8x8 ref_idx fields (P_8x8ref0 forces all zero)
+            refs8 = [self._te_ref(b, 0) for _ in range(4)] \
+                if mb_type == 3 else [0] * 4
             for sub in range(4):
                 ox, oy = (sub & 1) * 2, (sub >> 1) * 2
                 for (px, py, w4, h4) in self._SUB_PARTS[subs[sub]]:
                     mvd = (b.se(), b.se())
                     pbx, pby = bx + ox + px, by + oy + py
-                    pred = self._pred_mv(pbx, pby, w4, h4)
+                    pred = self._pred_mv(pbx, pby, w4, h4,
+                                         ref=refs8[sub])
                     mv = (pred[0] + mvd[0], pred[1] + mvd[1])
-                    self._store_mv(pbx, pby, w4, h4, mv)
+                    self._store_mv(pbx, pby, w4, h4, mv, 0, refs8[sub])
                     self._mc_partition(mbx, mby, ox + px, oy + py,
-                                       w4, h4, mv)
+                                       w4, h4, mv, ref=refs8[sub])
         else:
             parts = {0: [(0, 0, 4, 4)],
                      1: [(0, 0, 4, 2), (0, 2, 4, 2)],
                      2: [(0, 0, 2, 4), (2, 0, 2, 4)]}[mb_type]
-            for (px, py, w4, h4) in parts:
+            # all partitions' ref_idx fields precede the mvds
+            refs = [self._te_ref(b, 0) for _ in parts]
+            for i, (px, py, w4, h4) in enumerate(parts):
                 mvd = (b.se(), b.se())
-                pred = self._pred_mv(bx + px, by + py, w4, h4)
+                pred = self._pred_mv(bx + px, by + py, w4, h4,
+                                     ref=refs[i])
                 mv = (pred[0] + mvd[0], pred[1] + mvd[1])
-                self._store_mv(bx + px, by + py, w4, h4, mv)
-                self._mc_partition(mbx, mby, px, py, w4, h4, mv)
+                self._store_mv(bx + px, by + py, w4, h4, mv, 0, refs[i])
+                self._mc_partition(mbx, mby, px, py, w4, h4, mv,
+                                   ref=refs[i])
         cbp_code = b.ue()
         if cbp_code > 47:
             raise InvalidData("h264: bad cbp")

@@ -505,13 +505,17 @@ def test_deblocking_filter_exact(tmp_path):
             np.testing.assert_array_equal(a, b)
 
 
-def p_slice_head(w, frame_num=1, disable_deblock=True):
+def p_slice_head(w, frame_num=1, disable_deblock=True, num_ref=1):
     w.ue(0)               # first_mb
     w.ue(5)               # slice_type: P (all slices)
     w.ue(0)               # pps_id
     w.u(frame_num & 0xFF, 8)
     w.u(0, 8)             # poc lsb
-    w.u(0, 1)             # num_ref_idx_active_override
+    if num_ref > 1:
+        w.u(1, 1)         # num_ref_idx_active_override
+        w.ue(num_ref - 1)
+    else:
+        w.u(0, 1)
     w.u(0, 1)             # ref_pic_list_modification
     w.u(0, 1)             # adaptive_ref_pic_marking
     w.se(0)               # slice_qp_delta
@@ -522,12 +526,16 @@ def p_slice_head(w, frame_num=1, disable_deblock=True):
 
 
 def craft_p_frame(mb_w=4, mb_h=3, frame_num=1, seed=0, deblock=False,
-                  with_residual=True):
+                  with_residual=True, num_ref=1):
     """P frame: mix of skip runs, P_16x16/16x8/8x16 with random mvds and
-    optional residual."""
+    optional residual. num_ref=2 exercises te(v) ref_idx fields."""
     rng = np.random.default_rng(seed)
     w = BW()
-    p_slice_head(w, frame_num, disable_deblock=not deblock)
+    if num_ref > 1:
+        p_slice_head(w, frame_num, disable_deblock=not deblock,
+                     num_ref=num_ref)
+    else:
+        p_slice_head(w, frame_num, disable_deblock=not deblock)
     nnz = np.full((mb_h * 4, mb_w * 4), -1, np.int32)
     nnz_c = [np.full((mb_h * 2, mb_w * 2), -1, np.int32) for _ in range(2)]
     idx = 0
@@ -551,9 +559,15 @@ def craft_p_frame(mb_w=4, mb_h=3, frame_num=1, seed=0, deblock=False,
             subs = [int(rng.integers(0, 4)) for _ in range(4)]
             for st in subs:
                 w.ue(st)
+            if num_ref == 2:                    # per-8x8 te(v) ref_idx
+                for _ in range(4):
+                    w.u(1 - int(rng.integers(0, 2)), 1)
             nparts = sum((1, 2, 2, 4)[st] for st in subs)
         else:
             nparts = 1 if mb_type == 0 else 2
+            if num_ref == 2:                    # per-partition ref_idx
+                for _ in range(nparts):
+                    w.u(1 - int(rng.integers(0, 2)), 1)
         for _ in range(nparts):
             w.se(int(rng.integers(-10, 11)))    # mvd x (quarter pel)
             w.se(int(rng.integers(-10, 11)))    # mvd y
@@ -901,3 +915,38 @@ def test_h264_in_mp4_end_to_end(tmp_path):
     got = [np.asarray(p) for p in frames[0].planes]
     for a, b in zip(got, want):
         np.testing.assert_array_equal(a, b)
+
+
+@requires_ref
+@pytest.mark.parametrize("seed", [0, 5])
+def test_p_multiref_exact(tmp_path, seed):
+    """P slices with two active L0 references (te(v) ref_idx on 16x16/
+    16x8/8x16/P_8x8 partitions): each partition picks ref 0 or 1, so
+    motion compensation must read the right DPB picture and the mv
+    median predictor must match against the partition's refIdx."""
+    import test_h264 as me
+    orig = me.make_sps
+    me.make_sps = lambda mb_w=4, mb_h=3: orig(mb_w, mb_h, num_ref=2)
+    try:
+        stream = craft_i16x16_residual(seed=seed)
+    finally:
+        me.make_sps = orig
+    stream += craft_p_frame(frame_num=1, seed=80 + seed)
+    stream += craft_p_frame(frame_num=2, seed=90 + seed, num_ref=2)
+    stream += craft_p_frame(frame_num=3, seed=95 + seed, num_ref=2,
+                            deblock=True)
+    p = tmp_path / "mref.h264"
+    p.write_bytes(stream)
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264")
+    dec = CodecContext.open_decoder(par)
+    frames = dec.decode_all([Packet(data=stream, pts=0,
+                                    time_base=Rational(1, 25))])
+    raw = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "h264", "-i", str(p),
+         "-f", "rawvideo", "-"], check=True, capture_output=True).stdout
+    sz = 64 * 48 * 3 // 2
+    assert len(frames) == len(raw) // sz == 4
+    for i, f in enumerate(frames):
+        got = np.concatenate([np.asarray(pl).ravel() for pl in f.planes])
+        want = np.frombuffer(raw[i * sz:(i + 1) * sz], np.uint8)
+        np.testing.assert_array_equal(got, want, err_msg=f"frame {i}")

@@ -67,9 +67,9 @@ def _rand_levels(rng, n, maxn=3, amp=6):
 
 
 def _setup(mb_w, mb_h, slice_type, idr, frame_num=0, deblock=False,
-           poc_lsb=0):
+           poc_lsb=0, num_ref=1):
     """→ (header BW, scratch SliceDecoder, sps, pps)."""
-    sps_nal = make_sps(mb_w, mb_h)
+    sps_nal = make_sps(mb_w, mb_h, num_ref=max(num_ref, 1))
     pps_nal = make_pps_cabac()
     sps = parse_sps(N.unescape(sps_nal[5:]))
     pps = parse_pps(N.unescape(pps_nal[5:]))
@@ -82,7 +82,11 @@ def _setup(mb_w, mb_h, slice_type, idr, frame_num=0, deblock=False,
         w.ue(0)                           # idr_pic_id
     w.u(poc_lsb & 0xFF, 8)                # poc lsb
     if slice_type == 0:
-        w.u(0, 1)                         # ref override
+        if num_ref > 1:
+            w.u(1, 1)                     # ref override
+            w.ue(num_ref - 1)
+        else:
+            w.u(0, 1)
         w.u(0, 1)                         # list modification
     if idr:
         w.u(0, 1)
@@ -231,9 +235,9 @@ def _encode_chroma(dec, sc, mbx, mby, cbp_entry, rng, intra):
     return cbp_entry
 
 
-def craft_cabac_i(mb_w=4, mb_h=3, seed=0, deblock=False):
+def craft_cabac_i(mb_w=4, mb_h=3, seed=0, deblock=False, num_ref=1):
     w, dec, sps_nal, pps_nal = _setup(mb_w, mb_h, 2, True,
-                                      deblock=deblock)
+                                      deblock=deblock, num_ref=num_ref)
     rng = np.random.default_rng(seed)
     enc = CabacEncoder()
     sc = CabacSliceCoder(dec, enc, 2, 26, encode=True)
@@ -247,9 +251,11 @@ def craft_cabac_i(mb_w=4, mb_h=3, seed=0, deblock=False):
 
 
 def craft_cabac_p(mb_w=4, mb_h=3, frame_num=1, seed=1, deblock=False,
-                  poc_lsb=0):
+                  poc_lsb=0, num_ref=1):
     w, dec, _s, _p = _setup(mb_w, mb_h, 0, False, frame_num,
-                            deblock=deblock, poc_lsb=poc_lsb)
+                            deblock=deblock, poc_lsb=poc_lsb,
+                            num_ref=num_ref)
+    dec.num_ref = (num_ref, 1)
     rng = np.random.default_rng(seed)
     enc = CabacEncoder()
     sc = CabacSliceCoder(dec, enc, 0, 26, encode=True)
@@ -272,10 +278,15 @@ def craft_cabac_p(mb_w=4, mb_h=3, frame_num=1, seed=1, deblock=False,
             continue
         mb_type = int(rng.integers(0, 4))
         sc.p_mb_type(v=mb_type)
+        sc._ref_set.clear()
         if mb_type == 3:
             subs = [int(rng.integers(0, 4)) for _ in range(4)]
             for st in subs:
                 sc.sub_mb_type(v=st)
+            if num_ref > 1:                 # per-8x8 ref_idx
+                for s in range(4):
+                    sc.ref_idx(bx + (s & 1) * 2, by + (s >> 1) * 2,
+                               0, 2, 2, v=int(rng.integers(0, num_ref)))
             plist = []
             for sub in range(4):
                 ox, oy = (sub & 1) * 2, (sub >> 1) * 2
@@ -285,6 +296,10 @@ def craft_cabac_p(mb_w=4, mb_h=3, frame_num=1, seed=1, deblock=False,
             plist = {0: [(0, 0, 4, 4)],
                      1: [(0, 0, 4, 2), (0, 2, 4, 2)],
                      2: [(0, 0, 2, 4), (2, 0, 2, 4)]}[mb_type]
+            if num_ref > 1:                 # per-partition ref_idx
+                for (px, py, w4, h4) in plist:
+                    sc.ref_idx(bx + px, by + py, 0, w4, h4,
+                               v=int(rng.integers(0, num_ref)))
         from test_h264 import _nc  # noqa (not needed; kept minimal)
         from ffmpeg_tpu.codecs.h264.cabac_slice import _amvd
         for (px, py, w4, h4) in plist:
@@ -390,8 +405,10 @@ def test_cabac_long_gop_stress(tmp_path, seed):
 
 
 def craft_cabac_b(mb_w=4, mb_h=3, frame_num=2, poc_lsb=2, seed=7,
-                  deblock=False):
-    w, dec, _s, _p = _setup_b(mb_w, mb_h, frame_num, poc_lsb, deblock)
+                  deblock=False, num_ref=1):
+    w, dec, _s, _p = _setup_b(mb_w, mb_h, frame_num, poc_lsb, deblock,
+                              num_ref=num_ref)
+    dec.num_ref = (num_ref, num_ref)
     rng = np.random.default_rng(seed)
     enc = CabacEncoder()
     sc = CabacSliceCoder(dec, enc, 1, 26, encode=True)
@@ -428,6 +445,13 @@ def craft_cabac_b(mb_w=4, mb_h=3, frame_num=2, poc_lsb=2, seed=7,
             parts = [(0, 0, 2, 4), (2, 0, 2, 4)] if v8x16 else \
                 [(0, 0, 4, 2), (0, 2, 4, 2)]
             masks = [m0, m1]
+        sc._ref_set.clear()
+        if num_ref > 1:                     # list-major ref_idx fields
+            for lst in range(2):
+                for i, (px, py, w4, h4) in enumerate(parts):
+                    if masks[i] & (1 << lst):
+                        sc.ref_idx(bx + px, by + py, lst, w4, h4,
+                                   v=int(rng.integers(0, num_ref)))
         for lst in range(2):
             for i, (px, py, w4, h4) in enumerate(parts):
                 if not (masks[i] & (1 << lst)):
@@ -467,8 +491,8 @@ def craft_cabac_b(mb_w=4, mb_h=3, frame_num=2, poc_lsb=2, seed=7,
     return nal(0, 1, payload)
 
 
-def _setup_b(mb_w, mb_h, frame_num, poc_lsb, deblock):
-    sps_nal = make_sps(mb_w, mb_h)
+def _setup_b(mb_w, mb_h, frame_num, poc_lsb, deblock, num_ref=1):
+    sps_nal = make_sps(mb_w, mb_h, num_ref=max(num_ref, 1))
     pps_nal = make_pps_cabac()
     sps = parse_sps(N.unescape(sps_nal[5:]))
     pps = parse_pps(N.unescape(pps_nal[5:]))
@@ -479,7 +503,12 @@ def _setup_b(mb_w, mb_h, frame_num, poc_lsb, deblock):
     w.u(frame_num & 0xFF, 8)
     w.u(poc_lsb & 0xFF, 8)
     w.u(1, 1)             # direct_spatial
-    w.u(0, 1)             # ref override
+    if num_ref > 1:
+        w.u(1, 1)         # ref override
+        w.ue(num_ref - 1)
+        w.ue(num_ref - 1)
+    else:
+        w.u(0, 1)
     w.u(0, 1)             # list mod l0
     w.u(0, 1)             # list mod l1
     # nal_ref_idc 0 -> no marking
@@ -503,6 +532,68 @@ def test_cabac_b_gop_exact(tmp_path, seed):
     stream += craft_cabac_b(frame_num=2, poc_lsb=2, seed=60 + seed,
                             deblock=True)
     p = tmp_path / "cb.h264"
+    p.write_bytes(stream)
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264")
+    dec = CodecContext.open_decoder(par)
+    frames = dec.decode_all([Packet(data=stream, pts=0,
+                                    time_base=Rational(1, 25))])
+    raw = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "h264", "-i", str(p),
+         "-f", "rawvideo", "-"], capture_output=True)
+    assert raw.returncode == 0, raw.stderr.decode()
+    raw = raw.stdout
+    sz = 64 * 48 * 3 // 2
+    assert len(frames) == len(raw) // sz == 3
+    for i, f in enumerate(frames):
+        got = np.concatenate([np.asarray(pl).ravel() for pl in f.planes])
+        want = np.frombuffer(raw[i * sz:(i + 1) * sz], np.uint8)
+        np.testing.assert_array_equal(got, want, err_msg=f"frame {i}")
+
+
+@requires_ref
+@pytest.mark.parametrize("seed", [2, 6])
+def test_cabac_p_multiref_exact(tmp_path, seed):
+    """CABAC P slices with two active L0 refs: the unary ref_idx coder
+    (ctx base 54, neighbour-ref>0 context) round-trips through our
+    encoder and the reference decoder byte-exactly."""
+    stream = craft_cabac_i(seed=70 + seed, deblock=True, num_ref=2)
+    stream += craft_cabac_p(frame_num=1, seed=80 + seed, deblock=True)
+    stream += craft_cabac_p(frame_num=2, seed=90 + seed, deblock=True,
+                            num_ref=2)
+    stream += craft_cabac_p(frame_num=3, seed=95 + seed, deblock=True,
+                            num_ref=2)
+    p = tmp_path / "cmr.h264"
+    p.write_bytes(stream)
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264")
+    dec = CodecContext.open_decoder(par)
+    frames = dec.decode_all([Packet(data=stream, pts=0,
+                                    time_base=Rational(1, 25))])
+    raw = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "h264", "-i", str(p),
+         "-f", "rawvideo", "-"], capture_output=True)
+    assert raw.returncode == 0, raw.stderr.decode()
+    raw = raw.stdout
+    sz = 64 * 48 * 3 // 2
+    assert len(frames) == len(raw) // sz == 4
+    for i, f in enumerate(frames):
+        got = np.concatenate([np.asarray(pl).ravel() for pl in f.planes])
+        want = np.frombuffer(raw[i * sz:(i + 1) * sz], np.uint8)
+        np.testing.assert_array_equal(got, want, err_msg=f"frame {i}")
+
+
+@requires_ref
+@pytest.mark.parametrize("seed", [3, 9])
+def test_cabac_b_multiref_exact(tmp_path, seed):
+    """B slices with two refs in BOTH lists (L0=[I,P], L1=[P,I]): per-
+    partition per-list ref_idx selects across the lists, so uni/bi MC,
+    the refIdx-matched mv predictor and the B ref contexts (direct
+    neighbours excluded) all get exercised."""
+    stream = craft_cabac_i(seed=100 + seed, deblock=True, num_ref=2)
+    stream += craft_cabac_p(frame_num=1, seed=110 + seed, deblock=True,
+                            poc_lsb=8)
+    stream += craft_cabac_b(frame_num=2, poc_lsb=4, seed=120 + seed,
+                            deblock=True, num_ref=2)
+    p = tmp_path / "cbmr.h264"
     p.write_bytes(stream)
     par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264")
     dec = CodecContext.open_decoder(par)
