@@ -122,7 +122,7 @@ def test_ac3_cli_end_to_end(tmp_path):
     out = tmp_path / "c.wav"
     assert main(["-v", "error", "-i", str(p), "-c:a", "pcm_f32le",
                  "-y", str(out)]) == 0
-    got = np.frombuffer(out.read_bytes().split(b"data", 1)[1][8:], "<f4")
+    got = np.frombuffer(out.read_bytes().split(b"data", 1)[1][4:], "<f4")
     ref = _ref_decode(p)
     n = min(len(ref), len(got))
     assert n > 40000
