@@ -74,22 +74,37 @@ class HttpStream:
             conn.request("GET", path, headers=headers)
             resp = conn.getresponse()
             if resp.status in (301, 302, 303, 307, 308):
-                url = resp.getheader("Location")
+                loc = resp.getheader("Location")
                 resp.read()
                 conn.close()
-                if not url:
+                if not loc:
                     raise InvalidData("http: redirect without Location")
+                from urllib.parse import urljoin
+                url = urljoin(url, loc)
                 continue
             if resp.status not in (200, 206):
                 conn.close()
                 raise InvalidData(f"http: status {resp.status} for {url}")
+            if offset and resp.status == 200:
+                # Server ignored the Range request and is sending the whole
+                # body from byte 0 (http.c treats this as a full-resource
+                # response): consume up to `offset` so reads line up.
+                skip = offset
+                while skip > 0:
+                    chunk = resp.read(min(skip, 1 << 16))
+                    if not chunk:
+                        conn.close()
+                        raise InvalidData(
+                            "http: body ended before requested offset")
+                    skip -= len(chunk)
             self._conn, self._resp = conn, resp
             self._pos = offset
             self.accept_ranges = (resp.status == 206 or
                                   resp.getheader("Accept-Ranges") == "bytes")
             cl = resp.getheader("Content-Length")
             if cl is not None and self.size is None:
-                self.size = int(cl) + offset
+                # 206: length of the remainder; 200: the full resource.
+                self.size = int(cl) + (offset if resp.status == 206 else 0)
             cr = resp.getheader("Content-Range")
             if cr and "/" in cr:
                 total = cr.rsplit("/", 1)[1]

@@ -18,7 +18,6 @@ from .utils import log as _log
 
 _REPO = Path(__file__).resolve().parent.parent
 _CSRC = _REPO / "csrc"
-_SO = _REPO / "ffmpeg_tpu" / "_fftpu_native.so"
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -29,15 +28,31 @@ class NativeUnavailable(FFTPUError):
     pass
 
 
-_SOURCES = ["mjpeg_huff.cpp", "vlc.cpp", "cabac.cpp", "range_coder.cpp"]
+def _source_files():
+    return sorted(list(_CSRC.glob("*.cpp")) + list(_CSRC.glob("*.h")))
 
 
-def _build() -> bool:
-    srcs = [str(_CSRC / s) for s in _SOURCES if (_CSRC / s).exists()]
+def _so_path() -> Path:
+    """Cache path keyed by a content hash of csrc/ (mtimes are not
+    preserved by git, so they can't be trusted for staleness)."""
+    import hashlib
+    h = hashlib.sha256()
+    for p in _source_files():
+        h.update(p.name.encode())
+        h.update(p.read_bytes())
+    cache = Path(os.environ.get("XDG_CACHE_HOME",
+                                Path.home() / ".cache")) / "fftpu"
+    return cache / f"_fftpu_native-{h.hexdigest()[:16]}.so"
+
+
+def _build(so: Path) -> bool:
+    srcs = [str(p) for p in _source_files() if p.suffix == ".cpp"]
     if not srcs:
         return False
+    so.parent.mkdir(parents=True, exist_ok=True)
+    tmp = so.with_suffix(".so.tmp")
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-o", str(_SO), *srcs]
+           "-o", str(tmp), *srcs]
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=300)
     except (OSError, subprocess.TimeoutExpired) as e:
@@ -47,15 +62,8 @@ def _build() -> bool:
         _log.log(None, _log.LogLevel.WARNING,
                  f"native build failed:\n{r.stderr.decode()[:2000]}")
         return False
+    os.replace(tmp, so)
     return True
-
-
-def _newer_than_so() -> bool:
-    if not _SO.exists():
-        return True
-    so_mtime = _SO.stat().st_mtime
-    return any((_CSRC / s).exists() and (_CSRC / s).stat().st_mtime > so_mtime
-               for s in _SOURCES + ["bitreader.h"])
 
 
 def get() -> ctypes.CDLL:
@@ -67,11 +75,12 @@ def get() -> ctypes.CDLL:
         if _tried:
             raise NativeUnavailable("native library unavailable (build failed)")
         _tried = True
-        if _newer_than_so():
-            if not _build():
+        so = _so_path()
+        if not so.exists():
+            if not _build(so):
                 raise NativeUnavailable("could not build csrc/")
         try:
-            _lib = ctypes.CDLL(str(_SO))
+            _lib = ctypes.CDLL(str(so))
         except OSError as e:
             raise NativeUnavailable(str(e))
         _bind(_lib)

@@ -162,6 +162,7 @@ def ctr_crypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     a = AES(key)
     n = (len(data) + 15) // 16
     ctr = int.from_bytes(iv, "big")
-    blocks = b"".join((ctr + i).to_bytes(16, "big") for i in range(n))
+    blocks = b"".join(((ctr + i) % (1 << 128)).to_bytes(16, "big")
+                      for i in range(n))
     ks = a.encrypt_blocks(blocks)[:len(data)]
     return bytes(x ^ y for x, y in zip(data, ks))

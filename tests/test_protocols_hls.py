@@ -101,6 +101,68 @@ def refutil_make_wav(path, sr=8000, n=1600):
     path.write_bytes(hdr + pcm)
 
 
+def test_http_seek_on_range_ignoring_server():
+    """A server that advertises Accept-Ranges but answers 200 to Range
+    requests must not corrupt post-seek reads (http.c full-resource
+    fallback: skip to the offset)."""
+    body = bytes(range(256)) * 8
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Accept-Ranges", "bytes")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from ffmpeg_tpu.io.protocols import HttpStream
+        s = HttpStream(f"http://127.0.0.1:{srv.server_address[1]}/x")
+        assert s.read(16) == body[:16]
+        s.seek(1000)
+        assert s.read(32) == body[1000:1032]
+        assert s.size == len(body)
+        s.close()
+    finally:
+        srv.shutdown()
+
+
+def test_http_relative_redirect():
+    body = b"redirected-content" * 10
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/start":
+                self.send_response(302)
+                self.send_header("Location", "/real/file.bin")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+            else:
+                assert self.path == "/real/file.bin"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from ffmpeg_tpu.io.protocols import HttpStream
+        s = HttpStream(f"http://127.0.0.1:{srv.server_address[1]}/start")
+        assert s.read(-1) == body
+        s.close()
+    finally:
+        srv.shutdown()
+
+
 def test_tcp_protocol():
     srv = socket.socket()
     srv.bind(("127.0.0.1", 0))
