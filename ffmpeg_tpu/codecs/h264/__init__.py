@@ -142,6 +142,8 @@ class H264Decoder(Codec):
         return frames
 
     def _emit(self, dec: SliceDecoder, pkt: Packet) -> Frame:
+        from . import recon_host
+        recon_host.reconstruct(dec)
         sh = getattr(dec, "last_sh", None)
         if sh is not None and sh.disable_deblocking != 1:
             from .loopfilter import deblock_frame

@@ -628,7 +628,6 @@ def _decode_mb_cabac_b(dec, sc, mbx, mby, qp, mb_type):
         dec.blk_done[by + py:by + py + h4, bx + px:bx + px + w4] = True
         dec.intra4x4_modes[by + py:by + py + h4,
                            bx + px:bx + px + w4] = 2
-        dec._mc_bi(mbx, mby, px, py, w4, h4, part_mvs[i], prefs[i])
     cbp = sc.cbp(mbx, mby, False)
     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
     if cbp:
@@ -636,7 +635,6 @@ def _decode_mb_cabac_b(dec, sc, mbx, mby, qp, mb_type):
     else:
         sc.last_dqp = 0
     dec.mb_qp[mby, mbx] = qp
-    x0, y0 = mbx * 16, mby * 16
     for blk in range(16):
         dxb, dyb = _BLK_XY[blk]
         bx4, by4 = bx + dxb, by + dyb
@@ -647,11 +645,7 @@ def _decode_mb_cabac_b(dec, sc, mbx, mby, qp, mb_type):
         dec.nnz_y[by4, bx4] = total
         raster = np.zeros(16, np.int64)
         raster[recon.ZIGZAG4] = lv
-        block = recon.dequant4(raster, qp)
-        px, py = x0 + dxb * 4, y0 + dyb * 4
-        dst = dec.y[py:py + 4, px:px + 4].copy()
-        recon.idct4_add(dst, block)
-        dec.y[py:py + 4, px:px + 4] = dst
+        dec.coeff_y[by4, bx4] = recon.dequant4(raster, qp)
     cbp_entry = _decode_chroma_cabac(dec, sc, mbx, mby, qp, 0, cbp_chroma,
                                      False, False, cbp, intra=False)
     sc.cbp_tab[mby, mbx] = cbp_entry
@@ -701,8 +695,7 @@ def _decode_mb_cabac_intra(dec, sc, mbx, mby, qp, t, intra_slice):
     cbp_entry = cbp_luma | (cbp_chroma << 4)
 
     if is16:
-        pred = recon.pred16x16(dec.y, x0, y0, pred16, avail_l, avail_t)
-        base = np.clip(pred, 0, 255).astype(np.uint8)
+        dec.i16_mode[mby, mbx] = pred16
         dc_lv, dc_total = sc.residual(0, mbx, mby, 0, 0, 16, True)
         if dc_total:
             cbp_entry |= 0x100
@@ -721,35 +714,26 @@ def _decode_mb_cabac_intra(dec, sc, mbx, mby, qp, t, intra_slice):
                 dec.nnz_y[by4, bx4] = 0
             block = recon.dequant4(raster, qp)
             block[0] = dcs[dyb, dxb]
-            px, py = x0 + dxb * 4, y0 + dyb * 4
-            dst = base[py - y0:py - y0 + 4, px - x0:px - x0 + 4].copy()
-            recon.idct4_add(dst, block)
-            dec.y[py:py + 4, px:px + 4] = dst
+            dec.coeff_y[by4, bx4] = block
         dec.blk_done[by:by + 4, bx:bx + 4] = True
     else:
         for blk in range(16):
             dxb, dyb = _BLK_XY[blk]
             bx4, by4 = bx + dxb, by + dyb
-            px, py = x0 + dxb * 4, y0 + dyb * 4
-            al = dec._blk_done_at(bx4 - 1, by4)
-            at = dec._blk_done_at(bx4, by4 - 1)
-            atr = dec._blk_done_at(bx4 + 1, by4 - 1)
-            atl = dec._blk_done_at(bx4 - 1, by4 - 1)
-            predb = recon.pred4x4(dec.y, px, py, modes[blk],
-                                  al, at, atr, atl)
+            dec.blk_avail[by4, bx4] = (
+                dec._blk_done_at(bx4 - 1, by4),
+                dec._blk_done_at(bx4, by4 - 1),
+                dec._blk_done_at(bx4 + 1, by4 - 1),
+                dec._blk_done_at(bx4 - 1, by4 - 1))
+            dec.i4_pred[by4, bx4] = modes[blk]
             if cbp_luma & (1 << (blk >> 2)):
                 lv, total = sc.residual(2, mbx, mby, bx4, by4, 16, True)
                 dec.nnz_y[by4, bx4] = total
                 raster = np.zeros(16, np.int64)
                 raster[recon.ZIGZAG4] = lv
-                block = recon.dequant4(raster, qp)
-                dst = np.clip(predb, 0, 255).astype(np.uint8)
-                recon.idct4_add(dst, block)
-                dec.y[py:py + 4, px:px + 4] = dst
+                dec.coeff_y[by4, bx4] = recon.dequant4(raster, qp)
             else:
                 dec.nnz_y[by4, bx4] = 0
-                dec.y[py:py + 4, px:px + 4] = \
-                    np.clip(predb, 0, 255).astype(np.uint8)
             dec.blk_done[by4, bx4] = True
 
     cbp_entry = _decode_chroma_cabac(dec, sc, mbx, mby, qp, chroma_mode,
@@ -794,7 +778,6 @@ def _decode_mb_cabac_p(dec, sc, mbx, mby, qp, mb_type):
         pred = dec._pred_mv(pbx, pby, w4, h4, ref=ref)
         mv = (pred[0] + mvdx, pred[1] + mvdy)
         dec._store_mv(pbx, pby, w4, h4, mv, 0, ref)
-        dec._mc_partition(mbx, mby, px, py, w4, h4, mv, ref=ref)
     cbp = sc.cbp(mbx, mby, False)
     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
     if cbp:
@@ -802,7 +785,6 @@ def _decode_mb_cabac_p(dec, sc, mbx, mby, qp, mb_type):
     else:
         sc.last_dqp = 0
     dec.mb_qp[mby, mbx] = qp
-    x0, y0 = mbx * 16, mby * 16
     for blk in range(16):
         dxb, dyb = BLK[blk]
         bx4, by4 = bx + dxb, by + dyb
@@ -813,11 +795,7 @@ def _decode_mb_cabac_p(dec, sc, mbx, mby, qp, mb_type):
         dec.nnz_y[by4, bx4] = total
         raster = np.zeros(16, np.int64)
         raster[recon.ZIGZAG4] = lv
-        block = recon.dequant4(raster, qp)
-        px, py = x0 + dxb * 4, y0 + dyb * 4
-        dst = dec.y[py:py + 4, px:px + 4].copy()
-        recon.idct4_add(dst, block)
-        dec.y[py:py + 4, px:px + 4] = dst
+        dec.coeff_y[by4, bx4] = recon.dequant4(raster, qp)
     cbp_entry = _decode_chroma_cabac(dec, sc, mbx, mby, qp, 0, cbp_chroma,
                                      False, False, cbp, intra=False)
     sc.cbp_tab[mby, mbx] = cbp_entry
@@ -836,10 +814,12 @@ def _decode_chroma_cabac(dec, sc, mbx, mby, qp, chroma_mode, cbp_chroma,
         max(0, min(51, qp + dec.pps.chroma_qp_index_offset))]
     qpc2 = T.CHROMA_QP_8BIT[
         max(0, min(51, qp + dec.pps.second_chroma_qp_index_offset))]
-    cx0, cy0 = mbx * 8, mby * 8
-    comps = ((dec.u, dec.nnz_u, qpc), (dec.v, dec.nnz_v, qpc2))
+    if intra:
+        dec.chroma_imode[mby, mbx] = chroma_mode
+        dec.mb_nbr_avail[mby, mbx] = (avail_l, avail_t)
+    comps = ((dec.coeff_u, dec.nnz_u, qpc), (dec.coeff_v, dec.nnz_v, qpc2))
     dcs = []
-    for ci, (_pl, _nnz, qpc_used) in enumerate(comps):
+    for ci, (_co, _nnz, qpc_used) in enumerate(comps):
         sc._cur_comp = ci
         dc = np.zeros((2, 2), np.int64)
         if cbp_chroma:
@@ -850,7 +830,7 @@ def _decode_chroma_cabac(dec, sc, mbx, mby, qp, chroma_mode, cbp_chroma,
                                            qpc_used)
         dcs.append(dc)
     acs_all = []
-    for ci, (_pl, nnz, _q) in enumerate(comps):
+    for ci, (_co, nnz, _q) in enumerate(comps):
         sc._cur_comp = ci
         acs = []
         for blk in range(4):
@@ -865,19 +845,10 @@ def _decode_chroma_cabac(dec, sc, mbx, mby, qp, chroma_mode, cbp_chroma,
                 nnz[mby * 2 + dyb, mbx * 2 + dxb] = 0
             acs.append(raster)
         acs_all.append(acs)
-    for ci, (plane, _nnz, qpc_used) in enumerate(comps):
-        if intra:
-            pred = recon.pred_chroma8x8(plane, cx0, cy0, chroma_mode,
-                                        avail_l, avail_t)
-            base = np.clip(pred, 0, 255).astype(np.uint8)
-        else:
-            base = plane[cy0:cy0 + 8, cx0:cx0 + 8].copy()
+    for ci, (coeff, _nnz, qpc_used) in enumerate(comps):
         for blk in range(4):
             dxb, dyb = blk & 1, blk >> 1
             block = recon.dequant4(acs_all[ci][blk], qpc_used)
             block[0] = dcs[ci][dyb, dxb]
-            dst = base[dyb * 4:dyb * 4 + 4, dxb * 4:dxb * 4 + 4].copy()
-            recon.idct4_add(dst, block)
-            plane[cy0 + dyb * 4:cy0 + dyb * 4 + 4,
-                  cx0 + dxb * 4:cx0 + dxb * 4 + 4] = dst
+            coeff[mby * 2 + dyb, mbx * 2 + dxb] = block
     return cbp_entry

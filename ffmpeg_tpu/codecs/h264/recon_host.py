@@ -1,0 +1,131 @@
+"""H.264 reconstruction from parse tensors — exact-integer numpy path
+(reference: libavcodec/h264_mb.c ff_h264_hl_decode_mb, the per-MB hot
+loop at h264_slice.c:2571).
+
+Consumes the SliceDecoder parse outputs (dequantized coefficient blocks,
+intra modes, per-4x4 motion vectors / reference indices, availability
+flags) and fills dec.y/u/v in decode order. recon_tpu.py is the batched
+device implementation of the same function; tests assert byte equality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import recon
+from .inter import mc_chroma, mc_luma
+
+# zscan order of 4x4 blocks inside an MB: (x4, y4) offsets
+_BLK_XY = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
+           (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3)]
+
+
+def _add_residual(plane, x, y, block):
+    if not block.any():
+        return
+    dst = plane[y:y + 4, x:x + 4].copy()
+    recon.idct4_add(dst, block.astype(np.int64))
+    plane[y:y + 4, x:x + 4] = dst
+
+
+def _recon_inter_mb(dec, mbx, mby, list0, list1):
+    bx, by = mbx * 4, mby * 4
+    for sy in range(4):
+        for sx in range(4):
+            bx4, by4 = bx + sx, by + sy
+            x, y = bx4 * 4, by4 * 4
+            cx, cy = x // 2, y // 2
+            preds = []
+            for lst, lstref in ((0, list0), (1, list1)):
+                r = int(dec.mv_ref[lst, by4, bx4])
+                if r < 0:
+                    continue
+                ry, ru, rv = lstref[r]["planes"]
+                mvx = int(dec.mv[lst, by4, bx4, 0])
+                mvy = int(dec.mv[lst, by4, bx4, 1])
+                preds.append((mc_luma(ry, mvx, mvy, x, y, 4, 4),
+                              mc_chroma(ru, mvx, mvy, cx, cy, 2, 2),
+                              mc_chroma(rv, mvx, mvy, cx, cy, 2, 2)))
+            if not preds:
+                continue
+            if len(preds) == 2:
+                out = tuple(((a.astype(np.int32) + b.astype(np.int32) + 1)
+                             >> 1).astype(np.uint8)
+                            for a, b in zip(*preds))
+            else:
+                out = preds[0]
+            dec.y[y:y + 4, x:x + 4] = out[0]
+            dec.u[cy:cy + 2, cx:cx + 2] = out[1]
+            dec.v[cy:cy + 2, cx:cx + 2] = out[2]
+    # luma residual
+    for sy in range(4):
+        for sx in range(4):
+            _add_residual(dec.y, (bx + sx) * 4, (by + sy) * 4,
+                          dec.coeff_y[by + sy, bx + sx])
+    # chroma residual
+    for pl, co in ((dec.u, dec.coeff_u), (dec.v, dec.coeff_v)):
+        for dy in range(2):
+            for dx in range(2):
+                _add_residual(pl, mbx * 8 + dx * 4, mby * 8 + dy * 4,
+                              co[mby * 2 + dy, mbx * 2 + dx])
+
+
+def _recon_intra_mb(dec, mbx, mby):
+    bx, by = mbx * 4, mby * 4
+    x0, y0 = mbx * 16, mby * 16
+    i16 = int(dec.i16_mode[mby, mbx])
+    avail_l, avail_t = (bool(f) for f in dec.mb_nbr_avail[mby, mbx])
+    if i16 >= 0:
+        pred = recon.pred16x16(dec.y, x0, y0, i16, avail_l, avail_t)
+        dec.y[y0:y0 + 16, x0:x0 + 16] = \
+            np.clip(pred, 0, 255).astype(np.uint8)
+        for sy in range(4):
+            for sx in range(4):
+                _add_residual(dec.y, x0 + sx * 4, y0 + sy * 4,
+                              dec.coeff_y[by + sy, bx + sx])
+    else:
+        for blk in range(16):
+            dx, dy = _BLK_XY[blk]
+            bx4, by4 = bx + dx, by + dy
+            px, py = x0 + dx * 4, y0 + dy * 4
+            al, at, atr, atl = (bool(f) for f in dec.blk_avail[by4, bx4])
+            pred = recon.pred4x4(dec.y, px, py, int(dec.i4_pred[by4, bx4]),
+                                 al, at, atr, atl)
+            dec.y[py:py + 4, px:px + 4] = \
+                np.clip(pred, 0, 255).astype(np.uint8)
+            _add_residual(dec.y, px, py, dec.coeff_y[by4, bx4])
+    # chroma
+    cmode = int(dec.chroma_imode[mby, mbx])
+    cx0, cy0 = mbx * 8, mby * 8
+    for pl, co in ((dec.u, dec.coeff_u), (dec.v, dec.coeff_v)):
+        pred = recon.pred_chroma8x8(pl, cx0, cy0, cmode, avail_l, avail_t)
+        pl[cy0:cy0 + 8, cx0:cx0 + 8] = \
+            np.clip(pred, 0, 255).astype(np.uint8)
+        for dy in range(2):
+            for dx in range(2):
+                _add_residual(pl, cx0 + dx * 4, cy0 + dy * 4,
+                              co[mby * 2 + dy, mbx * 2 + dx])
+
+
+def reconstruct(dec) -> None:
+    """Fill dec.y/u/v from the parse tensors, MB raster order (decode
+    order for the supported single-slice-group streams)."""
+    sps = dec.sps
+    list0 = dec.list0
+    if not list0 and dec.ref_frame is not None:
+        list0 = [{"planes": dec.ref_frame}]
+    list1 = dec.list1
+    for mby in range(sps.mb_height):
+        for mbx in range(sps.mb_width):
+            if not dec.mb_avail[mby, mbx]:
+                continue
+            if dec.is_pcm[mby, mbx]:
+                py_, pu_, pv_ = dec.pcm[mby * sps.mb_width + mbx]
+                dec.y[mby * 16:mby * 16 + 16,
+                      mbx * 16:mbx * 16 + 16] = py_
+                dec.u[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = pu_
+                dec.v[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = pv_
+            elif dec.mb_intra[mby, mbx]:
+                _recon_intra_mb(dec, mbx, mby)
+            else:
+                _recon_inter_mb(dec, mbx, mby, list0, list1)

@@ -1,8 +1,12 @@
-"""H.264 slice decoding: header + CAVLC macroblock layer for I slices
+"""H.264 slice parsing: header + CAVLC macroblock layer
 (reference: libavcodec/h264_slice.c + h264_cavlc.c + h264_mb.c).
 
-Host-side exact-integer reconstruction; batched residual IDCT is shaped
-for later TPU offload (see mpeg12's host-VLC → device-IDCT split)."""
+PARSE ONLY — this stage never touches pixels. It fills the per-frame
+tensors (dequantized coefficient blocks, intra modes, motion vectors,
+reference indices, qp/nnz maps) that reconstruction consumes:
+recon_host.py is the exact-integer numpy path, recon_tpu.py the batched
+device path (SURVEY §7 step 7: host entropy → TPU transform split at the
+decode_mb_cabac / hl_decode_mb boundary of h264_slice.c:2571)."""
 
 from __future__ import annotations
 
@@ -107,6 +111,21 @@ class SliceDecoder:
         self.u = np.full((h // 2, w // 2), 0, np.uint8)
         self.v = np.full((h // 2, w // 2), 0, np.uint8)
         nmbx, nmby = sps.mb_width, sps.mb_height
+        # ---- parse outputs consumed by recon_host / recon_tpu ----
+        # dequantized residual blocks, raster coefficient order (DC of
+        # I16/chroma already substituted by the parse stage)
+        self.coeff_y = np.zeros((nmby * 4, nmbx * 4, 16), np.int32)
+        self.coeff_u = np.zeros((nmby * 2, nmbx * 2, 16), np.int32)
+        self.coeff_v = np.zeros((nmby * 2, nmbx * 2, 16), np.int32)
+        self.i4_pred = np.full((nmby * 4, nmbx * 4), -1, np.int32)
+        self.i16_mode = np.full((nmby, nmbx), -1, np.int32)
+        self.chroma_imode = np.zeros((nmby, nmbx), np.int32)
+        self.is_pcm = np.zeros((nmby, nmbx), bool)
+        self.pcm = {}                 # mb addr -> (y16x16, u8x8, v8x8)
+        # pixel-availability flags recorded at parse time (decode order):
+        # per-4x4 [l, t, tr, tl] for I_NxN, per-MB [l, t] for I16/chroma
+        self.blk_avail = np.zeros((nmby * 4, nmbx * 4, 4), bool)
+        self.mb_nbr_avail = np.zeros((nmby, nmbx, 2), bool)
         self.mb_avail = np.zeros((nmby, nmbx), bool)
         # per-4x4-block nonzero counts for CAVLC contexts (luma + 2 chroma)
         self.nnz_y = np.full((nmby * 4, nmbx * 4), -1, np.int32)
@@ -303,8 +322,6 @@ class SliceDecoder:
                     else:
                         self.mv[lst, cby, cbx] = 0
                         self.mv_ref[lst, cby, cbx] = -1
-                self._mc_bi(mbx, mby, sx, sy, 1, 1, mvs,
-                            [max(refs[0], 0), max(refs[1], 0)])
         self.blk_done[by:by + 4, bx:bx + 4] = True
         self.intra4x4_modes[by:by + 4, bx:bx + 4] = 2
         self.mb_16x16[mby, mbx] = True
@@ -361,7 +378,6 @@ class SliceDecoder:
             self.blk_done[by + py:by + py + h4, bx + px:bx + px + w4] = True
             self.intra4x4_modes[by + py:by + py + h4,
                                 bx + px:bx + px + w4] = 2
-            self._mc_bi(mbx, mby, px, py, w4, h4, mvs, refs)
         # residual identical to P
         cbp_code = b.ue()
         if cbp_code > 47:
@@ -371,7 +387,6 @@ class SliceDecoder:
         if cbp:
             qp = (qp + b.se() + 52) % 52
         self.mb_qp[mby, mbx] = qp
-        x0, y0 = mbx * 16, mby * 16
         for blk in range(16):
             dx, dy = _BLK_XY[blk]
             bx4, by4 = bx + dx, by + dy
@@ -383,11 +398,7 @@ class SliceDecoder:
             self.nnz_y[by4, bx4] = total
             raster = np.zeros(16, np.int64)
             raster[recon.ZIGZAG4] = lv
-            block = recon.dequant4(raster, qp)
-            px, py = x0 + dx * 4, y0 + dy * 4
-            dst = self.y[py:py + 4, px:px + 4].copy()
-            recon.idct4_add(dst, block)
-            self.y[py:py + 4, px:px + 4] = dst
+            self.coeff_y[by4, bx4] = recon.dequant4(raster, qp)
         self._decode_chroma_inter(b, mbx, mby, qp, cbp_chroma)
         return qp
 
@@ -435,49 +446,6 @@ class SliceDecoder:
         self.blk_done[by:by + h4, bx:bx + w4] = True
         self.intra4x4_modes[by:by + h4, bx:bx + w4] = 2
 
-    def _mc_partition(self, mbx, mby, px4, py4, w4, h4, mv,
-                      ref_planes=None, ref=0):
-        from .inter import mc_chroma, mc_luma
-        if ref_planes is None:
-            ref_planes = self.list0[ref]["planes"] if self.list0 \
-                else self.ref_frame
-        ry, ru, rv = ref_planes
-        x, y = (mbx * 4 + px4) * 4, (mby * 4 + py4) * 4
-        self.y[y:y + h4 * 4, x:x + w4 * 4] = mc_luma(
-            ry, mv[0], mv[1], x, y, w4 * 4, h4 * 4)
-        cx, cy = x // 2, y // 2
-        self.u[cy:cy + h4 * 2, cx:cx + w4 * 2] = mc_chroma(
-            ru, mv[0], mv[1], cx, cy, w4 * 2, h4 * 2)
-        self.v[cy:cy + h4 * 2, cx:cx + w4 * 2] = mc_chroma(
-            rv, mv[0], mv[1], cx, cy, w4 * 2, h4 * 2)
-
-    def _mc_bi(self, mbx, mby, px4, py4, w4, h4, mvs, refs):
-        """Uni/bi prediction: mvs/refs per list (None = unused list)."""
-        from .inter import mc_chroma, mc_luma
-        x, y = (mbx * 4 + px4) * 4, (mby * 4 + py4) * 4
-        cx, cy = x // 2, y // 2
-        preds = []
-        for lst in range(2):
-            if mvs[lst] is None:
-                preds.append(None)
-                continue
-            planes = (self.list0 if lst == 0 else self.list1)[refs[lst]]
-            ry, ru, rv = planes["planes"]
-            mv = mvs[lst]
-            preds.append((
-                mc_luma(ry, mv[0], mv[1], x, y, w4 * 4, h4 * 4),
-                mc_chroma(ru, mv[0], mv[1], cx, cy, w4 * 2, h4 * 2),
-                mc_chroma(rv, mv[0], mv[1], cx, cy, w4 * 2, h4 * 2)))
-        if preds[0] is not None and preds[1] is not None:
-            out = tuple(((a.astype(np.int32) + b.astype(np.int32) + 1)
-                         >> 1).astype(np.uint8)
-                        for a, b in zip(preds[0], preds[1]))
-        else:
-            out = preds[0] if preds[0] is not None else preds[1]
-        self.y[y:y + h4 * 4, x:x + w4 * 4] = out[0]
-        self.u[cy:cy + h4 * 2, cx:cx + w4 * 2] = out[1]
-        self.v[cy:cy + h4 * 2, cx:cx + w4 * 2] = out[2]
-
     def _decode_mb_skip(self, mbx, mby, qp):
         bx, by = mbx * 4, mby * 4
         a, ra, avail_a = self._mv_nbr(bx - 1, by)
@@ -488,7 +456,6 @@ class SliceDecoder:
         else:
             mv = self._pred_mv(bx, by, 4, 4)
         self._store_mv(bx, by, 4, 4, mv)
-        self._mc_partition(mbx, mby, 0, 0, 4, 4, mv)
         self.mb_16x16[mby, mbx] = True
         self.nnz_y[by:by + 4, bx:bx + 4] = 0
         self.nnz_u[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
@@ -523,8 +490,6 @@ class SliceDecoder:
                                          ref=refs8[sub])
                     mv = (pred[0] + mvd[0], pred[1] + mvd[1])
                     self._store_mv(pbx, pby, w4, h4, mv, 0, refs8[sub])
-                    self._mc_partition(mbx, mby, ox + px, oy + py,
-                                       w4, h4, mv, ref=refs8[sub])
         else:
             parts = {0: [(0, 0, 4, 4)],
                      1: [(0, 0, 4, 2), (0, 2, 4, 2)],
@@ -537,8 +502,6 @@ class SliceDecoder:
                                      ref=refs[i])
                 mv = (pred[0] + mvd[0], pred[1] + mvd[1])
                 self._store_mv(bx + px, by + py, w4, h4, mv, 0, refs[i])
-                self._mc_partition(mbx, mby, px, py, w4, h4, mv,
-                                   ref=refs[i])
         cbp_code = b.ue()
         if cbp_code > 47:
             raise InvalidData("h264: bad cbp")
@@ -547,7 +510,6 @@ class SliceDecoder:
         if cbp:
             qp = (qp + b.se() + 52) % 52
         self.mb_qp[mby, mbx] = qp
-        x0, y0 = mbx * 16, mby * 16
         for blk in range(16):
             dx, dy = _BLK_XY[blk]
             bx4, by4 = bx + dx, by + dy
@@ -559,11 +521,7 @@ class SliceDecoder:
             self.nnz_y[by4, bx4] = total
             raster = np.zeros(16, np.int64)
             raster[recon.ZIGZAG4] = lv
-            block = recon.dequant4(raster, qp)
-            px, py = x0 + dx * 4, y0 + dy * 4
-            dst = self.y[py:py + 4, px:px + 4].copy()
-            recon.idct4_add(dst, block)
-            self.y[py:py + 4, px:px + 4] = dst
+            self.coeff_y[by4, bx4] = recon.dequant4(raster, qp)
         self._decode_chroma_inter(b, mbx, mby, qp, cbp_chroma)
         return qp
 
@@ -572,10 +530,10 @@ class SliceDecoder:
             max(0, min(51, qp + self.pps.chroma_qp_index_offset))]
         qpc2 = T.CHROMA_QP_8BIT[
             max(0, min(51, qp + self.pps.second_chroma_qp_index_offset))]
-        cx0, cy0 = mbx * 8, mby * 8
-        comps = ((self.u, self.nnz_u, qpc), (self.v, self.nnz_v, qpc2))
+        comps = ((self.coeff_u, self.nnz_u, qpc),
+                 (self.coeff_v, self.nnz_v, qpc2))
         dcs = []
-        for _pl, _nnz, qpc_used in comps:
+        for _co, _nnz, qpc_used in comps:
             dc = np.zeros((2, 2), np.int64)
             if cbp_chroma:
                 lv, _ = decode_residual(b, 4, -1)
@@ -583,7 +541,7 @@ class SliceDecoder:
                     np.array(lv[:4], np.int64), qpc_used)
             dcs.append(dc)
         acs_all = []
-        for _pl, nnz, _q in comps:
+        for _co, nnz, _q in comps:
             acs = []
             for blk in range(4):
                 dx, dy = blk & 1, blk >> 1
@@ -600,16 +558,12 @@ class SliceDecoder:
             acs_all.append(acs)
         if not cbp_chroma:
             return
-        for ci, (plane, _nnz, qpc_used) in enumerate(comps):
+        for ci, (coeff, _nnz, qpc_used) in enumerate(comps):
             for blk in range(4):
                 dx, dy = blk & 1, blk >> 1
                 block = recon.dequant4(acs_all[ci][blk], qpc_used)
                 block[0] = dcs[ci][dy, dx]
-                dst = plane[cy0 + dy * 4:cy0 + dy * 4 + 4,
-                            cx0 + dx * 4:cx0 + dx * 4 + 4].copy()
-                recon.idct4_add(dst, block)
-                plane[cy0 + dy * 4:cy0 + dy * 4 + 4,
-                      cx0 + dx * 4:cx0 + dx * 4 + 4] = dst
+                coeff[mby * 2 + dy, mbx * 2 + dx] = block
 
     def _avail(self, mbx, mby, dx, dy):
         x, y = mbx + dx, mby + dy
@@ -636,13 +590,18 @@ class SliceDecoder:
             # byte-align then raw samples
             if b.pos & 7:
                 b.pos += 8 - (b.pos & 7)
+            py_ = np.empty((16, 16), np.uint8)
+            pu_ = np.empty((8, 8), np.uint8)
+            pv_ = np.empty((8, 8), np.uint8)
             for j in range(16):
                 for i in range(16):
-                    self.y[y0 + j, x0 + i] = b.get(8)
-            for pl in (self.u, self.v):
+                    py_[j, i] = b.get(8)
+            for pl in (pu_, pv_):
                 for j in range(8):
                     for i in range(8):
-                        pl[cy0 + j, cx0 + i] = b.get(8)
+                        pl[j, i] = b.get(8)
+            self.is_pcm[mby, mbx] = True
+            self.pcm[mby * self.sps.mb_width + mbx] = (py_, pu_, pv_)
             self.nnz_y[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 16
             self.nnz_u[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 16
             self.nnz_v[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 16
@@ -688,27 +647,21 @@ class SliceDecoder:
             for blk in range(16):
                 dx, dy = _BLK_XY[blk]
                 bx4, by4 = mbx * 4 + dx, mby * 4 + dy
-                px, py = x0 + dx * 4, y0 + dy * 4
-                al = self._blk_done_at(bx4 - 1, by4)
-                at = self._blk_done_at(bx4, by4 - 1)
-                atr = self._blk_done_at(bx4 + 1, by4 - 1)
-                atl = self._blk_done_at(bx4 - 1, by4 - 1)
-                pred = recon.pred4x4(self.y, px, py, modes[blk],
-                                     al, at, atr, atl)
+                self.blk_avail[by4, bx4] = (
+                    self._blk_done_at(bx4 - 1, by4),
+                    self._blk_done_at(bx4, by4 - 1),
+                    self._blk_done_at(bx4 + 1, by4 - 1),
+                    self._blk_done_at(bx4 - 1, by4 - 1))
+                self.i4_pred[by4, bx4] = modes[blk]
                 if cbp_luma & (1 << (blk >> 2)):
                     nc = self._pred_nnz(self.nnz_y, bx4, by4)
                     lv, total = decode_residual(b, 16, nc)
                     self.nnz_y[by4, bx4] = total
                     raster = np.zeros(16, np.int64)
                     raster[recon.ZIGZAG4] = lv
-                    block = recon.dequant4(raster, qp)
-                    dst = np.clip(pred, 0, 255).astype(np.uint8)
-                    recon.idct4_add(dst, block)
-                    self.y[py:py + 4, px:px + 4] = dst
+                    self.coeff_y[by4, bx4] = recon.dequant4(raster, qp)
                 else:
                     self.nnz_y[by4, bx4] = 0
-                    self.y[py:py + 4, px:px + 4] = \
-                        np.clip(pred, 0, 255).astype(np.uint8)
                 self.blk_done[by4, bx4] = True
             self._decode_chroma(b, mbx, mby, qp, chroma_mode, cbp_chroma,
                                 avail_l, avail_t)
@@ -723,9 +676,7 @@ class SliceDecoder:
         qp = (qp + b.se() + 52) % 52
         self.mb_qp[mby, mbx] = qp
         self.intra4x4_modes[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 2
-
-        pred = recon.pred16x16(self.y, x0, y0, pred_mode, avail_l, avail_t)
-        base = np.clip(pred, 0, 255).astype(np.uint8)
+        self.i16_mode[mby, mbx] = pred_mode
 
         # luma DC: context from whole-MB luma nnz of block 0 neighbours
         nc = self._pred_nnz(self.nnz_y, mbx * 4, mby * 4)
@@ -737,7 +688,6 @@ class SliceDecoder:
         for blk in range(16):
             dx, dy = _BLK_XY[blk]
             bx4, by4 = mbx * 4 + dx, mby * 4 + dy
-            px, py = x0 + dx * 4, y0 + dy * 4
             raster = np.zeros(16, np.int64)
             if cbp_luma:
                 nc = self._pred_nnz(self.nnz_y, bx4, by4)
@@ -748,9 +698,7 @@ class SliceDecoder:
                 self.nnz_y[by4, bx4] = 0
             block = recon.dequant4(raster, qp)
             block[0] = dc[dy, dx]
-            dst = base[py - y0:py - y0 + 4, px - x0:px - x0 + 4].copy()
-            recon.idct4_add(dst, block)
-            self.y[py:py + 4, px:px + 4] = dst
+            self.coeff_y[by4, bx4] = block
         self.blk_done[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = True
         self._decode_chroma(b, mbx, mby, qp, chroma_mode, cbp_chroma,
                             avail_l, avail_t)
@@ -762,11 +710,13 @@ class SliceDecoder:
             max(0, min(51, qp + self.pps.chroma_qp_index_offset))]
         qpc2 = T.CHROMA_QP_8BIT[
             max(0, min(51, qp + self.pps.second_chroma_qp_index_offset))]
-        cx0, cy0 = mbx * 8, mby * 8
-        comps = ((self.u, self.nnz_u, qpc), (self.v, self.nnz_v, qpc2))
+        self.chroma_imode[mby, mbx] = chroma_mode
+        self.mb_nbr_avail[mby, mbx] = (avail_l, avail_t)
+        comps = ((self.coeff_u, self.nnz_u, qpc),
+                 (self.coeff_v, self.nnz_v, qpc2))
         # bitstream order: both components' DC blocks, then all AC blocks
         dcs = []
-        for _plane, _nnz, qpc_used in comps:
+        for _co, _nnz, qpc_used in comps:
             dc = np.zeros((2, 2), np.int64)
             if cbp_chroma:
                 lv, _ = decode_residual(b, 4, -1)
@@ -775,7 +725,7 @@ class SliceDecoder:
                     qpc_used)
             dcs.append(dc)
         acs_all = []
-        for _plane, nnz, _qpc_used in comps:
+        for _co, nnz, _qpc_used in comps:
             acs = []
             for blk in range(4):
                 dx, dy = blk & 1, blk >> 1
@@ -790,18 +740,12 @@ class SliceDecoder:
                     nnz[mby * 2 + dy, mbx * 2 + dx] = 0
                 acs.append(raster)
             acs_all.append(acs)
-        for ci, (plane, _nnz, qpc_used) in enumerate(comps):
-            pred = recon.pred_chroma8x8(plane, cx0, cy0, chroma_mode,
-                                        avail_l, avail_t)
-            base = np.clip(pred, 0, 255).astype(np.uint8)
+        for ci, (coeff, _nnz, qpc_used) in enumerate(comps):
             for blk in range(4):
                 dx, dy = blk & 1, blk >> 1
                 block = recon.dequant4(acs_all[ci][blk], qpc_used)
                 block[0] = dcs[ci][dy, dx]
-                dst = base[dy * 4:dy * 4 + 4, dx * 4:dx * 4 + 4].copy()
-                recon.idct4_add(dst, block)
-                plane[cy0 + dy * 4:cy0 + dy * 4 + 4,
-                      cx0 + dx * 4:cx0 + dx * 4 + 4] = dst
+                coeff[mby * 2 + dy, mbx * 2 + dx] = block
 
     # --- 4x4 block availability (frame coords in 4x4 units) ------------------------
     def _blk_done_at(self, bx, by) -> bool:
