@@ -142,12 +142,21 @@ class H264Decoder(Codec):
         return frames
 
     def _emit(self, dec: SliceDecoder, pkt: Packet) -> Frame:
-        from . import recon_host
-        recon_host.reconstruct(dec)
         sh = getattr(dec, "last_sh", None)
-        if sh is not None and sh.disable_deblocking != 1:
-            from .loopfilter import deblock_frame
-            deblock_frame(dec, sh.alpha_c0_offset, sh.beta_offset)
+        do_deblock = sh is not None and sh.disable_deblocking != 1
+        if self.options.get("recon") == "tpu":
+            from . import recon_tpu
+            recon_tpu.reconstruct(
+                dec,
+                sh.alpha_c0_offset if sh else 0,
+                sh.beta_offset if sh else 0,
+                do_deblock=do_deblock)
+        else:
+            from . import recon_host
+            recon_host.reconstruct(dec)
+            if do_deblock:
+                from .loopfilter import deblock_frame
+                deblock_frame(dec, sh.alpha_c0_offset, sh.beta_offset)
         is_ref = getattr(dec, "ref_idc", 1) != 0
         planes = (dec.y.copy(), dec.u.copy(), dec.v.copy())
         if is_ref:
