@@ -64,6 +64,14 @@ struct BitReader {
         skip(n);
         return v;
     }
+    // read without refilling — caller guarantees a prior peek left
+    // enough cached bits (peek(16) leaves >= 41 spare)
+    inline uint32_t get_cached(int n) {
+        if (n == 0) return 0;
+        uint32_t v = (uint32_t)(cache >> (64 - n));
+        skip(n);
+        return v;
+    }
     // bits consumed from the start of the buffer
     inline size_t consumed() const { return pos * 8 - (size_t)bits; }
     inline bool overread() const { return consumed() > size * 8 + 64; }

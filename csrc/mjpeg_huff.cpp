@@ -26,24 +26,41 @@ static uint64_t fnv1a(const uint8_t* p, size_t n, uint64_t h) {
 }
 
 struct HuffTable {
-    // LUT-based decode: peek 16 bits, table gives (symbol, length).
-    // Built from (bits[16], values[]) DHT spec.
-    uint8_t sym[1 << 16];
-    uint8_t len[1 << 16];
+    // Two-level LUT decode: a 9-bit first level (1 KB, L1-resident — the
+    // 16-bit flat table thrashed L2 at ~1 MB) resolving nearly all JPEG
+    // codes, with a 16-bit second level for the rare long codes.
+    static constexpr int L1_BITS = 9;
+    uint8_t sym1[1 << L1_BITS];
+    uint8_t len1[1 << L1_BITS];      // 0 -> long code, use level 2
+    uint8_t sym2[1 << 16];
+    uint8_t len2[1 << 16];
     bool built = false;
+    bool has_long = false;
 
     int build(const uint8_t* counts, const uint8_t* values) {
         uint32_t code = 0;
         int vi = 0;
-        std::memset(len, 0, sizeof(len));
+        std::memset(len1, 0, sizeof(len1));
+        std::memset(len2, 0, sizeof(len2));
+        has_long = false;
         for (int l = 1; l <= 16; ++l) {
             for (int i = 0; i < counts[l - 1]; ++i) {
                 if (code >= (1u << l)) return -1;
-                uint32_t lo = code << (16 - l);
-                uint32_t hi = lo + (1u << (16 - l));
-                for (uint32_t c = lo; c < hi; ++c) {
-                    sym[c] = values[vi];
-                    len[c] = (uint8_t)l;
+                if (l <= L1_BITS) {
+                    uint32_t lo = code << (L1_BITS - l);
+                    uint32_t hi = lo + (1u << (L1_BITS - l));
+                    for (uint32_t c = lo; c < hi; ++c) {
+                        sym1[c] = values[vi];
+                        len1[c] = (uint8_t)l;
+                    }
+                } else {
+                    has_long = true;
+                    uint32_t lo = code << (16 - l);
+                    uint32_t hi = lo + (1u << (16 - l));
+                    for (uint32_t c = lo; c < hi; ++c) {
+                        sym2[c] = values[vi];
+                        len2[c] = (uint8_t)l;
+                    }
                 }
                 ++code;
                 ++vi;
@@ -52,6 +69,15 @@ struct HuffTable {
         }
         built = true;
         return 0;
+    }
+
+    // decode one symbol from a 16-bit peek; returns length (0 = error)
+    inline int decode(uint32_t look16, int* sym) const {
+        uint32_t l1 = look16 >> (16 - L1_BITS);
+        int l = len1[l1];
+        if (l) { *sym = sym1[l1]; return l; }
+        *sym = sym2[look16];
+        return len2[look16];
     }
 };
 
@@ -71,6 +97,46 @@ struct CompSpec {
 }  // namespace
 
 extern "C" {
+
+// Destuff a scan and split it at RSTn markers into byte-aligned
+// segments (restart intervals), the unit of parallelism for the
+// device-side Huffman decoder (ops/huffman.py): each segment starts
+// bit-aligned with DC predictors reset, so thousands decode in
+// parallel as lanes of one vectorized TPU program.
+//   out:          destuffed bytes of all segments, concatenated
+//   seg_offsets:  byte offset of segment i in out; [nseg] = total size
+// Returns nseg (>= 1) or a negative error.
+long mjpeg_split_segments(const uint8_t* data, long size,
+                          uint8_t* out, long out_cap,
+                          int32_t* seg_offsets, long max_segs) {
+    long i = 0, w = 0;
+    long nseg = 0;
+    if (max_segs < 1) return -1;
+    seg_offsets[nseg++] = 0;
+    while (i < size) {
+        uint8_t b = data[i];
+        if (b == 0xFF) {
+            if (i + 1 < size && data[i + 1] == 0x00) {
+                if (w >= out_cap) return -2;
+                out[w++] = 0xFF;
+                i += 2;
+                continue;
+            }
+            if (i + 1 < size && (data[i + 1] & 0xF8) == 0xD0) {
+                if (nseg > max_segs) return -3;
+                seg_offsets[nseg++] = (int32_t)w;
+                i += 2;
+                continue;
+            }
+            break;  // EOI or other marker: end of scan
+        }
+        if (w >= out_cap) return -2;
+        out[w++] = b;
+        ++i;
+    }
+    seg_offsets[nseg] = (int32_t)w;
+    return nseg;
+}
 
 // counts: 4 tables x 2 classes x 16 ; values: 4x2x256
 // comp_spec: per component: dc_tab, ac_tab, h, v, blocks_w  (5 ints)
@@ -166,22 +232,21 @@ int mjpeg_decode_scan(
                     long col = mx * cs.h + bx;
                     int16_t* blk = out[c] + (row * cs.blocks_w + col) * coeff_limit;
                     std::memset(blk, 0, (size_t)coeff_limit * 2);
-                    // DC
-                    uint32_t look = br.peek(16);
-                    int l = dt.len[look];
+                    // DC. peek(16) refills to >=57 cached bits, so the
+                    // magnitude bits (<=16) never need another refill.
+                    int s;
+                    int l = dt.decode(br.peek(16), &s);
                     if (!l) { delete[] buf; return -3; }
-                    int s = dt.sym[look];
                     br.skip(l);
-                    int diff = jpeg_extend((int)br.get(s), s);
+                    int diff = jpeg_extend((int)br.get_cached(s), s);
                     pred[c] += diff;
                     blk[0] = (int16_t)pred[c];
                     // AC (run/size)
                     int k = 1;
                     while (k < 64) {
-                        look = br.peek(16);
-                        l = at.len[look];
+                        int rs;
+                        l = at.decode(br.peek(16), &rs);
                         if (!l) { delete[] buf; return -4; }
-                        int rs = at.sym[look];
                         br.skip(l);
                         int run = rs >> 4;
                         int sz = rs & 15;
@@ -191,7 +256,7 @@ int mjpeg_decode_scan(
                         }
                         k += run;
                         if (k > 63) { delete[] buf; return -5; }
-                        int v = jpeg_extend((int)br.get(sz), sz);
+                        int v = jpeg_extend((int)br.get_cached(sz), sz);
                         if (k < coeff_limit) blk[k] = (int16_t)v;
                         ++k;
                     }

@@ -82,6 +82,50 @@ def _scale_qtab(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(q, 1, 255).astype(np.int32)
 
 
+def package_merge(freqs: dict, limit: int) -> dict:
+    """Optimal length-limited Huffman code lengths (package-merge).
+    freqs: symbol -> count (>0). Returns symbol -> length (<= limit)."""
+    syms = sorted(freqs)
+    if len(syms) == 1:
+        return {syms[0]: 1}
+    items = sorted((freqs[s], (s,)) for s in syms)
+    level = list(items)
+    for _ in range(limit - 1):
+        merged = [(level[i][0] + level[i + 1][0],
+                   level[i][1] + level[i + 1][1])
+                  for i in range(0, len(level) - 1, 2)]
+        level = sorted(items + merged)
+    lengths = {s: 0 for s in syms}
+    for _w, pack in level[:2 * (len(syms) - 1)]:
+        for s in pack:
+            lengths[s] += 1
+    return lengths
+
+
+def build_optimal_table(freqs: dict, limit: int = 9) -> Tuple[list, list]:
+    """(counts[16], values) DHT spec from symbol frequencies, canonical
+    code assignment, max code length `limit`. A pseudo-symbol reserves
+    the all-ones code per JPEG Annex K.2 convention."""
+    f = {s: c for s, c in freqs.items() if c > 0}
+    f[256] = 1                        # reserve the all-ones code
+    lengths = package_merge(f, limit)
+    # force the pseudo-symbol to the longest length so the canonical
+    # assignment gives it the trailing (all-ones) code, then drop it
+    lengths[256] = max(lengths.values())
+    order = sorted(lengths, key=lambda s: (lengths[s], s))
+    counts = [0] * 16
+    values = []
+    for s in order:
+        if s == 256:
+            continue
+        counts[lengths[s] - 1] += 1
+        values.append(s)
+    # degenerate single-symbol table still needs a 1-bit code
+    if sum(counts) == 0:
+        counts[0] = 1
+    return counts, values
+
+
 def _huff_codes(spec) -> Tuple[np.ndarray, np.ndarray]:
     counts, values = spec
     codes = np.zeros(256, np.uint32)
@@ -154,6 +198,28 @@ def _encode_blocks(bw: "_BitWriter", coeffs: np.ndarray,
     return pred
 
 
+def _block_stats(coeffs, pred, dc_hist, ac_hist) -> int:
+    """Histogram the DC-size and AC (run,size) symbols _encode_blocks
+    would emit; returns the updated DC predictor."""
+    for blk in coeffs:
+        diff = int(blk[0]) - pred
+        pred = int(blk[0])
+        dc_hist[abs(diff).bit_length()] += 1
+        nz = np.nonzero(blk[1:])[0]
+        k_prev = 0
+        for idx in nz:
+            run = int(idx) - k_prev
+            k_prev = int(idx) + 1
+            while run >= 16:
+                ac_hist[0xF0] += 1
+                run -= 16
+            sz = abs(int(blk[1 + idx])).bit_length()
+            ac_hist[(run << 4) | sz] += 1
+        if k_prev != 63:
+            ac_hist[0x00] += 1
+    return pred
+
+
 _SAMPLING = {"yuv420p": (2, 2), "yuv422p": (2, 1), "yuv444p": (1, 1),
              "gray": (1, 1), "yuv440p": (1, 2)}
 
@@ -168,6 +234,12 @@ class MjpegEncoder(Codec):
         super().__init__(par, options)
         self.quality = int((options or {}).get("quality", 90))
         self.restart_interval = int((options or {}).get("restart_interval", 0))
+        # huffman="optimal" builds per-frame length-limited (<= max_code_len
+        # bits) optimal tables, like the reference's mjpegenc_huffman.c
+        # "huffman=optimal" but with a configurable cap. Short caps keep
+        # the decode LUT small enough for one-hot MXU lookup on the TPU.
+        self.huffman = (options or {}).get("huffman", "default")
+        self.max_code_len = int((options or {}).get("max_code_len", 9))
 
     def encode(self, frame: Optional[Frame]) -> List[Packet]:
         if frame is None:
@@ -232,11 +304,40 @@ class MjpegEncoder(Codec):
             sof += bytes([ci + 1, samp[ci][0] << 4 | samp[ci][1],
                           0 if ci == 0 else 1])
         marker(0xC0, sof)
+        # Huffman table specs (standard Annex K or per-frame optimal)
+        if self.huffman == "optimal":
+            hists = [[0] * 257 for _ in range(4)]  # dcl, acl, dcc, acc
+            pred = [0] * ncomp
+            ri = self.restart_interval
+            for mcu in range(mcus_x * mcus_y):
+                my, mx = divmod(mcu, mcus_x)
+                for ci in range(ncomp):
+                    hcf, vcf = samp[ci]
+                    blocks = [comps_coeffs[ci][my * vcf + by, mx * hcf + bx]
+                              for by in range(vcf) for bx in range(hcf)]
+                    cls = 0 if ci == 0 else 1
+                    pred[ci] = _block_stats(
+                        blocks, pred[ci],
+                        hists[cls * 2], hists[cls * 2 + 1])
+                if ri and (mcu + 1) % ri == 0:
+                    pred = [0] * ncomp
+            lim = self.max_code_len
+            spec_dcl = build_optimal_table(
+                {s: c for s, c in enumerate(hists[0]) if c}, lim)
+            spec_acl = build_optimal_table(
+                {s: c for s, c in enumerate(hists[1]) if c}, lim)
+            spec_dcc = build_optimal_table(
+                {s: c for s, c in enumerate(hists[2]) if c}, lim)
+            spec_acc = build_optimal_table(
+                {s: c for s, c in enumerate(hists[3]) if c}, lim)
+        else:
+            spec_dcl, spec_acl = STD_DC_LUMA, STD_AC_LUMA
+            spec_dcc, spec_acc = STD_DC_CHROMA, STD_AC_CHROMA
         # DHT
         dht = b""
-        specs = [(0x00, STD_DC_LUMA), (0x10, STD_AC_LUMA)]
+        specs = [(0x00, spec_dcl), (0x10, spec_acl)]
         if ncomp > 1:
-            specs += [(0x01, STD_DC_CHROMA), (0x11, STD_AC_CHROMA)]
+            specs += [(0x01, spec_dcc), (0x11, spec_acc)]
         for tid, (counts, values) in specs:
             dht += bytes([tid]) + bytes(counts) + bytes(values)
         marker(0xC4, dht)
@@ -250,10 +351,10 @@ class MjpegEncoder(Codec):
         marker(0xDA, sos)
 
         # entropy: interleaved MCUs
-        dcl_c, dcl_l = _huff_codes(STD_DC_LUMA)
-        acl_c, acl_l = _huff_codes(STD_AC_LUMA)
-        dcc_c, dcc_l = _huff_codes(STD_DC_CHROMA)
-        acc_c, acc_l = _huff_codes(STD_AC_CHROMA)
+        dcl_c, dcl_l = _huff_codes(spec_dcl)
+        acl_c, acl_l = _huff_codes(spec_acl)
+        dcc_c, dcc_l = _huff_codes(spec_dcc)
+        acc_c, acc_l = _huff_codes(spec_acc)
         bw = _BitWriter()
         pred = [0] * ncomp
         ri = self.restart_interval

@@ -51,8 +51,8 @@ def _build(so: Path) -> bool:
         return False
     so.parent.mkdir(parents=True, exist_ok=True)
     tmp = so.with_suffix(".so.tmp")
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-o", str(tmp), *srcs]
+    cmd = ["g++", "-O3", "-march=native", "-funroll-loops",
+           "-shared", "-fPIC", "-std=c++17", "-o", str(tmp), *srcs]
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=300)
     except (OSError, subprocess.TimeoutExpired) as e:
@@ -97,6 +97,13 @@ def available() -> bool:
 
 def _bind(lib: ctypes.CDLL) -> None:
     c = ctypes
+    if hasattr(lib, "mjpeg_split_segments"):
+        lib.mjpeg_split_segments.restype = c.c_long
+        lib.mjpeg_split_segments.argtypes = [
+            c.c_char_p, c.c_long,
+            c.POINTER(c.c_uint8), c.c_long,
+            c.POINTER(c.c_int32), c.c_long,
+        ]
     if hasattr(lib, "mjpeg_decode_scan"):
         lib.mjpeg_decode_scan.restype = c.c_int
         lib.mjpeg_decode_scan.argtypes = [

@@ -1,0 +1,95 @@
+"""Device-side segment-parallel JPEG Huffman decode (ops/huffman.py)
+vs the host C++ scan decoder — coefficient-exact on real encoded frames."""
+
+import ctypes
+
+import numpy as np
+import pytest
+
+from ffmpeg_tpu import native
+from ffmpeg_tpu.codecs import CodecContext
+from ffmpeg_tpu.codecs.mjpeg import _JpegState, _parse_until_scan
+from ffmpeg_tpu.filters import get_filter
+from ffmpeg_tpu.io.stream import CodecParameters, MediaType
+from ffmpeg_tpu.ops.huffman import build_jpeg_luts, jpeg_scan_decode
+from ffmpeg_tpu.scale.swscale import scale_frame
+
+
+def _encode_frame(w, h, quality=85, restart_interval=1, seed=0):
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="mjpeg",
+                          width=w, height=h)
+    enc = CodecContext.open_encoder(
+        par, options={"quality": quality,
+                      "restart_interval": restart_interval})
+    src = get_filter("testsrc")(f"size={w}x{h}")
+    frames = list(src.generate(seed + 1))
+    yuv = scale_frame(frames[seed], w, h, "yuv420p", dst_range=True)
+    enc.send_frame(yuv)
+    return enc.receive_packet().data
+
+
+@pytest.mark.parametrize("w,h,quality,ri", [
+    (128, 96, 85, 1), (128, 96, 30, 1), (256, 128, 92, 2),
+    (144, 112, 85, 4),
+])
+def test_device_huffman_matches_host(w, h, quality, ri):
+    data = _encode_frame(w, h, quality=quality, restart_interval=ri)
+    st = _JpegState()
+    off, _ = _parse_until_scan(data, st)
+    comps = st.components
+    assert comps[0].h == 2 and comps[0].v == 2
+    mcus_x, mcus_y = -(-w // 16), -(-h // 16)
+    lx, ly = mcus_x * 2, mcus_y * 2
+    cx, cy = mcus_x, mcus_y
+    lib = native.get()
+
+    # host reference decode
+    ys = np.zeros((ly, lx, 64), np.int16)
+    us = np.zeros((cy, cx, 64), np.int16)
+    vs = np.zeros((cy, cx, 64), np.int16)
+    specs, ptrs = [], []
+    for ci, comp in enumerate(comps):
+        bw = lx if comp.h == 2 else cx
+        specs.append((comp.dc_tab, comp.ac_tab, comp.h, comp.v, bw))
+        ptrs.append((ys, us, vs)[ci].ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int16)))
+    spec_arr = (ctypes.c_int * (5 * len(specs)))(
+        *[v for s in specs for v in s])
+    out_ptrs = (ctypes.POINTER(ctypes.c_int16) * len(ptrs))(*ptrs)
+    scan = data[off:]
+    r = lib.mjpeg_decode_scan(
+        scan, len(scan), st.dc_counts.tobytes(), st.dc_values.tobytes(),
+        st.ac_counts.tobytes(), st.ac_values.tobytes(), spec_arr,
+        len(specs), mcus_x, mcus_y, st.restart_interval, 64, out_ptrs)
+    assert r == 0, r
+
+    # split segments
+    cap = len(scan) + 16
+    buf = np.zeros(cap, np.uint8)
+    max_segs = mcus_x * mcus_y + 2
+    offs = np.zeros(max_segs + 1, np.int32)
+    nseg = lib.mjpeg_split_segments(
+        scan, len(scan), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_segs)
+    assert nseg == -(-mcus_x * mcus_y // ri), nseg
+
+    luts = build_jpeg_luts(st)
+    import jax
+    import jax.numpy as jnp
+    nmcu = mcus_x * mcus_y
+    bitpos = jnp.asarray(offs[:nseg] * 8)
+    valid = jnp.ones(nseg, bool)
+    blk_end = jnp.asarray(
+        np.minimum(ri, nmcu - np.arange(nseg) * ri) * 6, np.int32)
+    out = jax.jit(jpeg_scan_decode, static_argnames=("blocks_per_seg",))(
+        jnp.asarray(buf), bitpos, valid, jnp.asarray(luts),
+        blocks_per_seg=6 * ri, blk_end=blk_end)
+    out = np.asarray(out).reshape(nseg * ri, 6, 64)[:nmcu]
+
+    got_y = out[:, :4].reshape(mcus_y, mcus_x, 2, 2, 64) \
+        .transpose(0, 2, 1, 3, 4).reshape(ly, lx, 64)
+    got_u = out[:, 4].reshape(cy, cx, 64)
+    got_v = out[:, 5].reshape(cy, cx, 64)
+    np.testing.assert_array_equal(got_y, ys.astype(np.int32))
+    np.testing.assert_array_equal(got_u, us.astype(np.int32))
+    np.testing.assert_array_equal(got_v, vs.astype(np.int32))

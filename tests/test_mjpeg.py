@@ -121,6 +121,30 @@ def test_encoder_reference_decodable():
 
 
 @requires_ref
+def test_optimal_huffman_encoder():
+    """huffman=optimal builds per-frame length-limited (<=9 bit) tables:
+    smaller files, still decodable by the reference and by us."""
+    w, h = 160, 120
+    raw = refutil.gen_rawvideo(w, h, "yuv420p")
+    src = Frame.from_bytes(raw, "yuv420p", w, h)
+    sizes = {}
+    for name, opts in (("std", {}), ("opt", {"huffman": "optimal"})):
+        enc = CodecContext.open_encoder(
+            _par(width=w, height=h),
+            options={"quality": 90, "restart_interval": 2, **opts})
+        enc.send_frame(src)
+        jpg = enc.receive_packet().data
+        sizes[name] = len(jpg)
+        ref = _ref_decode(jpg, w, h)
+        dec = CodecContext.open_decoder(_par())
+        (f,) = dec.decode_all([Packet(data=jpg, pts=0)])
+        for a, b in zip(f.numpy().planes, ref.planes):
+            d = np.abs(np.asarray(a, np.int32) - np.asarray(b, np.int32))
+            assert d.max() <= 1
+    assert sizes["opt"] < sizes["std"]
+
+
+@requires_ref
 def test_mjpeg_stream_demuxer():
     jpg = _ref_jpeg(64, 48, frames=3)
     d = open_input(jpg, format="mjpeg")
