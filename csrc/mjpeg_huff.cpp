@@ -138,6 +138,48 @@ long mjpeg_split_segments(const uint8_t* data, long size,
     return nseg;
 }
 
+// Strided variant for the one-hot device decoder: segment i is destuffed
+// into out[i*stride .. ), zero-padded to the stride. A segment longer
+// than stride-4 is an error (-4). Returns nseg.
+long mjpeg_split_segments_strided(const uint8_t* data, long size,
+                                  uint8_t* out, long stride,
+                                  long max_segs) {
+    long i = 0;
+    long nseg = 0;
+    uint8_t* dst = out;
+    long w = 0;
+    if (max_segs < 1 || stride < 8) return -1;
+    auto close_segment = [&]() {
+        std::memset(dst + w, 0, (size_t)(stride - w));
+        ++nseg;
+        dst = out + nseg * stride;
+        w = 0;
+    };
+    while (i < size) {
+        uint8_t b = data[i];
+        if (b == 0xFF) {
+            if (i + 1 < size && data[i + 1] == 0x00) {
+                if (w > stride - 5) return -4;
+                dst[w++] = 0xFF;
+                i += 2;
+                continue;
+            }
+            if (i + 1 < size && (data[i + 1] & 0xF8) == 0xD0) {
+                if (nseg + 1 >= max_segs) return -3;
+                close_segment();
+                i += 2;
+                continue;
+            }
+            break;
+        }
+        if (w > stride - 5) return -4;
+        dst[w++] = b;
+        ++i;
+    }
+    close_segment();
+    return nseg;
+}
+
 // counts: 4 tables x 2 classes x 16 ; values: 4x2x256
 // comp_spec: per component: dc_tab, ac_tab, h, v, blocks_w  (5 ints)
 // out: per component pointer to int16[blocks_total*64] (zigzag order)

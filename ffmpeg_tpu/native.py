@@ -104,6 +104,12 @@ def _bind(lib: ctypes.CDLL) -> None:
             c.POINTER(c.c_uint8), c.c_long,
             c.POINTER(c.c_int32), c.c_long,
         ]
+    if hasattr(lib, "mjpeg_split_segments_strided"):
+        lib.mjpeg_split_segments_strided.restype = c.c_long
+        lib.mjpeg_split_segments_strided.argtypes = [
+            c.c_char_p, c.c_long,
+            c.POINTER(c.c_uint8), c.c_long, c.c_long,
+        ]
     if hasattr(lib, "mjpeg_decode_scan"):
         lib.mjpeg_decode_scan.restype = c.c_int
         lib.mjpeg_decode_scan.argtypes = [

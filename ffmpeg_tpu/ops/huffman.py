@@ -56,6 +56,135 @@ def build_jpeg_luts(st) -> np.ndarray:
     return np.stack([dcl, dcc, acl, acc])
 
 
+def build_jpeg_luts9(st) -> np.ndarray:
+    """Length-capped (<=9 bit) tables -> (512, 8) float32 one-hot-matmul
+    LUT: per 9-bit peek, columns [len, sym] x [dc_luma, dc_chroma,
+    ac_luma, ac_chroma]. Raises if any code is longer than 9 bits."""
+    comps = st.components
+    specs = [(st.dc_counts[comps[0].dc_tab], st.dc_values[comps[0].dc_tab]),
+             (st.dc_counts[comps[1].dc_tab], st.dc_values[comps[1].dc_tab]),
+             (st.ac_counts[comps[0].ac_tab], st.ac_values[comps[0].ac_tab]),
+             (st.ac_counts[comps[1].ac_tab], st.ac_values[comps[1].ac_tab])]
+    out = np.zeros((512, 8), np.float32)
+    for t, (counts, values) in enumerate(specs):
+        if any(counts[l] for l in range(9, 16)):
+            raise ValueError("jpeg: code longer than 9 bits")
+        code = 0
+        vi = 0
+        for l in range(1, 10):
+            for _ in range(int(counts[l - 1])):
+                lo = code << (9 - l)
+                hi = lo + (1 << (9 - l))
+                out[lo:hi, 2 * t] = l
+                out[lo:hi, 2 * t + 1] = int(values[vi])
+                code += 1
+                vi += 1
+            code <<= 1
+    return out
+
+
+def jpeg_scan_decode9(rows, valid, lut9, blocks_per_seg: int = 6,
+                      comp_of_blk=(0, 0, 0, 0, 1, 2), max_iter: int = 0,
+                      blk_end=None):
+    """One-hot/MXU fast path of jpeg_scan_decode for streams whose
+    Huffman codes are <= 9 bits (our encoder's huffman=optimal default).
+
+    rows:  (L, S) uint8 — each lane's destuffed segment at a fixed
+           stride (mjpeg_split_segments_strided), >= 4 trailing pad.
+    lut9:  (512, 8) float32 from build_jpeg_luts9.
+    Returns (L, blocks_per_seg, 64) int32.
+
+    Random gathers cost ~0.5 ms per step inside a TPU loop; every lookup
+    here is instead a one-hot contraction (MXU/VPU-friendly): the 32-bit
+    bit-window read is a masked row reduction, the Huffman table is a
+    512-wide one-hot matmul, and coefficient emission is a one-hot
+    accumulate. sh + len + size <= 7+9+15 = 31 keeps symbol AND
+    magnitude inside one 32-bit window, so each iteration does exactly
+    one window read."""
+    import jax
+    import jax.numpy as jnp
+
+    L, S = rows.shape
+    NBLK = blocks_per_seg
+    if max_iter <= 0:
+        max_iter = NBLK * 130
+    # per-byte 32-bit big-endian windows, once
+    r = rows.astype(np.int32)
+    pad = jnp.zeros((L, 3), np.int32)
+    rp = jnp.concatenate([r, pad], axis=1)
+    rows32 = ((rp[:, :S] << 24) | (rp[:, 1:S + 1] << 16)
+              | (rp[:, 2:S + 2] << 8) | rp[:, 3:S + 3])
+    comp_map = jnp.asarray(np.asarray(comp_of_blk, np.int32))
+    if blk_end is None:
+        end = jnp.full(L, NBLK, np.int32)
+    else:
+        end = blk_end.astype(np.int32)
+    pos_iota = jnp.arange(S, dtype=np.int32)[None, :]
+    lutf = lut9                                     # (512, 8) f32
+
+    def cond(c):
+        it = c[0]
+        return (it < max_iter) & jnp.any(c[2] < end)
+
+    def body(c):
+        it, cur, blk, k, p0, p1, p2, out = c
+        done = blk >= end
+        cb = jnp.clip(cur >> 3, 0, S - 1)
+        w32 = jnp.sum(jnp.where(pos_iota == cb[:, None], rows32, 0),
+                      axis=1)
+        sh = cur & 7
+        look9 = (w32 >> (23 - sh)) & 0x1FF
+        oh = jax.nn.one_hot(look9, 512, dtype=jnp.bfloat16)
+        res = (oh @ lutf.astype(jnp.bfloat16)).astype(np.int32)  # (L, 8)
+        comp = comp_map[jnp.clip(blk, 0, NBLK - 1) % len(comp_of_blk)]
+        is_dc = k < 0
+        sel = jnp.where(is_dc, 0, 2) + (comp > 0)
+
+        def pick(col0):
+            return jnp.where(
+                sel == 0, res[:, col0],
+                jnp.where(sel == 1, res[:, col0 + 2],
+                          jnp.where(sel == 2, res[:, col0 + 4],
+                                    res[:, col0 + 6])))
+
+        ln = pick(0)
+        sym = pick(1)
+        run = sym >> 4
+        sz = sym & 15
+        mag = (w32 >> (32 - sh - ln - sz)) & ((1 << sz) - 1)
+        half = (1 << sz) >> 1
+        val = jnp.where((sz > 0) & (mag < half), mag - (1 << sz) + 1, mag)
+        cur = jnp.where(done, cur, cur + ln + sz)
+        predc = jnp.where(comp == 0, p0, jnp.where(comp == 1, p1, p2))
+        pred_new = predc + val
+        coef_val = jnp.where(is_dc, pred_new, val)
+        pos = jnp.where(is_dc, 0, k + run)
+        eob = (~is_dc) & (sz == 0) & (run == 0)
+        zrl = (~is_dc) & (sz == 0) & (run == 15)
+        write = (is_dc | (sz > 0)) & (~done) & (pos < 64)
+        slot = jnp.clip(blk, 0, NBLK - 1) * 64 + jnp.clip(pos, 0, 63)
+        emit = jax.nn.one_hot(jnp.where(write, slot, NBLK * 64),
+                              NBLK * 64, dtype=np.float32)
+        out = out + emit * coef_val[:, None].astype(np.float32)
+        upd = is_dc & (~done)
+        p0 = jnp.where(upd & (comp == 0), pred_new, p0)
+        p1 = jnp.where(upd & (comp == 1), pred_new, p1)
+        p2 = jnp.where(upd & (comp == 2), pred_new, p2)
+        k_new = jnp.where(is_dc, 1, jnp.where(zrl, k + 16, pos + 1))
+        bdone = (~is_dc) & (eob | (k_new >= 64))
+        blk = jnp.where((~done) & bdone, blk + 1, blk)
+        k = jnp.where(done, k, jnp.where(bdone, -1, k_new))
+        return (it + 1, cur, blk, k, p0, p1, p2, out)
+
+    z = jnp.zeros(L, np.int32)
+    init = (jnp.int32(0), z,
+            jnp.where(valid, 0, end).astype(np.int32),
+            z - 1, z, z, z,
+            jnp.zeros((L, NBLK * 64), np.float32))
+    *_, out = jax.lax.while_loop(cond, body, init)
+    return out.astype(np.int32).reshape(L, NBLK, 64)
+
+
 def jpeg_scan_decode(buf, bitpos0, valid, luts, blocks_per_seg: int = 6,
                      comp_of_blk=(0, 0, 0, 0, 1, 2), max_iter: int = 0,
                      blk_end=None):

@@ -32,6 +32,77 @@ def _encode_frame(w, h, quality=85, restart_interval=1, seed=0):
     (128, 96, 85, 1), (128, 96, 30, 1), (256, 128, 92, 2),
     (144, 112, 85, 4),
 ])
+def test_onehot_fast_path_matches_host(w, h, quality, ri):
+    """jpeg_scan_decode9 (one-hot/MXU path, <=9-bit optimal tables,
+    strided segments) vs the host C++ decoder."""
+    import jax
+    import jax.numpy as jnp
+    from ffmpeg_tpu.ops.huffman import build_jpeg_luts9, jpeg_scan_decode9
+
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="mjpeg",
+                          width=w, height=h)
+    enc = CodecContext.open_encoder(
+        par, options={"quality": quality, "restart_interval": ri,
+                      "huffman": "optimal"})
+    src = get_filter("testsrc")(f"size={w}x{h}")
+    yuv = scale_frame(list(src.generate(1))[0], w, h, "yuv420p",
+                      dst_range=True)
+    enc.send_frame(yuv)
+    data = enc.receive_packet().data
+    st = _JpegState()
+    off, _ = _parse_until_scan(data, st)
+    scan = data[off:]
+    mcus_x, mcus_y = -(-w // 16), -(-h // 16)
+    nmcu = mcus_x * mcus_y
+    nseg = -(-nmcu // ri)
+    lib = native.get()
+    STRIDE = 512
+    rows = np.zeros((nseg, STRIDE), np.uint8)
+    n = lib.mjpeg_split_segments_strided(
+        scan, len(scan),
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), STRIDE,
+        nseg + 1)
+    assert n == nseg, n
+
+    lx, ly, cx, cy = mcus_x * 2, mcus_y * 2, mcus_x, mcus_y
+    ys = np.zeros((ly, lx, 64), np.int16)
+    us = np.zeros((cy, cx, 64), np.int16)
+    vs = np.zeros((cy, cx, 64), np.int16)
+    specs, ptrs = [], []
+    for ci, comp in enumerate(st.components):
+        bw = lx if comp.h == 2 else cx
+        specs.append((comp.dc_tab, comp.ac_tab, comp.h, comp.v, bw))
+        ptrs.append((ys, us, vs)[ci].ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int16)))
+    spec_arr = (ctypes.c_int * (5 * len(specs)))(
+        *[v for s in specs for v in s])
+    out_ptrs = (ctypes.POINTER(ctypes.c_int16) * len(ptrs))(*ptrs)
+    r = lib.mjpeg_decode_scan(
+        scan, len(scan), st.dc_counts.tobytes(), st.dc_values.tobytes(),
+        st.ac_counts.tobytes(), st.ac_values.tobytes(), spec_arr,
+        len(specs), mcus_x, mcus_y, st.restart_interval, 64, out_ptrs)
+    assert r == 0, r
+
+    lut9 = build_jpeg_luts9(st)
+    blk_end = jnp.asarray(
+        np.minimum(ri, nmcu - np.arange(nseg) * ri) * 6, np.int32)
+    out = jax.jit(jpeg_scan_decode9, static_argnames=("blocks_per_seg",))(
+        jnp.asarray(rows), jnp.ones(nseg, bool), jnp.asarray(lut9),
+        blocks_per_seg=6 * ri, blk_end=blk_end)
+    out = np.asarray(out).reshape(nseg * ri, 6, 64)[:nmcu]
+    got_y = out[:, :4].reshape(mcus_y, mcus_x, 2, 2, 64) \
+        .transpose(0, 2, 1, 3, 4).reshape(ly, lx, 64)
+    np.testing.assert_array_equal(got_y, ys.astype(np.int32))
+    np.testing.assert_array_equal(out[:, 4].reshape(cy, cx, 64),
+                                  us.astype(np.int32))
+    np.testing.assert_array_equal(out[:, 5].reshape(cy, cx, 64),
+                                  vs.astype(np.int32))
+
+
+@pytest.mark.parametrize("w,h,quality,ri", [
+    (128, 96, 85, 1), (128, 96, 30, 1), (256, 128, 92, 2),
+    (144, 112, 85, 4),
+])
 def test_device_huffman_matches_host(w, h, quality, ri):
     data = _encode_frame(w, h, quality=quality, restart_interval=ri)
     st = _JpegState()
