@@ -143,7 +143,7 @@ long mjpeg_split_segments(const uint8_t* data, long size,
 // than stride-4 is an error (-4). Returns nseg.
 long mjpeg_split_segments_strided(const uint8_t* data, long size,
                                   uint8_t* out, long stride,
-                                  long max_segs) {
+                                  long max_segs, int32_t* seg_lens) {
     long i = 0;
     long nseg = 0;
     uint8_t* dst = out;
@@ -151,6 +151,7 @@ long mjpeg_split_segments_strided(const uint8_t* data, long size,
     if (max_segs < 1 || stride < 8) return -1;
     auto close_segment = [&]() {
         std::memset(dst + w, 0, (size_t)(stride - w));
+        if (seg_lens) seg_lens[nseg] = (int32_t)w;
         ++nseg;
         dst = out + nseg * stride;
         w = 0;

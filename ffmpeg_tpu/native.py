@@ -109,6 +109,7 @@ def _bind(lib: ctypes.CDLL) -> None:
         lib.mjpeg_split_segments_strided.argtypes = [
             c.c_char_p, c.c_long,
             c.POINTER(c.c_uint8), c.c_long, c.c_long,
+            c.POINTER(c.c_int32),
         ]
     if hasattr(lib, "mjpeg_decode_scan"):
         lib.mjpeg_decode_scan.restype = c.c_int

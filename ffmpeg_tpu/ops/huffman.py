@@ -57,15 +57,16 @@ def build_jpeg_luts(st) -> np.ndarray:
 
 
 def build_jpeg_luts9(st) -> np.ndarray:
-    """Length-capped (<=9 bit) tables -> (512, 8) float32 one-hot-matmul
-    LUT: per 9-bit peek, columns [len, sym] x [dc_luma, dc_chroma,
-    ac_luma, ac_chroma]. Raises if any code is longer than 9 bits."""
+    """Length-capped (<=9 bit) tables -> (512, 12) int8 one-hot-matmul
+    LUT: per 9-bit peek, columns [len, run, size] x [dc_luma, dc_chroma,
+    ac_luma, ac_chroma] (nibbles keep every entry int8-exact for the
+    MXU int8 dot). Raises if any code is longer than 9 bits."""
     comps = st.components
     specs = [(st.dc_counts[comps[0].dc_tab], st.dc_values[comps[0].dc_tab]),
              (st.dc_counts[comps[1].dc_tab], st.dc_values[comps[1].dc_tab]),
              (st.ac_counts[comps[0].ac_tab], st.ac_values[comps[0].ac_tab]),
              (st.ac_counts[comps[1].ac_tab], st.ac_values[comps[1].ac_tab])]
-    out = np.zeros((512, 8), np.float32)
+    out = np.zeros((512, 12), np.int8)
     for t, (counts, values) in enumerate(specs):
         if any(counts[l] for l in range(9, 16)):
             raise ValueError("jpeg: code longer than 9 bits")
@@ -75,8 +76,10 @@ def build_jpeg_luts9(st) -> np.ndarray:
             for _ in range(int(counts[l - 1])):
                 lo = code << (9 - l)
                 hi = lo + (1 << (9 - l))
-                out[lo:hi, 2 * t] = l
-                out[lo:hi, 2 * t + 1] = int(values[vi])
+                v = int(values[vi])
+                out[lo:hi, 3 * t] = l
+                out[lo:hi, 3 * t + 1] = v >> 4
+                out[lo:hi, 3 * t + 2] = v & 15
                 code += 1
                 vi += 1
             code <<= 1
@@ -114,13 +117,13 @@ def jpeg_scan_decode9(rows, valid, lut9, blocks_per_seg: int = 6,
     rp = jnp.concatenate([r, pad], axis=1)
     rows32 = ((rp[:, :S] << 24) | (rp[:, 1:S + 1] << 16)
               | (rp[:, 2:S + 2] << 8) | rp[:, 3:S + 3])
-    comp_map = jnp.asarray(np.asarray(comp_of_blk, np.int32))
     if blk_end is None:
         end = jnp.full(L, NBLK, np.int32)
     else:
         end = blk_end.astype(np.int32)
     pos_iota = jnp.arange(S, dtype=np.int32)[None, :]
-    lutf = lut9                                     # (512, 8) f32
+    emit_iota = jnp.arange(NBLK * 64, dtype=np.int32)[None, :]
+    lutf = lut9.astype(np.int8)                     # (512, 12)
 
     def cond(c):
         it = c[0]
@@ -134,23 +137,29 @@ def jpeg_scan_decode9(rows, valid, lut9, blocks_per_seg: int = 6,
                       axis=1)
         sh = cur & 7
         look9 = (w32 >> (23 - sh)) & 0x1FF
-        oh = jax.nn.one_hot(look9, 512, dtype=jnp.bfloat16)
-        res = (oh @ lutf.astype(jnp.bfloat16)).astype(np.int32)  # (L, 8)
-        comp = comp_map[jnp.clip(blk, 0, NBLK - 1) % len(comp_of_blk)]
+        oh = (jnp.arange(512, dtype=np.int32)[None, :]
+              == look9[:, None]).astype(np.int8)
+        res = jax.lax.dot_general(
+            oh, lutf, (((1,), (0,)), ((), ())),
+            preferred_element_type=np.int32)          # (L, 12)
+        # component from block index arithmetically (a 6-entry table
+        # gather costs ~0.5 ms per loop step on TPU; compares are free):
+        # 4:2:0 MCU block order Y Y Y Y U V
+        b6 = jnp.clip(blk, 0, NBLK - 1) % 6
+        comp = (b6 >= 4).astype(np.int32) + (b6 >= 5)
         is_dc = k < 0
         sel = jnp.where(is_dc, 0, 2) + (comp > 0)
 
         def pick(col0):
             return jnp.where(
                 sel == 0, res[:, col0],
-                jnp.where(sel == 1, res[:, col0 + 2],
-                          jnp.where(sel == 2, res[:, col0 + 4],
-                                    res[:, col0 + 6])))
+                jnp.where(sel == 1, res[:, col0 + 3],
+                          jnp.where(sel == 2, res[:, col0 + 6],
+                                    res[:, col0 + 9])))
 
         ln = pick(0)
-        sym = pick(1)
-        run = sym >> 4
-        sz = sym & 15
+        run = pick(1)
+        sz = pick(2)
         mag = (w32 >> (32 - sh - ln - sz)) & ((1 << sz) - 1)
         half = (1 << sz) >> 1
         val = jnp.where((sz > 0) & (mag < half), mag - (1 << sz) + 1, mag)
@@ -163,9 +172,8 @@ def jpeg_scan_decode9(rows, valid, lut9, blocks_per_seg: int = 6,
         zrl = (~is_dc) & (sz == 0) & (run == 15)
         write = (is_dc | (sz > 0)) & (~done) & (pos < 64)
         slot = jnp.clip(blk, 0, NBLK - 1) * 64 + jnp.clip(pos, 0, 63)
-        emit = jax.nn.one_hot(jnp.where(write, slot, NBLK * 64),
-                              NBLK * 64, dtype=np.float32)
-        out = out + emit * coef_val[:, None].astype(np.float32)
+        emit = (emit_iota == jnp.where(write, slot, NBLK * 64)[:, None])
+        out = out + emit * coef_val[:, None].astype(np.int16)
         upd = is_dc & (~done)
         p0 = jnp.where(upd & (comp == 0), pred_new, p0)
         p1 = jnp.where(upd & (comp == 1), pred_new, p1)
@@ -180,7 +188,7 @@ def jpeg_scan_decode9(rows, valid, lut9, blocks_per_seg: int = 6,
     init = (jnp.int32(0), z,
             jnp.where(valid, 0, end).astype(np.int32),
             z - 1, z, z, z,
-            jnp.zeros((L, NBLK * 64), np.float32))
+            jnp.zeros((L, NBLK * 64), np.int16))
     *_, out = jax.lax.while_loop(cond, body, init)
     return out.astype(np.int32).reshape(L, NBLK, 64)
 

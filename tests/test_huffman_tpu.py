@@ -61,7 +61,7 @@ def test_onehot_fast_path_matches_host(w, h, quality, ri):
     n = lib.mjpeg_split_segments_strided(
         scan, len(scan),
         rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), STRIDE,
-        nseg + 1)
+        nseg + 1, None)
     assert n == nseg, n
 
     lx, ly, cx, cy = mcus_x * 2, mcus_y * 2, mcus_x, mcus_y
@@ -97,6 +97,47 @@ def test_onehot_fast_path_matches_host(w, h, quality, ri):
                                   us.astype(np.int32))
     np.testing.assert_array_equal(out[:, 5].reshape(cy, cx, 64),
                                   vs.astype(np.int32))
+
+
+def test_tpu_entropy_pipeline_end_to_end():
+    """models/mjpeg_tpu_entropy: device-side Huffman + decode + scale,
+    full resolution — matches the host-entropy decode of the same frame
+    (both feed the same exact-integer reconstruction)."""
+    import jax
+    from ffmpeg_tpu.core.packet import Packet
+    from ffmpeg_tpu.models.mjpeg_tpu_entropy import (
+        MjpegTpuEntropyPipeline, TpuEntropySpec)
+    from ffmpeg_tpu.scale.swscale import scale_frame as scale
+
+    w, h = 256, 192
+    par9 = CodecParameters(codec_type=MediaType.VIDEO, codec_id="mjpeg",
+                           width=w, height=h)
+    enc = CodecContext.open_encoder(
+        par9, options={"quality": 88, "restart_interval": 1,
+                       "huffman": "optimal"})
+    src = get_filter("testsrc")(f"size={w}x{h}")
+    yuv = scale_frame(list(src.generate(1))[0], w, h, "yuv420p",
+                      dst_range=True)
+    enc.send_frame(yuv)
+    data = enc.receive_packet().data
+    spec = TpuEntropySpec(w, h, 64, 64, batch=2, stride=512)
+    pipe = MjpegTpuEntropyPipeline(spec, data)
+    pipe.prep_frame(data, 0)
+    pipe.prep_frame(data, 1)
+    out = pipe.run_batch()
+    rgb = np.asarray(out[0])
+
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="mjpeg")
+    dec = CodecContext.open_decoder(par)
+    (f,) = dec.decode_all([Packet(data=data, pts=0)])
+    want = scale(f.numpy(), 64, 64, "rgb24", src_range=True)
+    wrgb = np.asarray(want.planes[0]).reshape(64, 64, -1)
+    ours = rgb[0].reshape(64, 64, -1) if rgb.ndim == 3 else rgb[0]
+    d = np.abs(ours.astype(np.int32).reshape(-1)
+               - wrgb.astype(np.int32).reshape(-1))
+    mse = (d.astype(np.float64) ** 2).mean()
+    psnr = 10 * np.log10(255 ** 2 / max(mse, 1e-9))
+    assert psnr > 45, psnr
 
 
 @pytest.mark.parametrize("w,h,quality,ri", [
