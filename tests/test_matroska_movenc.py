@@ -91,6 +91,59 @@ def test_mp4_mux_roundtrip(av_mkv, tmp_path):
 
 
 @requires_ref
+def test_matroska_mux_roundtrip(av_mkv, tmp_path):
+    """Remux mkv → OUR mkv muxer; the reference must read identical
+    payloads and timestamps, and our demuxer must round-trip."""
+    d = open_input(str(av_mkv))
+    out = tmp_path / "out.mkv"
+    m = open_output(str(out), format="matroska")
+    for st in d.streams:
+        m.add_stream(st.codecpar, time_base=st.time_base)
+    for p in d.packets():
+        m.write_packet(p)
+    m.write_trailer()
+    m.close()
+
+    src_rows = _ref_rows(av_mkv)
+    out_rows = _ref_rows(out)
+    for sidx in (0, 1):
+        a = [(r[2], r[3]) for r in src_rows if r[0] == sidx]
+        b = [(r[2], r[3]) for r in out_rows if r[0] == sidx]
+        assert a == b, f"stream {sidx} payloads differ"
+    # our own demuxer reads our own mux back
+    d2 = open_input(str(out))
+    assert d2.name == "matroska"
+    assert d2.streams[0].codecpar.codec_id == "mjpeg"
+    assert d2.streams[1].codecpar.codec_id == "aac"
+    ours = [(p.stream_index, len(p.data), zlib.adler32(p.data, 0))
+            for p in d2.packets()]
+    assert sorted(ours) == sorted((r[0], r[2], r[3]) for r in src_rows)
+
+
+@requires_ref
+def test_matroska_mux_reference_transcodes(av_mkv, tmp_path):
+    """The reference must fully decode a file we muxed (timestamps sane
+    enough for A/V interleave) and report a duration."""
+    d = open_input(str(av_mkv))
+    out = tmp_path / "o3.mkv"
+    m = open_output(str(out), format="matroska")
+    for st in d.streams:
+        m.add_stream(st.codecpar, time_base=st.time_base)
+    for p in d.packets():
+        m.write_packet(p)
+    m.write_trailer()
+    m.close()
+    r = subprocess.run(
+        [str(refutil.REF).replace("ffmpeg", "ffprobe"), "-v", "error",
+         "-show_entries", "format=duration:stream=codec_name",
+         "-of", "csv", str(out)], check=True, capture_output=True)
+    text = r.stdout.decode()
+    assert "mjpeg" in text and "aac" in text
+    subprocess.run([str(refutil.REF), "-v", "error", "-i", str(out),
+                    "-f", "null", "-"], check=True, capture_output=True)
+
+
+@requires_ref
 def test_mp4_mux_probe_fields(av_mkv, tmp_path):
     d = open_input(str(av_mkv))
     out = tmp_path / "o2.mp4"
