@@ -23,6 +23,44 @@ from .params import parse_pps, parse_sps
 from .slice_dec import SliceDecoder, parse_slice_header
 
 
+def _apply_reorder(default, dpb, ops, cur_fn, max_fn, num_ref):
+    """ref_pic_list_modification (spec 8.2.4.3.1, short-term only).
+    Reference: libavcodec/h264_refs.c ff_h264_build_ref_list."""
+    out = list(default)
+    if not ops:
+        return out
+
+    def fnw(e):
+        fn = e["frame_num"]
+        return fn - max_fn if fn > cur_fn else fn
+
+    pred = cur_fn
+    idx = 0
+    for idc, val in ops:
+        if idc == 0:
+            pred -= val + 1
+            if pred < 0:
+                pred += max_fn
+        else:
+            pred += val + 1
+            if pred >= max_fn:
+                pred -= max_fn
+        pic_num = pred - (max_fn if pred > cur_fn else 0)
+        match = next((e for e in dpb if fnw(e) == pic_num), None)
+        if match is None:
+            raise InvalidData("h264: reordered pic_num not in DPB")
+        if idx < len(out):
+            out.insert(idx, match)
+        else:
+            out.append(match)
+        idx += 1
+        for j in range(idx, len(out)):
+            if out[j] is match:
+                out.pop(j)
+                break
+    return out[:num_ref] if num_ref else out
+
+
 @register_decoder
 class H264Decoder(Codec):
     codec_id = "h264"
@@ -115,7 +153,10 @@ class H264Decoder(Codec):
                             self._reorder.sort(key=lambda t: t[0])
                             frames.append(self._reorder.pop(0)[1])
                     dec.poc = sh.poc_lsb
-                    # reference lists (single active entry each)
+                    dec.frame_num = sh.frame_num
+                    max_fn = 1 << sps.log2_max_frame_num
+                    # reference lists: default order then the slice
+                    # header's explicit modification (8.2.4.3.1)
                     if sh.slice_type == 1:
                         before = sorted(
                             (e for e in self._dpb if e["poc"] < dec.poc),
@@ -123,10 +164,17 @@ class H264Decoder(Codec):
                         after = sorted(
                             (e for e in self._dpb if e["poc"] > dec.poc),
                             key=lambda e: e["poc"])
-                        dec.list0 = before + after
-                        dec.list1 = after + before
+                        dec.list0 = _apply_reorder(
+                            before + after, self._dpb, sh.reorder[0],
+                            sh.frame_num, max_fn, sh.num_ref[0])
+                        dec.list1 = _apply_reorder(
+                            after + before, self._dpb, sh.reorder[1],
+                            sh.frame_num, max_fn, sh.num_ref[1])
                     elif sh.slice_type == 0:
-                        dec.list0 = list(reversed(self._dpb))
+                        dec.list0 = _apply_reorder(
+                            list(reversed(self._dpb)), self._dpb,
+                            sh.reorder[0], sh.frame_num, max_fn,
+                            sh.num_ref[0])
                 if pps.cabac:
                     from .cabac_slice import decode_slice_cabac
                     decode_slice_cabac(dec, rbsp, b.pos, sh)
@@ -161,15 +209,29 @@ class H264Decoder(Codec):
         planes = (dec.y.copy(), dec.u.copy(), dec.v.copy())
         if is_ref:
             self._ref = planes
-            self._dpb.append({"poc": dec.poc, "planes": planes,
+            mmco = getattr(sh, "mmco", None) if sh else None
+            if mmco:
+                max_fn = 1 << dec.sps.log2_max_frame_num
+                for op, val in mmco:
+                    if op == 5:
+                        self._dpb.clear()
+                        dec.poc = 0
+                    elif op == 1:
+                        pic_num = (dec.frame_num - (val + 1)) % max_fn
+                        self._dpb = [e for e in self._dpb
+                                     if e["frame_num"] != pic_num]
+            self._dpb.append({"poc": dec.poc,
+                              "frame_num": getattr(dec, "frame_num", 0),
+                              "planes": planes,
                               "mv": dec.mv[0].copy(),
                               "ref": dec.mv_ref[0].copy(),
                               "intra": dec.mb_intra.copy(),
                               "mb16": dec.mb_16x16.copy(),
                               "short_term": True})
-            max_refs = max(1, dec.sps.num_ref_frames)
-            while len(self._dpb) > max_refs:
-                self._dpb.pop(0)
+            if not mmco:
+                max_refs = max(1, dec.sps.num_ref_frames)
+                while len(self._dpb) > max_refs:
+                    self._dpb.pop(0)
         sps = dec.sps
         t, b = sps.crop_top * 2, sps.crop_bottom * 2
         l, r = sps.crop_left * 2, sps.crop_right * 2

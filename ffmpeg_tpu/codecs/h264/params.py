@@ -117,8 +117,6 @@ def parse_pps(rbsp: bytes) -> PPS:
         raise NotSupported("h264: FMO slice groups")
     p.num_ref_idx = (b.ue() + 1, b.ue() + 1)
     p.weighted_pred = bool(b.get1())
-    if p.weighted_pred:
-        raise NotSupported("h264: weighted prediction")
     p.weighted_bipred_idc = b.get(2)
     p.init_qp = b.se() + 26
     b.se()                      # init_qs

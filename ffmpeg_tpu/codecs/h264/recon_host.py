@@ -28,14 +28,90 @@ def _add_residual(plane, x, y, block):
     plane[y:y + 4, x:x + 4] = dst
 
 
+def build_weight_arrays(dec, sh):
+    """Per-4x4 prediction weights/offsets/denoms resolved from the
+    slice's pred_weight_table or the implicit-bipred POC derivation
+    (8.4.2.3); defaults (w=1, o=0, d=0) reproduce plain averaging.
+    Shared by the host and device reconstruction paths."""
+    n4y, n4x = dec.mv_ref.shape[1:]
+    wl = np.ones((2, n4y, n4x), np.int32)
+    ol = np.zeros((2, n4y, n4x), np.int32)
+    dl = np.zeros((n4y, n4x), np.int32)
+    wu = np.ones((2, n4y, n4x), np.int32)
+    ou = np.zeros((2, n4y, n4x), np.int32)
+    wv = np.ones((2, n4y, n4x), np.int32)
+    ov = np.zeros((2, n4y, n4x), np.int32)
+    dc_ = np.zeros((n4y, n4x), np.int32)
+    if sh is not None and sh.weights is not None:
+        inter = ~np.repeat(np.repeat(dec.mb_intra, 4, 0), 4, 1)
+        dl[inter] = sh.luma_log2_denom
+        dc_[inter] = sh.chroma_log2_denom
+        for lst in range(2):
+            for r, wt in enumerate(sh.weights[lst]):
+                m = dec.mv_ref[lst] == r
+                wl[lst][m], ol[lst][m] = wt[0], wt[1]
+                wu[lst][m], ou[lst][m] = wt[2], wt[3]
+                wv[lst][m], ov[lst][m] = wt[4], wt[5]
+    elif sh is not None and sh.slice_type == 1 and \
+            dec.pps.weighted_bipred_idc == 2:
+        bi = (dec.mv_ref[0] >= 0) & (dec.mv_ref[1] >= 0)
+        for r0 in range(len(dec.list0)):
+            for r1 in range(len(dec.list1)):
+                m = bi & (dec.mv_ref[0] == r0) & (dec.mv_ref[1] == r1)
+                if not m.any():
+                    continue
+                w0, w1 = _implicit_w(dec.poc,
+                                     dec.list0[r0].get("poc", 0),
+                                     dec.list1[r1].get("poc", 0))
+                for warr, val in ((wl, (w0, w1)), (wu, (w0, w1)),
+                                  (wv, (w0, w1))):
+                    warr[0][m], warr[1][m] = val
+                dl[m] = 5
+                dc_[m] = 5
+    return wl, ol, dl, wu, ou, wv, ov, dc_
+
+
+def _implicit_w(poc_cur, poc0, poc1):
+    """Implicit bipred weights (8.4.2.3.1; h264_direct.c
+    ff_h264_init_poc-adjacent derivation)."""
+    if poc0 == poc1:
+        return 32, 32
+
+    def clip3(lo, hi, v):
+        return max(lo, min(hi, v))
+
+    tb = clip3(-128, 127, poc_cur - poc0)
+    td = clip3(-128, 127, poc1 - poc0)
+    num = 16384 + (abs(td) >> 1)
+    tx = num // td if td > 0 else -(num // -td)
+    dsf = clip3(-1024, 1023, (tb * tx + 32) >> 6)
+    w1 = dsf >> 2
+    if w1 < -64 or w1 > 128:
+        return 32, 32
+    return 64 - w1, w1
+
+
+def _wp_uni(p, w, o, d):
+    v = ((p.astype(np.int64) * w + ((1 << d) >> 1)) >> d) + o
+    return np.clip(v, 0, 255).astype(np.uint8)
+
+
+def _wp_bi(p0, p1, w0, w1, o0, o1, d):
+    v = ((p0.astype(np.int64) * w0 + p1.astype(np.int64) * w1
+          + (1 << d)) >> (d + 1)) + ((o0 + o1 + 1) >> 1)
+    return np.clip(v, 0, 255).astype(np.uint8)
+
+
 def _recon_inter_mb(dec, mbx, mby, list0, list1):
     bx, by = mbx * 4, mby * 4
+    wl, ol, dl, wu, ou, wv, ov, dc_ = dec.wp
     for sy in range(4):
         for sx in range(4):
             bx4, by4 = bx + sx, by + sy
             x, y = bx4 * 4, by4 * 4
             cx, cy = x // 2, y // 2
             preds = []
+            lists = []
             for lst, lstref in ((0, list0), (1, list1)):
                 r = int(dec.mv_ref[lst, by4, bx4])
                 if r < 0:
@@ -46,14 +122,26 @@ def _recon_inter_mb(dec, mbx, mby, list0, list1):
                 preds.append((mc_luma(ry, mvx, mvy, x, y, 4, 4),
                               mc_chroma(ru, mvx, mvy, cx, cy, 2, 2),
                               mc_chroma(rv, mvx, mvy, cx, cy, 2, 2)))
+                lists.append(lst)
             if not preds:
                 continue
+            d, dcb = int(dl[by4, bx4]), int(dc_[by4, bx4])
             if len(preds) == 2:
-                out = tuple(((a.astype(np.int32) + b.astype(np.int32) + 1)
-                             >> 1).astype(np.uint8)
-                            for a, b in zip(*preds))
+                out = tuple(
+                    _wp_bi(a, b, int(wt[0][by4, bx4]),
+                           int(wt[1][by4, bx4]), int(ot[0][by4, bx4]),
+                           int(ot[1][by4, bx4]), dd)
+                    for (a, b), wt, ot, dd in zip(
+                        zip(*preds), (wl, wu, wv), (ol, ou, ov),
+                        (d, dcb, dcb)))
             else:
-                out = preds[0]
+                l0 = lists[0]
+                out = tuple(
+                    _wp_uni(a, int(wt[l0, by4, bx4]),
+                            int(ot[l0, by4, bx4]), dd)
+                    for a, wt, ot, dd in zip(
+                        preds[0], (wl, wu, wv), (ol, ou, ov),
+                        (d, dcb, dcb)))
             dec.y[y:y + 4, x:x + 4] = out[0]
             dec.u[cy:cy + 2, cx:cx + 2] = out[1]
             dec.v[cy:cy + 2, cx:cx + 2] = out[2]
@@ -115,6 +203,8 @@ def reconstruct(dec) -> None:
     if not list0 and dec.ref_frame is not None:
         list0 = [{"planes": dec.ref_frame}]
     list1 = dec.list1
+    if not hasattr(dec, "wp"):
+        dec.wp = build_weight_arrays(dec, getattr(dec, "last_sh", None))
     for mby in range(sps.mb_height):
         for mbx in range(sps.mb_width):
             if not dec.mb_avail[mby, mbx]:

@@ -271,11 +271,31 @@ def _inter_chroma(cpad, mv, slot, Hc, Wc):
     return preds, useds
 
 
-def _combine_lists(preds, useds):
+def _combine_lists(preds, useds, w=None, o=None, d=None, rep=4):
+    """Weighted bi/uni prediction combine (8.4.2.3). With the default
+    per-block arrays (w=1, o=0, d=0) this reduces exactly to plain
+    averaging / copy. w/o: (2, n4y, n4x); d: (n4y, n4x); rep: pixels per
+    block cell in this plane (4 luma, 2 chroma)."""
     import jax.numpy as jnp
     both = useds[0] & useds[1]
-    out = jnp.where(both, _avg(preds[0], preds[1]),
-                    jnp.where(useds[0], preds[0], preds[1]))
+
+    def expand(a):
+        return jnp.repeat(jnp.repeat(a, rep, -2), rep, -1)
+
+    if w is None:
+        out = jnp.where(both, _avg(preds[0], preds[1]),
+                        jnp.where(useds[0], preds[0], preds[1]))
+        return jnp.where(useds[0] | useds[1], out, 0)
+    w0, w1 = expand(w[0]), expand(w[1])
+    o0, o1 = expand(o[0]), expand(o[1])
+    dd = expand(d)
+    uni_p = jnp.where(useds[0], preds[0], preds[1])
+    uni_w = jnp.where(useds[0], w0, w1)
+    uni_o = jnp.where(useds[0], o0, o1)
+    uni = ((uni_p * uni_w + ((1 << dd) >> 1)) >> dd) + uni_o
+    bi = ((preds[0] * w0 + preds[1] * w1 + (1 << dd)) >> (dd + 1)) \
+        + ((o0 + o1 + 1) >> 1)
+    out = jnp.clip(jnp.where(both, bi, uni), 0, 255)
     return jnp.where(useds[0] | useds[1], out, 0)
 
 
@@ -505,8 +525,9 @@ def _build_recon(nmbx: int, nmby: int, R: int, do_deblock: bool):
 
     def recon(coeff_y, coeff_u, coeff_v, i4_pred, blk_avail, i16_mode,
               chroma_imode, mb_nbr_avail, mb_intra, mb_avail, is_pcm,
-              pcm_y, pcm_u, pcm_v, mv, slot,
+              pcm_y, pcm_u, pcm_v, mv, slot, wp,
               dpb_y, dpb_u, dpb_v, dbp):
+        wl, ol, dl, wu, ou, wv_, ov, dcc = wp
         # 1. residuals
         ry = _residual_plane(coeff_y)
         ru = _residual_plane(coeff_u)
@@ -516,13 +537,13 @@ def _build_recon(nmbx: int, nmby: int, R: int, do_deblock: bool):
         gy = _pad_replicate(dpb_y.astype(np.int32), _PAD)
         stacked = jnp.stack(_halfpel_planes(gy))
         preds, useds = _inter_luma(stacked, mv, slot, H, W)
-        pred_y = _combine_lists(preds, useds)
+        pred_y = _combine_lists(preds, useds, wl, ol, dl, rep=4)
         cu = _pad_replicate(dpb_u.astype(np.int32), _PAD_C)
         cv = _pad_replicate(dpb_v.astype(np.int32), _PAD_C)
         pu, uu = _inter_chroma(cu, mv, slot, Hc, Wc)
         pv, uv = _inter_chroma(cv, mv, slot, Hc, Wc)
-        pred_u = _combine_lists(pu, uu)
-        pred_v = _combine_lists(pv, uv)
+        pred_u = _combine_lists(pu, uu, wu, ou, dcc, rep=2)
+        pred_v = _combine_lists(pv, uv, wv_, ov, dcc, rep=2)
 
         y = jnp.clip(pred_y + ry, 0, 255)
         u = jnp.clip(pred_u + ru, 0, 255)
@@ -919,13 +940,17 @@ def reconstruct(dec, alpha_off=0, beta_off=0, do_deblock=True) -> None:
     dbp = deblock_params(dec, alpha_off, beta_off) if do_deblock else \
         {"mb_avail": dec.mb_avail}
 
+    if not hasattr(dec, "wp"):
+        from .recon_host import build_weight_arrays
+        dec.wp = build_weight_arrays(dec, getattr(dec, "last_sh", None))
+
     fn = _get_recon(nmbx, nmby, Rmax, do_deblock)
     y, u, v = fn(dec.coeff_y, dec.coeff_u, dec.coeff_v,
                  dec.i4_pred, dec.blk_avail, dec.i16_mode,
                  dec.chroma_imode, dec.mb_nbr_avail,
                  dec.mb_intra, dec.mb_avail, dec.is_pcm,
                  pcm_y, pcm_u, pcm_v,
-                 dec.mv.astype(np.int32), slot,
+                 dec.mv.astype(np.int32), slot, dec.wp,
                  dpb_y, dpb_u, dpb_v, dbp)
     dec.y[:] = np.asarray(y)
     dec.u[:] = np.asarray(u)

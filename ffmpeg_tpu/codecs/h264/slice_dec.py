@@ -40,6 +40,15 @@ class SliceHeader:
     direct_spatial: bool = True
     poc_lsb: int = 0
     num_ref: tuple = (1, 1)      # active ref counts (list0, list1)
+    # ref_pic_list_modification ops per list: [(idc, value), ...]
+    reorder: tuple = ((), ())
+    # memory management control ops: [(op, value), ...]; None = sliding
+    mmco: Optional[tuple] = None
+    # explicit weighted prediction (pred_weight_table, 7.3.3.2):
+    # weights[lst][ref] = (wy, oy, wcb, ocb, wcr, ocr); None = default
+    luma_log2_denom: int = 0
+    chroma_log2_denom: int = 0
+    weights: Optional[tuple] = None
 
 
 def parse_slice_header(b: Bits, nal_type: int, sps: SPS,
@@ -73,19 +82,63 @@ def parse_slice_header(b: Bits, nal_type: int, sps: SPS,
             if sh.slice_type == 1:
                 n1 = b.ue() + 1
         sh.num_ref = (n0, n1 if sh.slice_type == 1 else 1)
-        if b.get1():              # ref_pic_list_modification l0
-            raise NotSupported("h264: ref pic list modification")
-        if sh.slice_type == 1 and b.get1():
-            raise NotSupported("h264: ref pic list modification l1")
-    if not sh.idr and sh.slice_type != 2:
-        pass
+        reorder = [[], []]
+        nlists = 2 if sh.slice_type == 1 else 1
+        for lst in range(nlists):
+            if not b.get1():      # ref_pic_list_modification_flag
+                continue
+            while True:
+                idc = b.ue()
+                if idc == 3:
+                    break
+                if idc > 3:
+                    raise InvalidData("h264: bad modification idc")
+                if idc == 2:
+                    raise NotSupported("h264: long-term reordering")
+                reorder[lst].append((idc, b.ue()))
+        sh.reorder = (tuple(reorder[0]), tuple(reorder[1]))
+    # pred_weight_table (7.3.3.2)
+    if (pps.weighted_pred and sh.slice_type == 0) or \
+            (pps.weighted_bipred_idc == 1 and sh.slice_type == 1):
+        sh.luma_log2_denom = b.ue()
+        sh.chroma_log2_denom = b.ue()
+        dl, dc = 1 << sh.luma_log2_denom, 1 << sh.chroma_log2_denom
+        weights = []
+        nlists = 2 if sh.slice_type == 1 else 1
+        for lst in range(nlists):
+            lw = []
+            for _r in range(sh.num_ref[lst]):
+                wy, oy = dl, 0
+                wcb = wcr = dc
+                ocb = ocr = 0
+                if b.get1():      # luma_weight_flag
+                    wy, oy = b.se(), b.se()
+                if b.get1():      # chroma_weight_flag
+                    wcb, ocb = b.se(), b.se()
+                    wcr, ocr = b.se(), b.se()
+                lw.append((wy, oy, wcb, ocb, wcr, ocr))
+            weights.append(tuple(lw))
+        while len(weights) < 2:
+            weights.append(())
+        sh.weights = tuple(weights)
     # dec_ref_pic_marking (only for reference pictures)
     if ref_idc != 0:
         if sh.idr:
             b.get1()              # no_output_of_prior_pics
             b.get1()              # long_term_reference
         elif b.get1():            # adaptive_ref_pic_marking
-            raise NotSupported("h264: adaptive ref pic marking")
+            ops = []
+            while True:
+                op = b.ue()
+                if op == 0:
+                    break
+                if op == 1:
+                    ops.append((1, b.ue()))   # forget short-term
+                elif op == 5:
+                    ops.append((5, 0))        # clear all
+                else:
+                    raise NotSupported(f"h264: mmco {op} (long-term)")
+            sh.mmco = tuple(ops)
     sh.qp = pps.init_qp + b.se()
     if pps.deblocking_filter_control_present:
         sh.disable_deblocking = b.ue()
