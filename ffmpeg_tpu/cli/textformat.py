@@ -1,10 +1,11 @@
 """Structured output writers for the probe tool (analogs of
-fftools/textformat/tf_{default,json,csv,flat,ini,compact}.c)."""
+fftools/textformat/tf_{default,json,csv,flat,ini,compact,xml,mermaid}.c)."""
 
 from __future__ import annotations
 
 import json
 from typing import Any, Dict, List
+from xml.sax.saxutils import escape, quoteattr
 
 
 class Writer:
@@ -83,6 +84,53 @@ class CompactWriter(Writer):
         return "\n".join(out) + "\n"
 
 
+class XmlWriter(Writer):
+    """tf_xml.c layout: one self-closing element per section with
+    attribute-encoded fields, plural wrappers for repeated sections."""
+
+    def render(self, sections):
+        out = ['<?xml version="1.0" encoding="UTF-8"?>',
+               '<ffprobe>']
+        open_plural = None
+        for name, kv in sections:
+            plural = name + "s" if name in ("stream", "packet",
+                                            "frame") else None
+            if plural != open_plural:
+                if open_plural:
+                    out.append(f"    </{open_plural}>")
+                if plural:
+                    out.append(f"    <{plural}>")
+                open_plural = plural
+            attrs = " ".join(f"{k}={quoteattr(str(v))}"
+                             for k, v in kv.items())
+            indent = "        " if plural else "    "
+            out.append(f"{indent}<{escape(name)} {attrs}/>")
+        if open_plural:
+            out.append(f"    </{open_plural}>")
+        out.append("</ffprobe>")
+        return "\n".join(out) + "\n"
+
+
+class MermaidWriter(Writer):
+    """tf_mermaid.c-style entity diagram: one node per section."""
+
+    def render(self, sections):
+        out = ["graph LR"]
+        counts: Dict[str, int] = {}
+        prev = None
+        for name, kv in sections:
+            idx = counts.get(name, 0)
+            counts[name] = idx + 1
+            node = f"{name}_{idx}"
+            label = "<br/>".join(
+                f"{k}: {v}" for k, v in list(kv.items())[:6])
+            out.append(f'    {node}["{name}<br/>{label}"]')
+            if prev and name in ("stream", "packet", "frame"):
+                out.append(f"    {prev} --> {node}")
+            prev = node
+        return "\n".join(out) + "\n"
+
+
 WRITERS = {
     "default": DefaultWriter,
     "json": JsonWriter,
@@ -90,6 +138,8 @@ WRITERS = {
     "flat": FlatWriter,
     "ini": IniWriter,
     "compact": CompactWriter,
+    "xml": XmlWriter,
+    "mermaid": MermaidWriter,
 }
 
 

@@ -5,7 +5,7 @@ Host/device split: the serial bit work (header/side info/scalefactors/
 Huffman, bit reservoir) runs on the host; requantization, stereo and
 alias reduction are vectorized numpy; the hybrid IMDCT filterbank and the
 32-band polyphase synthesis run as batched matmuls on the TPU
-(ops/mp3fb.py). Layer II shares the synthesis filterbank; Layer I TBD."""
+(ops/mp3fb.py). Layers I and II share the synthesis filterbank."""
 
 from __future__ import annotations
 
@@ -151,7 +151,7 @@ class Mp3Decoder(Codec):
 
     codec_id = "mp3"
     codec_type = MediaType.AUDIO
-    aliases = ("mp2",)
+    aliases = ("mp2", "mp1")
 
     def __init__(self, par, options=None):
         super().__init__(par, options)
@@ -183,7 +183,7 @@ class Mp3Decoder(Codec):
             raise InvalidData("mp3: bad sync")
         ver = (h >> 19) & 3            # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
         layer = 4 - ((h >> 17) & 3)
-        if layer not in (2, 3):
+        if layer not in (1, 2, 3):
             raise InvalidData(f"mp3: layer {layer} not supported")
         br_idx = (h >> 12) & 15
         sr_idx = (h >> 10) & 3
@@ -484,6 +484,9 @@ class Mp3Decoder(Codec):
         crc = not (h & 0x10000)
         bits = _Bits(data)
         bits.pos = 32 + (16 if crc else 0)
+        if layer == 1:
+            return self._decode_layer1(bits, pkt, lsf, rate, nch, mode,
+                                       mode_ext, br_idx)
         if layer == 2:
             return self._decode_layer2(bits, pkt, lsf, rate, nch, mode,
                                        mode_ext, br_idx)
@@ -750,7 +753,59 @@ class _Mp2Mixin:
         return [f]
 
 
+class _Mp1Mixin:
+    def _decode_layer1(self, bits, pkt, lsf, rate, nch, mode, mode_ext,
+                       br_idx):
+        """Layer I (ISO 11172-3 §2.4.3.2 / mpegaudiodec_template.c
+        mp_decode_layer1): 4-bit allocation, one 6-bit scalefactor and
+        12 linear samples per subband; synthesis shared with II/III."""
+        bound = (mode_ext + 1) * 4 if mode == 1 else 32
+        alloc = np.zeros((2, 32), np.int32)
+        for i in range(bound):
+            for ch in range(nch):
+                alloc[ch, i] = bits.get(4)
+        for i in range(bound, 32):
+            v = bits.get(4)
+            alloc[0, i] = alloc[1, i] = v
+        sf = np.zeros((2, 32), np.int32)
+        for i in range(32):
+            for ch in range(nch):
+                if alloc[ch, i]:
+                    sf[ch, i] = bits.get(6)
+        sb = np.zeros((nch, 12, 32), np.float32)
+        for j in range(12):
+            for i in range(32):
+                if i < bound:
+                    for ch in range(nch):
+                        n = alloc[ch, i]
+                        if n:
+                            b = n + 1
+                            v = bits.get(b)
+                            x = (2 * v + 1 - (1 << b)) / float((1 << b) - 1)
+                            sb[ch, j, i] = x * _SF_TABLE[sf[ch, i]]
+                else:
+                    n = alloc[0, i]
+                    if n:
+                        b = n + 1
+                        v = bits.get(b)
+                        x = (2 * v + 1 - (1 << b)) / float((1 << b) - 1)
+                        for ch in range(nch):
+                            sb[ch, j, i] = x * _SF_TABLE[sf[ch, i]]
+        from ..ops import mp3fb
+        import jax.numpy as jnp
+        if self._fifo is None or self._fifo.shape[0] != nch:
+            self._fifo = jnp.zeros((nch, 16, 64), jnp.float32)
+        out, self._fifo = mp3fb.synth_granule(jnp.asarray(sb), self._fifo)
+        pcm = np.asarray(out)
+        f = Frame.audio(pcm, rate, "fltp", default_layout(nch),
+                        pts=pkt.pts,
+                        time_base=pkt.time_base or Rational(1, rate))
+        f.duration = 384
+        return [f]
+
+
 Mp3Decoder._decode_layer2 = _Mp2Mixin._decode_layer2
+Mp3Decoder._decode_layer1 = _Mp1Mixin._decode_layer1
 
 
 _EXP2_TABLE = None

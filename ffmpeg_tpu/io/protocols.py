@@ -40,6 +40,60 @@ def open_tcp(url: str, timeout: float = 10.0) -> _SocketFile:
     return _SocketFile(s)
 
 
+def open_tls(url: str, timeout: float = 10.0):
+    """tls://host:port — TCP wrapped in TLS (reference: tls.c).
+    Query options: ?verify=0 disables certificate verification
+    (the reference's tls 'verify' AVOption, default off like ffmpeg)."""
+    import ssl
+    u = urlparse(url)
+    if not u.hostname or not u.port:
+        raise InvalidData(f"tls: need host:port in {url!r}")
+    verify = "verify=1" in (u.query or "")
+    ctx = ssl.create_default_context()
+    if not verify:
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+    raw = socket.create_connection((u.hostname, u.port), timeout=timeout)
+    s = ctx.wrap_socket(raw, server_hostname=u.hostname)
+    return _SocketFile(s)
+
+
+class UdpStream:
+    """udp://host:port datagram reader (reference: udp.c). For reading,
+    binds the port and returns datagram payloads packet-at-a-time; a
+    read(n) returns at most one datagram (like the reference's
+    packetized mode)."""
+
+    def __init__(self, url: str, timeout: float = 10.0):
+        u = urlparse(url)
+        if u.port is None:
+            raise InvalidData(f"udp: need port in {url!r}")
+        self._s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._s.settimeout(timeout)
+        self._s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._s.bind((u.hostname or "0.0.0.0", u.port))
+        self._pending = b""
+
+    def read(self, n: int = -1) -> bytes:
+        if self._pending:
+            if n < 0:
+                out, self._pending = self._pending, b""
+            else:
+                out, self._pending = self._pending[:n], self._pending[n:]
+            return out
+        try:
+            data = self._s.recv(65536)
+        except socket.timeout:
+            return b""
+        if 0 <= n < len(data):
+            self._pending = data[n:]
+            return data[:n]
+        return data
+
+    def close(self) -> None:
+        self._s.close()
+
+
 class HttpStream:
     """http/https GET body as a file-like, with redirect following and
     Range-based seek support when the server advertises it (http.c:
@@ -154,10 +208,15 @@ def open_url(url: str):
         return HttpStream(url)
     if scheme == "tcp":
         return open_tcp(url)
+    if scheme == "tls":
+        return open_tls(url)
+    if scheme == "udp":
+        return UdpStream(url)
     if scheme:
         raise ProtocolNotFound(f"protocol {scheme!r} not supported")
     return None
 
 
 def protocol_names():
-    return ["file", "pipe", "fd", "memory", "http", "https", "tcp"]
+    return ["file", "pipe", "fd", "memory", "http", "https", "tcp",
+            "tls", "udp"]

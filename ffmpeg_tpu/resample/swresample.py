@@ -186,10 +186,65 @@ class SwrContext:
             f = (self.matrix @ f.astype(np.float64)).astype(np.float32)
         if self.resampler is not None:
             f = self.resampler.process(f, final=final)
-        if self.dither == "tpdf" and self.out_fmt.dtype.kind in "iu":
-            lsb = 1.0 / (1 << (self.out_fmt.bits - 1))
-            f = f + (self._rng.random(f.shape) - self._rng.random(f.shape)).astype(np.float32) * lsb
+        if self.dither and self.out_fmt.dtype.kind in "iu":
+            f = self._apply_dither(f)
         return _sf.from_float(f, self.out_fmt)
+
+    # error-feedback noise-shaping filters (published coefficient sets;
+    # the reference ships per-rate presets in noise_shaping_data.c)
+    _NS_FILTERS = {
+        # Lipshitz et al. (1991) 5-tap F-weighted, 44.1/48 kHz
+        "lipshitz": [2.033, -2.165, 1.959, -1.590, 0.6149],
+        # E-weighted 9-tap (Wannamaker)
+        "f_weighted": [2.412, -3.370, 3.937, -4.174, 3.353, -2.205,
+                       1.281, -0.569, 0.0847],
+        # low-order Shibata-style
+        "shibata": [2.8720729351043701172, -5.0413231849670410156,
+                    6.2442994117736816406, -5.8483986854553222656,
+                    3.7067542076110839844, -1.0495119094848632812,
+                    -1.1830236911773681641, 2.1126792430877685547,
+                    -1.9094531536102294922, 0.99913084506988525391,
+                    -0.17063215374946594238, -0.15374617278575897217],
+    }
+
+    def _apply_dither(self, f: np.ndarray) -> np.ndarray:
+        """Dither + optional noise shaping before integer output
+        (reference: libswresample/dither.c swri_dither/noise shaping)."""
+        lsb = 1.0 / (1 << (self.out_fmt.bits - 1))
+        method = self.dither
+        if method == "rectangular":
+            return f + (self._rng.random(f.shape).astype(np.float32)
+                        - 0.5) * lsb
+        if method in ("tpdf", "triangular"):
+            noise = (self._rng.random(f.shape)
+                     - self._rng.random(f.shape)).astype(np.float32)
+            return f + noise * lsb
+        if method == "triangular_hp":
+            # high-passed TPDF: difference of consecutive uniform noise
+            u = self._rng.random((f.shape[0], f.shape[1] + 1)) - 0.5
+            return f + np.diff(u, axis=1).astype(np.float32) * lsb
+        coeffs = self._NS_FILTERS.get(method)
+        if coeffs is None:
+            raise ValueError(f"swr: unknown dither {self.dither!r}")
+        # error-feedback noise shaping with TPDF dither (sequential
+        # recursion; host-side like the reference's C loop)
+        c = np.asarray(coeffs, np.float64)
+        taps = len(c)
+        out = np.empty_like(f)
+        dith = (self._rng.random(f.shape)
+                - self._rng.random(f.shape)) * lsb
+        for ch in range(f.shape[0]):
+            err = np.zeros(taps)
+            x = f[ch].astype(np.float64)
+            y = np.empty_like(x)
+            for n in range(x.shape[0]):
+                pred = x[n] + (c * err).sum()
+                q = np.round((pred + dith[ch, n]) / lsb) * lsb
+                y[n] = q
+                err[1:] = err[:-1]
+                err[0] = pred - q
+            out[ch] = y.astype(np.float32)
+        return out
 
     def flush(self) -> np.ndarray:
         return self.convert(None)

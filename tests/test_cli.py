@@ -105,6 +105,28 @@ def test_probe_json(y4m_clip, capsys):
 
 
 @requires_ref
+def test_probe_xml(y4m_clip, capsys):
+    rc = probe_main(["-show_streams", "-of", "xml", str(y4m_clip)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    import xml.etree.ElementTree as ET
+    root = ET.fromstring(out)
+    assert root.tag == "ffprobe"
+    streams = root.find("streams")
+    assert streams is not None
+    assert streams[0].get("width") == "128"
+
+
+@requires_ref
+def test_probe_mermaid(y4m_clip, capsys):
+    rc = probe_main(["-show_streams", "-of", "mermaid", str(y4m_clip)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.startswith("graph LR")
+    assert "stream_0" in out
+
+
+@requires_ref
 def test_probe_packets_csv(y4m_clip, capsys):
     rc = probe_main(["-show_packets", "-of", "csv", str(y4m_clip)])
     assert rc == 0

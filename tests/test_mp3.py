@@ -159,7 +159,7 @@ def craft_frame(pairs=((1, 1),), block_type=None, global_gain=210,
 
 def _our_decode(path):
     d = open_input(str(path))
-    assert d.streams[0].codecpar.codec_id == "mp3"
+    assert d.streams[0].codecpar.codec_id.startswith("mp")
     dec = CodecContext.open_decoder(d.streams[0].codecpar)
     frames = dec.decode_all(d.packets())
     # interleave channels to match the reference's wav layout
@@ -462,3 +462,101 @@ def test_lsf_mpeg2_matches_reference(tmp_path):
     assert 1e-4 < peak < 0.99
     err = np.abs(ours[:n] - ref[:n]).max()
     assert err < max(5e-4 * peak, 2.0 ** -13), f"err {err} peak {peak}"
+
+
+# ---------------- Layer I ----------------------------------------------------
+
+def craft_mp1_frame(seed=0, nch=1):
+    """MPEG-1 Layer I frame, 44100 Hz, 256/448 kbps."""
+    rng = np.random.default_rng(seed)
+    w = BitWriter()
+    w.put(0x7FF, 11)
+    w.put(3, 2)            # MPEG-1
+    w.put(3, 2)            # Layer I
+    w.put(1, 1)            # no CRC
+    br_idx = 8 if nch == 1 else 12    # 256 / 384 kbps
+    w.put(br_idx, 4)
+    w.put(0, 2)            # 44100
+    w.put(0, 1)
+    w.put(0, 1)
+    w.put(3 if nch == 1 else 0, 2)
+    w.put(0, 2)
+    w.put(0, 4)
+    kbps = 32 * br_idx
+    size = (12 * kbps * 1000 // 44100) * 4
+
+    alloc = np.zeros((2, 32), np.int32)
+    for i in range(10):
+        alloc[:, i] = int(rng.integers(1, 9))
+    for i in range(32):
+        for ch in range(nch):
+            w.put(int(alloc[ch, i]), 4)
+    for i in range(32):
+        for ch in range(nch):
+            if alloc[ch, i]:
+                w.put(int(rng.integers(0, 60)), 6)
+    for _j in range(12):
+        for i in range(32):
+            for ch in range(nch):
+                n = int(alloc[ch, i])
+                if n:
+                    w.put(int(rng.integers(0, (1 << (n + 1)) - 1)), n + 1)
+    data = w.bytes()
+    assert len(data) <= size, (len(data), size)
+    return data + b"\x00" * (size - len(data))
+
+
+def _compare_l1(ours, ref, min_samples):
+    n = min(len(ours), len(ref))
+    assert n >= min_samples
+    o, r = ours[:n], ref[:n]
+    peak = np.abs(r).max()
+    assert 1e-4 < peak < 0.999
+    err = np.abs(o - r).max()
+    assert err < max(5e-4 * peak, 2.0 ** -13), f"max err {err}"
+
+
+@pytest.mark.parametrize("nch", [1, 2])
+def test_layer1_crafted_decodes(tmp_path, nch):
+    """The slim reference build has no Layer I decoder; validate the new
+    bit parsing + dequant against an independent spec-derived subband
+    reconstruction fed through the (Layer II/III-validated) shared
+    synthesis filterbank."""
+    from ffmpeg_tpu.ops import mp3fb
+    import jax.numpy as jnp
+
+    data = b"".join(craft_mp1_frame(seed=s, nch=nch) for s in range(4))
+    p = tmp_path / "t.mp1"
+    p.write_bytes(data)
+    ours = _our_decode(p)
+
+    # independent parse of the crafted frames (mirrors the crafter)
+    sf_tab = 2.0 * (2.0 ** (-1.0 / 3.0)) ** np.arange(64)
+    pcm_ref = []
+    fifo = jnp.zeros((nch, 16, 64), jnp.float32)
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        alloc = np.zeros((2, 32), np.int32)
+        for i in range(10):
+            alloc[:, i] = int(rng.integers(1, 9))
+        sf = np.zeros((2, 32), np.int32)
+        for i in range(32):
+            for ch in range(nch):
+                if alloc[ch, i]:
+                    sf[ch, i] = int(rng.integers(0, 60))
+        sb = np.zeros((nch, 12, 32), np.float32)
+        for j in range(12):
+            for i in range(32):
+                for ch in range(nch):
+                    n = int(alloc[ch, i])
+                    if n:
+                        b = n + 1
+                        v = int(rng.integers(0, (1 << b) - 1))
+                        sb[ch, j, i] = (2 * v + 1 - (1 << b)) \
+                            / float((1 << b) - 1) * sf_tab[sf[ch, i]]
+        out, fifo = mp3fb.synth_granule(jnp.asarray(sb), fifo)
+        pcm_ref.append(np.asarray(out).T.ravel())
+    want = np.concatenate(pcm_ref)
+    n = min(len(ours), len(want))
+    assert n == 384 * 4 * nch
+    np.testing.assert_allclose(ours[:n], want[:n], atol=1e-6)

@@ -163,6 +163,49 @@ def test_http_relative_redirect():
         srv.shutdown()
 
 
+def test_udp_protocol():
+    from ffmpeg_tpu.io.protocols import UdpStream
+    rx = UdpStream("udp://127.0.0.1:0")        # port 0: pick free port
+    port = rx._s.getsockname()[1]
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    tx.sendto(b"datagram-one", ("127.0.0.1", port))
+    tx.sendto(b"datagram-two", ("127.0.0.1", port))
+    assert rx.read(-1) == b"datagram-one"
+    assert rx.read(8) == b"datagram"
+    assert rx.read(-1) == b"-two"
+    rx.close()
+    tx.close()
+
+
+def test_tls_protocol(tmp_path):
+    import ssl
+    import subprocess as sp
+    key, crt = tmp_path / "k.pem", tmp_path / "c.pem"
+    sp.run(["openssl", "req", "-x509", "-newkey", "rsa:2048",
+            "-keyout", str(key), "-out", str(crt), "-days", "1",
+            "-nodes", "-subj", "/CN=localhost"],
+           check=True, capture_output=True)
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(str(crt), str(key))
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        tls = ctx.wrap_socket(conn, server_side=True)
+        tls.sendall(b"secret payload over tls")
+        tls.close()
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    from ffmpeg_tpu.io.protocols import open_tls
+    s = open_tls(f"tls://127.0.0.1:{port}")
+    assert s.read(-1) == b"secret payload over tls"
+    s.close()
+    srv.close()
+
+
 def test_tcp_protocol():
     srv = socket.socket()
     srv.bind(("127.0.0.1", 0))

@@ -116,3 +116,32 @@ def test_vs_reference_swresample():
     err = ours[lo:hi] - ref[lo:hi]
     snr = _snr(ref[lo:hi], err)
     assert snr > 40, f"snr vs reference {snr:.1f} dB"
+
+
+def test_noise_shaping_dither_presets():
+    """Noise-shaped quantization must push error energy out of the
+    low band: in-band (<4 kHz) error power below plain TPDF's, total
+    error bounded (reference: swresample dither.c presets)."""
+    from ffmpeg_tpu.resample.swresample import SwrContext
+    sr = 44100
+    n = 8192
+    t = np.arange(n) / sr
+    x = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[None, :]
+
+    def err_spectrum(method):
+        c = SwrContext(sr, "mono", "flt", sr, "mono", "s16",
+                       dither=method)
+        y = c.convert(x).astype(np.float64) / 32768.0
+        e = y[0] - x[0]
+        spec = np.abs(np.fft.rfft(e)) ** 2
+        freqs = np.fft.rfftfreq(n, 1 / sr)
+        return spec[freqs < 4000].sum(), spec.sum()
+
+    low_tpdf, tot_tpdf = err_spectrum("tpdf")
+    for preset in ("lipshitz", "f_weighted", "shibata"):
+        low, tot = err_spectrum(preset)
+        assert low < low_tpdf * 0.5, (preset, low, low_tpdf)
+        assert tot < tot_tpdf * 400, (preset, tot)
+    for basic in ("rectangular", "triangular_hp"):
+        _lo, tot = err_spectrum(basic)
+        assert tot < tot_tpdf * 4
