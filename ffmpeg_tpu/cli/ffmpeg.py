@@ -53,6 +53,7 @@ class OutputSpec:
     max_vframes: Optional[int] = None
     no_video: bool = False
     no_audio: bool = False
+    maps: List[str] = field(default_factory=list)
     quality: Optional[float] = None
     options: Dict[str, str] = field(default_factory=dict)
     seek: Optional[int] = None
@@ -163,6 +164,8 @@ def parse_args(argv: List[str]) -> CliOptions:
             cur_out.no_audio = True
         elif a == "-vn":
             cur_out.no_video = True
+        elif a == "-map":
+            cur_out.maps.append(take())
         elif a in ("-q:v", "-qscale:v", "-q"):
             cur_out.quality = float(take())
         elif a == "-y":
@@ -253,6 +256,108 @@ _AENC_DEFAULT = {"wav": "pcm_s16le", "s16le": "pcm_s16le",
                  "crc": "pcm_s16le", "null": "pcm_s16le"}
 
 
+def _select_streams(demux, out) -> list:
+    """Resolve -map specs (or the default best-video+best-audio pick,
+    av_find_best_stream style) to input streams for one output."""
+    if out.maps:
+        sel = []
+        for m in out.maps:
+            parts = m.split(":")
+            if parts[0] != "0":
+                raise NotSupported("cli: only single-input -map (0:...)")
+            if len(parts) == 1:
+                sel.extend(demux.streams)
+                continue
+            if parts[1] in ("v", "a", "s"):
+                typ = {"v": MediaType.VIDEO, "a": MediaType.AUDIO,
+                       "s": MediaType.SUBTITLE}[parts[1]]
+                typed = [s for s in demux.streams if s.codec_type == typ]
+                if len(parts) == 3:
+                    sel.append(typed[int(parts[2])])
+                else:
+                    sel.extend(typed)
+            else:
+                sel.append(demux.streams[int(parts[1])])
+        return sel
+    sel = []
+    v = next((s for s in demux.streams
+              if s.codec_type == MediaType.VIDEO), None)
+    a = next((s for s in demux.streams
+              if s.codec_type == MediaType.AUDIO), None)
+    if v is not None and not out.no_video:
+        sel.append(v)
+    if a is not None and not out.no_audio:
+        sel.append(a)
+    return sel
+
+
+def _build_chain(st, out, mux) -> dict:
+    """One input-stream → output-stream chain for one output file."""
+    fmt_name = mux.name
+    is_video = st.codec_type == MediaType.VIDEO
+    ch: dict = {"type": "video" if is_video else "audio", "in_st": st,
+                "out": out, "mux": mux, "count": 0, "done": False}
+    codec_opt = out.vcodec if is_video else out.acodec
+    if codec_opt == "copy":
+        ch["copy"] = True
+        ost = mux.add_stream(st.codecpar, time_base=st.time_base)
+    elif is_video:
+        ch["copy"] = False
+        graph_txt = out.vf or "null"
+        extra = []
+        if out.size:
+            extra.append(f"scale={out.size[0]}:{out.size[1]}")
+        if out.pix_fmt:
+            extra.append(f"format={out.pix_fmt}")
+        if out.framerate:
+            extra.append(f"fps={out.framerate}")
+        if extra:
+            graph_txt = graph_txt + "," + ",".join(extra) \
+                if graph_txt != "null" else ",".join(extra)
+        ch["graph"] = parse_graph(graph_txt)
+        ch["enc_name"] = out.vcodec or _VENC_DEFAULT.get(fmt_name,
+                                                         "rawvideo")
+        ch["enc"] = None             # opened lazily on first frame
+        ch["opts"] = {}
+        if out.quality is not None:
+            # map ffmpeg qscale (2..31) to JPEG quality approx
+            ch["opts"]["quality"] = int(max(2, min(97,
+                                                   100 - out.quality * 3)))
+        ost = mux.add_stream(st.codecpar.copy(), time_base=st.time_base)
+    else:
+        ch["copy"] = False
+        graph_txt = out.af or "anull"
+        want_fmt = out.sample_fmt
+        acodec = out.acodec or _AENC_DEFAULT.get(fmt_name, "pcm_s16le")
+        if acodec.startswith("pcm_"):
+            want_fmt = {"pcm_s16le": "s16", "pcm_s16be": "s16",
+                        "pcm_f32le": "flt", "pcm_u8": "u8",
+                        "pcm_s32le": "s32"}.get(acodec, want_fmt)
+        af_parts = []
+        if want_fmt or out.sample_rate or out.channels:
+            parts = []
+            if want_fmt:
+                parts.append(f"sample_fmts={want_fmt}")
+            if out.sample_rate:
+                parts.append(f"sample_rates={out.sample_rate}")
+            if out.channels:
+                layouts = {1: "mono", 2: "stereo", 6: "5.1"}
+                parts.append("channel_layouts="
+                             f"{layouts.get(out.channels, out.channels)}")
+            af_parts.append("aformat=" + ":".join(parts))
+        if af_parts:
+            graph_txt = (graph_txt + "," if graph_txt != "anull" else "") \
+                + ",".join(af_parts)
+        ch["graph"] = parse_graph(graph_txt)
+        ch["enc_name"] = acodec
+        ch["enc"] = None
+        ch["opts"] = {}
+        ost = mux.add_stream(st.codecpar.copy(), time_base=st.time_base)
+    ch["out_st"] = ost
+    ch["bsf_spec"] = (out.vbsf if is_video else out.absf)
+    return ch
+
+
 def transcode(o: CliOptions) -> None:
     if not o.inputs or not o.outputs:
         raise InvalidData("need at least one input (-i) and one output")
@@ -260,117 +365,42 @@ def transcode(o: CliOptions) -> None:
     out = o.outputs[0]
     demux = open_input(inp.url, format=inp.format, **inp.options)
 
-    # pick streams (best video + best audio, like av_find_best_stream)
-    vstream = next((s for s in demux.streams
-                    if s.codec_type == MediaType.VIDEO), None)
-    astream = next((s for s in demux.streams
-                    if s.codec_type == MediaType.AUDIO), None)
-    if out.no_video:
-        vstream = None
-    if out.no_audio:
-        astream = None
+    # per-output muxers + chains; decoders shared per input stream
+    muxes = []
+    chains: List[dict] = []
+    decoders: Dict[int, CodecContext] = {}
+    for ospec in o.outputs:
+        mux = open_output(ospec.url, format=ospec.format)
+        muxes.append(mux)
+        for st in _select_streams(demux, ospec):
+            if st.codec_type not in (MediaType.VIDEO, MediaType.AUDIO):
+                vc = ospec.vcodec
+                if vc != "copy":
+                    continue
+            ch = _build_chain(st, ospec, mux)
+            if not ch["copy"] and st.index not in decoders:
+                decoders[st.index] = CodecContext.open_decoder(st.codecpar)
+            chains.append(ch)
 
-    mux = open_output(out.url if not o.overwrite or True else out.url,
-                      format=out.format)
-    fmt_name = mux.name
-
-    vcopy = out.vcodec == "copy"
-    acopy = out.acodec == "copy"
-
-    # ---- set up per-stream chains ------------------------------------------
-    chains: Dict[int, dict] = {}
-    if vstream is not None:
-        ch: dict = {"type": "video", "in_st": vstream}
-        if vcopy:
-            ch["copy"] = True
-            ost = mux.add_stream(vstream.codecpar, time_base=vstream.time_base)
-        else:
-            ch["copy"] = False
-            ch["dec"] = CodecContext.open_decoder(vstream.codecpar)
-            graph_txt = out.vf or "null"
-            extra = []
-            if out.size:
-                extra.append(f"scale={out.size[0]}:{out.size[1]}")
-            if out.pix_fmt:
-                extra.append(f"format={out.pix_fmt}")
-            if out.framerate:
-                extra.append(f"fps={out.framerate}")
-            if extra:
-                graph_txt = graph_txt + "," + ",".join(extra) \
-                    if graph_txt != "null" else ",".join(extra)
-            ch["graph"] = parse_graph(graph_txt)
-            vcodec = out.vcodec or _VENC_DEFAULT.get(fmt_name, "rawvideo")
-            ch["enc_name"] = vcodec
-            ch["enc"] = None         # opened lazily on first frame
-            ch["opts"] = {}
-            if out.quality is not None:
-                # map ffmpeg qscale (2..31) to JPEG quality approx
-                ch["opts"]["quality"] = int(max(2, min(97, 100 - out.quality * 3)))
-            ost = mux.add_stream(vstream.codecpar.copy(),
-                                 time_base=vstream.time_base)
-        ch["out_st"] = ost
-        ch["count"] = 0
-        ch["bsf_spec"] = out.vbsf
-        chains[vstream.index] = ch
-    if astream is not None:
-        ch = {"type": "audio", "in_st": astream}
-        if acopy:
-            ch["copy"] = True
-            ost = mux.add_stream(astream.codecpar, time_base=astream.time_base)
-        else:
-            ch["copy"] = False
-            ch["dec"] = CodecContext.open_decoder(astream.codecpar)
-            graph_txt = out.af or "anull"
-            extra = []
-            want_fmt = out.sample_fmt
-            acodec = out.acodec or _AENC_DEFAULT.get(fmt_name, "pcm_s16le")
-            if acodec.startswith("pcm_"):
-                want_fmt = {"pcm_s16le": "s16", "pcm_s16be": "s16",
-                            "pcm_f32le": "flt", "pcm_u8": "u8",
-                            "pcm_s32le": "s32"}.get(acodec, want_fmt)
-            af_parts = []
-            if want_fmt or out.sample_rate or out.channels:
-                parts = []
-                if want_fmt:
-                    parts.append(f"sample_fmts={want_fmt}")
-                if out.sample_rate:
-                    parts.append(f"sample_rates={out.sample_rate}")
-                if out.channels:
-                    layouts = {1: "mono", 2: "stereo", 6: "5.1"}
-                    parts.append(f"channel_layouts={layouts.get(out.channels, out.channels)}")
-                af_parts.append("aformat=" + ":".join(parts))
-            if af_parts:
-                graph_txt = (graph_txt + "," if graph_txt != "anull" else "") \
-                    + ",".join(af_parts)
-            ch["graph"] = parse_graph(graph_txt)
-            ch["enc_name"] = acodec
-            ch["enc"] = None
-            ch["opts"] = {}
-            ost = mux.add_stream(astream.codecpar.copy(),
-                                 time_base=astream.time_base)
-        ch["out_st"] = ost
-        ch["count"] = 0
-        ch["bsf_spec"] = out.absf
-        chains[astream.index] = ch
-
-    # renumber output stream indices
-    for ch in chains.values():
+    for ch in chains:
         ch["out_idx"] = ch["out_st"].index
 
     start_us = inp.seek or 0
-    if start_us and demux.streams:
+    if start_us and demux.streams and chains:
         # fast seek to the preceding keyframe; the timestamp filter below
         # discards frames before the exact target (ffmpeg -ss semantics)
-        st0 = vstream or astream or demux.streams[0]
+        st0 = chains[0]["in_st"]
         try:
             demux.seek(st0.index,
                        start_us * st0.time_base.den
                        // (1000000 * st0.time_base.num))
         except FFTPUError:
             pass                   # demuxer without seek: decode+discard
-    limit_us = inp.duration if inp.duration is not None else \
-        (out.duration if out.duration is not None else None)
-    vdone = False
+
+    def ch_limit_us(ch):
+        if inp.duration is not None:
+            return inp.duration
+        return ch["out"].duration
 
     def open_encoder(ch, frame: Frame):
         par = ch["out_st"].codecpar
@@ -393,14 +423,14 @@ def transcode(o: CliOptions) -> None:
         ch["enc"] = CodecContext.open_encoder(par, options=ch["opts"])
 
     def emit_frame(ch, frame: Optional[Frame]):
-        nonlocal vdone
         if frame is not None and ch["enc"] is None:
             open_encoder(ch, frame)
         if ch["enc"] is None:
             return
+        max_v = ch["out"].max_vframes
         if frame is not None and ch["type"] == "video":
-            if out.max_vframes is not None and ch["count"] >= out.max_vframes:
-                vdone = True
+            if max_v is not None and ch["count"] >= max_v:
+                ch["done"] = True
                 return
             ch["count"] += 1
         ch["enc"].send_frame(frame)
@@ -415,7 +445,7 @@ def transcode(o: CliOptions) -> None:
                 pkt.pts = rescale_q(pkt.pts, pkt.time_base, ch["out_st"].time_base)
                 pkt.dts = pkt.pts
                 pkt.time_base = ch["out_st"].time_base
-            _apply_bsfs(ch, pkt, mux)
+            _apply_bsfs(ch, pkt, ch["mux"])
 
     def run_frames(ch, frames):
         for f in frames:
@@ -424,64 +454,82 @@ def transcode(o: CliOptions) -> None:
                 emit_frame(ch, of)
 
     # ---- main loop ------------------------------------------------------------
-    nvideo = 0
     try:
         for pkt in demux.packets():
-            ch = chains.get(pkt.stream_index)
-            if ch is None:
+            targets = [c for c in chains
+                       if c["in_st"].index == pkt.stream_index]
+            if not targets:
                 continue
-            # -ss / -t on input timestamps
-            if pkt.pts != NOPTS and pkt.time_base:
-                t_us = pkt.pts * 1000000 * pkt.time_base.num // pkt.time_base.den
-                if inp.seek is not None and t_us < start_us:
-                    continue
-                if limit_us is not None and t_us >= start_us + limit_us:
+            # decode once per input stream, fan out to all chains
+            frames = None
+            for ch in targets:
+                # -ss / -t on input timestamps
+                if pkt.pts != NOPTS and pkt.time_base:
+                    t_us = pkt.pts * 1000000 * pkt.time_base.num \
+                        // pkt.time_base.den
+                    if inp.seek is not None and t_us < start_us:
+                        continue
+                    lim = ch_limit_us(ch)
+                    if lim is not None and t_us >= start_us + lim:
+                        if ch["type"] == "video":
+                            ch["done"] = True
+                        continue
+                if ch["copy"]:
+                    outpkt = Packet(data=pkt.data, pts=pkt.pts,
+                                    dts=pkt.dts, duration=pkt.duration,
+                                    flags=pkt.flags,
+                                    stream_index=ch["out_idx"],
+                                    time_base=pkt.time_base)
+                    _apply_bsfs(ch, outpkt, ch["mux"])
                     if ch["type"] == "video":
-                        vdone = True
-                    continue
+                        ch["count"] += 1
+                        max_v = ch["out"].max_vframes
+                        if max_v is not None and ch["count"] >= max_v:
+                            ch["done"] = True
+                else:
+                    if frames is None:
+                        dec = decoders[pkt.stream_index]
+                        dec.send_packet(pkt)
+                        frames = []
+                        while True:
+                            try:
+                                frames.append(dec.receive_frame())
+                            except (TryAgain, EndOfStream):
+                                break
+                    run_frames(ch, frames)
+            # stop early once every chain hit its frame/time limit
+            # (chains without limits run to EOF)
+            if chains and all(c["done"] for c in chains):
+                break
+        # drain
+        drained = set()
+        for ch in chains:
             if ch["copy"]:
-                outpkt = Packet(data=pkt.data, pts=pkt.pts, dts=pkt.dts,
-                                duration=pkt.duration, flags=pkt.flags,
-                                stream_index=ch["out_idx"],
-                                time_base=pkt.time_base)
-                _apply_bsfs(ch, outpkt, mux)
-                if ch["type"] == "video":
-                    ch["count"] += 1
-                    if out.max_vframes is not None and \
-                            ch["count"] >= out.max_vframes:
-                        vdone = True
-            else:
-                ch["dec"].send_packet(pkt)
+                continue
+            idx = ch["in_st"].index
+            if idx not in drained:
+                drained.add(idx)
+                dec = decoders[idx]
+                dec.send_packet(None)
                 frames = []
                 while True:
                     try:
-                        frames.append(ch["dec"].receive_frame())
-                    except (TryAgain, EndOfStream):
+                        frames.append(dec.receive_frame())
+                    except (EndOfStream, TryAgain):
                         break
-                run_frames(ch, frames)
-            if vdone and (astream is None or out.max_vframes is not None):
-                break
-        # drain
-        for ch in chains.values():
-            if ch["copy"]:
-                continue
-            ch["dec"].send_packet(None)
-            frames = []
-            while True:
-                try:
-                    frames.append(ch["dec"].receive_frame())
-                except EndOfStream:
-                    break
-                except TryAgain:
-                    break
-            run_frames(ch, frames)
+                for other in chains:
+                    if not other["copy"] and other["in_st"].index == idx:
+                        other["_tail"] = frames
+            run_frames(ch, ch.pop("_tail", []))
             ch["graph"].feed_eof()
             for of in ch["graph"].pull():
                 emit_frame(ch, of)
             emit_frame(ch, None)   # encoder drain
-        mux.write_trailer()
+        for mux in muxes:
+            mux.write_trailer()
     finally:
-        mux.close()
+        for mux in muxes:
+            mux.close()
         demux.close()
 
 

@@ -175,11 +175,20 @@ class H264Decoder(Codec):
                             list(reversed(self._dpb)), self._dpb,
                             sh.reorder[0], sh.frame_num, max_fn,
                             sh.num_ref[0])
-                if pps.cabac:
-                    from .cabac_slice import decode_slice_cabac
-                    decode_slice_cabac(dec, rbsp, b.pos, sh)
-                else:
-                    dec.decode_slice(b, sh)
+                try:
+                    if pps.cabac:
+                        from .cabac_slice import decode_slice_cabac
+                        decode_slice_cabac(dec, rbsp, b.pos, sh)
+                    else:
+                        dec.decode_slice(b, sh)
+                except (InvalidData, IndexError) as e:
+                    # damaged slice: keep the MBs decoded so far and
+                    # conceal the rest at output (error_resilience.c
+                    # semantics; AV_EF_EXPLODE disables this)
+                    if self.options.get("err_detect") == "explode":
+                        raise
+                    self.warning(f"slice error, concealing: {e}")
+                    dec.damaged = True
                 dec.last_sh = sh
         if dec is not None:
             frames.extend(self._emit(dec, pkt))
@@ -202,6 +211,9 @@ class H264Decoder(Codec):
         else:
             from . import recon_host
             recon_host.reconstruct(dec)
+            if not dec.mb_avail.all():
+                from .conceal import conceal_missing
+                conceal_missing(dec)
             if do_deblock:
                 from .loopfilter import deblock_frame
                 deblock_frame(dec, sh.alpha_c0_offset, sh.beta_offset)

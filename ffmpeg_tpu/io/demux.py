@@ -65,7 +65,46 @@ class Demuxer(LogMixin):
         raise NotImplementedError
 
     def seek(self, stream_index: int, ts: int, flags: int = 0) -> None:
-        raise InvalidData(f"{self.name}: seeking not supported")
+        """Default: the generic read-based seek (the index-less fallback
+        of libavformat/seek.c): rewind, re-read the header, and scan
+        forward queueing from the last keyframe at-or-before ts."""
+        self.seek_generic(stream_index, ts, flags)
+
+    def seek_generic(self, stream_index: int, ts: int,
+                     flags: int = 0) -> None:
+        from collections import deque
+        if not getattr(self.r, "seekable", True):
+            raise InvalidData(f"{self.name}: input not seekable")
+        self.r.seek(0)
+        self.streams.clear()
+        self.metadata.clear()
+        self.read_header()
+        group: List[Packet] = []
+        while True:
+            try:
+                pkt = self.read_packet()
+            except EndOfStream:
+                break
+            is_target = pkt.stream_index == stream_index
+            pts = pkt.pts if pkt.pts is not None else pkt.dts
+            if is_target and (pkt.flags & 1) and \
+                    (pts is None or pts <= ts):
+                group = [pkt]          # newest keyframe at-or-before ts
+                continue
+            if not group:
+                if is_target:          # no keyframe seen yet: keep all
+                    group = [pkt]
+                continue
+            group.append(pkt)
+            if is_target and pts is not None and pts >= ts:
+                break                  # reached the target timestamp
+        self._seek_buf = deque(group)
+
+    def _next_packet(self) -> Packet:
+        buf = getattr(self, "_seek_buf", None)
+        if buf:
+            return buf.popleft()
+        return self.read_packet()
 
     def close(self) -> None:
         if self.r is not None:
@@ -80,7 +119,7 @@ class Demuxer(LogMixin):
     def packets(self) -> Iterator[Packet]:
         while True:
             try:
-                yield self.read_packet()
+                yield self._next_packet()
             except EndOfStream:
                 return
 

@@ -171,3 +171,37 @@ def test_bsf_unknown_name_errors(y4m_clip, tmp_path, capsys):
                      "-bsf:v", "definitely_not_a_bsf",
                      "-y", str(tmp_path / "o.y4m")])
     assert rc == 1
+
+
+@requires_ref
+def test_cli_multi_output_and_map(tmp_path):
+    """One input, two outputs with -map: video-only mjpeg AVI + audio-only
+    wav, in a single run (ffmpeg multi-output semantics)."""
+    av_file = tmp_path / "in.mkv"
+    subprocess.run([str(refutil.REF), "-v", "error",
+                    "-f", "lavfi", "-i", "testsrc2=size=96x64:rate=10",
+                    "-f", "lavfi", "-i", "sine=frequency=440:sample_rate=44100",
+                    "-t", "0.5", "-c:v", "mjpeg", "-q:v", "4",
+                    "-pix_fmt", "yuvj420p", "-c:a", "aac",
+                    "-y", str(av_file)], check=True, capture_output=True)
+    v_out = tmp_path / "v.avi"
+    a_out = tmp_path / "a.wav"
+    rc = fftpu_main(["-v", "error", "-i", str(av_file),
+               "-map", "0:v:0", "-c:v", "copy", "-y", str(v_out),
+               "-map", "0:a:0", "-c:a", "pcm_s16le", "-y", str(a_out)])
+    assert rc == 0
+    pv = subprocess.run(
+        [str(refutil.REF).replace("ffmpeg", "ffprobe"), "-v", "error",
+         "-show_entries", "stream=codec_type,codec_name", "-of", "csv",
+         str(v_out)], check=True, capture_output=True).stdout.decode()
+    assert "video" in pv and "audio" not in pv
+    pa = subprocess.run(
+        [str(refutil.REF).replace("ffmpeg", "ffprobe"), "-v", "error",
+         "-show_entries", "stream=codec_type", "-of", "csv",
+         str(a_out)], check=True, capture_output=True).stdout.decode()
+    assert "audio" in pa and "video" not in pa
+    # both decodable by the reference
+    for f in (v_out, a_out):
+        subprocess.run([str(refutil.REF), "-v", "error", "-i", str(f),
+                        "-f", "null", "-"], check=True,
+                       capture_output=True)

@@ -104,3 +104,123 @@ def test_hue_saturation_zero_greys():
     (o,) = parse_graph("hue=s=0").run([f])
     assert (np.asarray(o.planes[1]) == 128).all()
     assert (np.asarray(o.planes[2]) == 128).all()
+
+
+# ---------------- video4 / audio2 batches ------------------------------------
+
+def _gray_frame(w=64, h=48, value=None):
+    import numpy as np
+    from ffmpeg_tpu.core.frame import Frame
+    y = (np.add.outer(np.arange(h), np.arange(w)) % 256).astype(np.uint8) \
+        if value is None else np.full((h, w), value, np.uint8)
+    u = np.full((h // 2, w // 2), 100, np.uint8)
+    v = np.full((h // 2, w // 2), 160, np.uint8)
+    return Frame.video(w, h, "yuv420p", planes=[y, u, v], pts=0)
+
+
+def _run1(name, args, frame):
+    from ffmpeg_tpu.filters import get_filter
+    f = get_filter(name)(args)
+    f.configure([_props(frame)])
+    return f.process(frame)[0]
+
+
+def _props(frame):
+    from ffmpeg_tpu.filters.base import props_of
+    return props_of(frame)
+
+
+def test_gblur_smooths():
+    import numpy as np
+    fr = _gray_frame()
+    out = _run1("gblur", "sigma=2", fr)
+    a = np.asarray(fr.planes[0], np.float64)
+    b = np.asarray(out.planes[0], np.float64)
+    assert np.abs(np.diff(b, axis=1)).mean() < np.abs(np.diff(a, axis=1)).mean() + 1e-9
+    assert abs(a.mean() - b.mean()) < 3
+
+
+def test_swapuv_and_monochrome():
+    import numpy as np
+    fr = _gray_frame()
+    out = _run1("swapuv", "", fr)
+    assert np.asarray(out.planes[1])[0, 0] == 160
+    assert np.asarray(out.planes[2])[0, 0] == 100
+    m = _run1("monochrome", "", fr)
+    assert (np.asarray(m.planes[1]) == 128).all()
+
+
+def test_edgedetect_flat_is_black():
+    import numpy as np
+    fr = _gray_frame(value=100)
+    out = _run1("edgedetect", "", fr)
+    assert np.asarray(out.planes[0]).max() == 0
+
+
+def test_framestep_and_select():
+    from ffmpeg_tpu.filters import get_filter
+    fs = get_filter("framestep")("step=3")
+    kept = [i for i in range(9) if fs.process(_gray_frame())]
+    assert kept == [0, 3, 6]
+    sel = get_filter("select")("expr=mod(n\\,2)")
+    kept = [i for i in range(6) if sel.process(_gray_frame())]
+    assert kept == [1, 3, 5]
+
+
+def test_tmix_averages():
+    import numpy as np
+    from ffmpeg_tpu.filters import get_filter
+    f = get_filter("tmix")("frames=2")
+    f.process(_gray_frame(value=0))
+    out = f.process(_gray_frame(value=100))[0]
+    assert abs(int(np.asarray(out.planes[0])[0, 0]) - 50) <= 1
+
+
+def test_biquad_lowpass_attenuates_highs():
+    import numpy as np
+    from ffmpeg_tpu.core.frame import Frame
+    from ffmpeg_tpu.filters import get_filter
+    sr, n = 48000, 4800
+    t = np.arange(n) / sr
+    low = np.sin(2 * np.pi * 200 * t)
+    high = np.sin(2 * np.pi * 12000 * t)
+    x = ((low + high) * 0.4 * 32767).astype(np.int16)[None, :]
+    fr = Frame.audio(x, sr, "s16p", "mono", pts=0)
+    f = get_filter("lowpass")("frequency=1000")
+    out = f.process(fr)[0]
+    y = np.asarray(out.planes[0], np.float64).ravel() / 32767
+    spec = np.abs(np.fft.rfft(y * np.hanning(n)))
+    freqs = np.fft.rfftfreq(n, 1 / sr)
+    p_low = spec[np.argmin(np.abs(freqs - 200))]
+    p_high = spec[np.argmin(np.abs(freqs - 12000))]
+    assert p_low > 30 * p_high
+
+
+def test_adelay_shifts():
+    import numpy as np
+    from ffmpeg_tpu.core.frame import Frame
+    from ffmpeg_tpu.filters import get_filter
+    sr = 8000
+    x = (np.arange(1, 801) % 100 * 300).astype(np.int16)[None, :]
+    fr = Frame.audio(x, sr, "s16p", "mono", pts=0)
+    f = get_filter("adelay")("delays=100")       # 100 ms = 800 samples
+    out = f.process(fr)[0]
+    assert (np.asarray(out.planes[0]) == 0).all()
+    out2 = f.process(fr)[0]
+    np.testing.assert_array_equal(
+        np.asarray(out2.planes[0]).ravel(), x.ravel())
+
+
+def test_aecho_adds_delayed_copy():
+    import numpy as np
+    from ffmpeg_tpu.core.frame import Frame
+    from ffmpeg_tpu.filters import get_filter
+    sr = 8000
+    x = np.zeros(1600, np.float32)
+    x[0] = 0.5
+    fr = Frame.audio(x[None, :], sr, "fltp", "mono", pts=0)
+    f = get_filter("aecho")("in_gain=1.0:out_gain=1.0:delays=100:decays=0.5")
+    out = f.process(fr)[0]
+    y = np.asarray(out.planes[0]).ravel()
+    assert abs(y[0] - 0.5) < 1e-4
+    assert abs(y[800] - 0.25) < 1e-4

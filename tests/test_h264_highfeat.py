@@ -209,3 +209,50 @@ def test_mmco_forget_short_term(tmp_path):
     stream += _craft_p(2, seed=52, mmco=[(1, 0)])
     stream += _craft_p(3, seed=53)
     _decode_both(stream, 4, tmp_path)
+
+
+@requires_ref
+def test_error_concealment_truncated_slice(tmp_path):
+    """Truncating a P slice must not abort decode: the damaged tail is
+    concealed by MV-guess MC from the reference picture
+    (error_resilience.c ff_er_frame_end analog)."""
+    stream_i = _i_frame(5)
+    p_full = _craft_p(1, seed=61)
+    # chop the last 40% of the P slice NAL payload
+    cut = len(p_full) - int(len(p_full) * 0.4)
+    stream = stream_i + p_full[:cut]
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264")
+    dec = CodecContext.open_decoder(par)
+    frames = dec.decode_all([Packet(data=stream, pts=0,
+                                    time_base=Rational(1, 25))])
+    assert len(frames) == 2
+    iy = np.asarray(frames[0].planes[0]).astype(np.float64)
+    py = np.asarray(frames[1].planes[0]).astype(np.float64)
+    # concealed P frame must still track the I frame (small motion)
+    mse = ((iy - py) ** 2).mean()
+    psnr = 10 * np.log10(255 * 255 / max(mse, 1e-9))
+    assert psnr > 20, psnr
+    # strict mode must surface the error instead
+    dec2 = CodecContext.open_decoder(par, options={"err_detect":
+                                                   "explode"})
+    with pytest.raises(Exception):
+        dec2.decode_all([Packet(data=stream, pts=0,
+                                time_base=Rational(1, 25))])
+
+
+@requires_ref
+def test_error_concealment_intra_spatial(tmp_path):
+    """A truncated IDR (no reference) falls back to spatial
+    extrapolation; output must not be black and decode must continue."""
+    full = _i_frame(6)
+    # find the IDR slice NAL (type 5) and truncate inside it
+    idx = full.rfind(b"\x00\x00\x00\x01\x65")
+    assert idx > 0
+    stream = full[:idx + (len(full) - idx) * 2 // 3]
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="h264")
+    dec = CodecContext.open_decoder(par)
+    frames = dec.decode_all([Packet(data=stream, pts=0,
+                                    time_base=Rational(1, 25))])
+    assert len(frames) == 1
+    y = np.asarray(frames[0].planes[0])
+    assert y.std() > 1.0          # not a flat frame

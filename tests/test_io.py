@@ -170,3 +170,28 @@ def test_avi_seek(tmp_path):
     assert pkt.data[:2] == b"\xff\xd8"
     d.seek(0, 0)
     assert d.read_packet().pts == 0
+
+
+@requires_ref
+def test_generic_seek_matroska(tmp_path):
+    """Formats without a dedicated seek handler use the generic
+    read-based fallback (seek.c analog): land on the newest keyframe
+    at-or-before the target and keep stream order intact."""
+    import subprocess
+    p = tmp_path / "g.mkv"
+    subprocess.run([str(refutil.REF), "-v", "error", "-f", "lavfi",
+                    "-i", "testsrc2=size=96x64:rate=10", "-t", "2",
+                    "-c:v", "mjpeg", "-q:v", "5", "-pix_fmt", "yuvj420p",
+                    "-y", str(p)], check=True, capture_output=True)
+    d = open_input(str(p))
+    tb = d.streams[0].time_base
+    all_pts = [pkt.pts for pkt in d.packets()]
+    assert len(all_pts) == 20
+    # seek to 1.0s: every mjpeg frame is a keyframe, so the first packet
+    # after the seek must be the one at exactly 1.0s
+    target = int(1.0 * tb.den / tb.num)
+    d.seek(0, target)
+    pts = [pkt.pts for pkt in d.packets()]
+    assert pts[0] <= target <= pts[0] + int(0.11 * tb.den / tb.num)
+    assert pts == [p_ for p_ in all_pts if p_ >= pts[0]]
+    d.close()
