@@ -68,6 +68,7 @@ class CliOptions:
     loglevel: Optional[str] = None
     benchmark: bool = False
     bitexact: bool = False
+    progress_url: Optional[str] = None
 
 
 def parse_args(argv: List[str]) -> CliOptions:
@@ -174,6 +175,8 @@ def parse_args(argv: List[str]) -> CliOptions:
             o.loglevel = take()
         elif a == "-benchmark":
             o.benchmark = True
+        elif a == "-progress":
+            o.progress_url = take()
         elif a == "-fflags":
             v = take()
             if "bitexact" in v:
@@ -454,8 +457,27 @@ def transcode(o: CliOptions) -> None:
                 emit_frame(ch, of)
 
     # ---- main loop ------------------------------------------------------------
+    progress_fh = None
+    if o.progress_url:
+        progress_fh = sys.stderr if o.progress_url in ("-", "pipe:1",
+                                                       "pipe:2") \
+            else open(o.progress_url, "w")
+    npkts = 0
+
+    def write_progress(status):
+        if progress_fh is None:
+            return
+        vframes = max((c["count"] for c in chains
+                       if c["type"] == "video"), default=0)
+        progress_fh.write(f"frame={vframes}\n")
+        progress_fh.write(f"progress={status}\n")
+        progress_fh.flush()
+
     try:
         for pkt in demux.packets():
+            npkts += 1
+            if npkts % 50 == 0:
+                write_progress("continue")
             targets = [c for c in chains
                        if c["in_st"].index == pkt.stream_index]
             if not targets:
@@ -527,10 +549,36 @@ def transcode(o: CliOptions) -> None:
             emit_frame(ch, None)   # encoder drain
         for mux in muxes:
             mux.write_trailer()
+        write_progress("end")
     finally:
         for mux in muxes:
             mux.close()
         demux.close()
+
+
+def _init_report(argv) -> Optional[object]:
+    """FFREPORT env-var report file (fftools/cmdutils.c:516 analog):
+    FFREPORT=file=<path>[:level=<lvl>] logs the command line and every
+    log message to the file."""
+    import os
+    spec = os.environ.get("FFREPORT")
+    if not spec:
+        return None
+    fname = None
+    level = None
+    if spec not in ("1", "true", "yes"):
+        for part in spec.split(":"):
+            k, _, v = part.partition("=")
+            if k == "file":
+                fname = v
+            elif k == "level":
+                level = v
+    _log.enable_report(fname)
+    _log.log(None, _log.LogLevel.INFO,
+             "fftpu command line: " + " ".join(argv))
+    if level:
+        _log.set_level(level)
+    return fname
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -544,6 +592,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"encoders: {', '.join(encoder_names())}")
         print(f"filters: {', '.join(filter_names())}")
         return 0
+    _init_report(argv)
     try:
         o = parse_args(argv)
         if o.loglevel:

@@ -222,3 +222,60 @@ class DumpExtradata(BitstreamFilter):
             pkt.data = self.par.extradata + pkt.data
             self._done = True
         return [pkt]
+
+
+@register_bsf
+class H264MetadataBsf(BitstreamFilter):
+    """Edit H.264 parameter-set syntax in-stream via the CBS framework
+    (bsf/h264_metadata.c analog). Options: level=<idc>, profile=<idc>,
+    max_ref_frames=<n>. Unsupported/opaque units pass through."""
+
+    name = "h264_metadata"
+    level = None
+    profile = None
+    max_ref_frames = None
+
+    def filter(self, pkt: Packet) -> List[Packet]:
+        from .cbs import CodedBitstream
+        from .h264 import nal as _nal
+        from ..utils.error import InvalidData as _ID
+        out = bytearray()
+        data = bytes(pkt.data)
+        # Annex B walk preserving start-code lengths
+        i = 0
+        units = []
+        starts = []
+        pos = 0
+        while True:
+            j = data.find(b"\x00\x00\x01", pos)
+            if j < 0:
+                break
+            sc = 4 if j > 0 and data[j - 1] == 0 else 3
+            nstart = j + 3
+            k = data.find(b"\x00\x00\x01", nstart)
+            end = len(data) if k < 0 else (k - 1 if data[k - 1] == 0
+                                           and k > 0 else k)
+            units.append((data[j - (sc - 3):j + 3] if sc == 4
+                          else data[j:j + 3], data[nstart:end]))
+            pos = nstart
+        if not units:
+            return [pkt]
+        for sc, unit in units:
+            try:
+                obj = CodedBitstream.read_nal(unit)
+            except _ID:
+                obj = None
+            if obj is not None and obj["_nal_type"] == 7:
+                if self.level is not None:
+                    obj["level_idc"] = int(self.level)
+                if self.profile is not None:
+                    obj["profile_idc"] = int(self.profile)
+                if self.max_ref_frames is not None:
+                    obj["max_num_ref_frames"] = int(self.max_ref_frames)
+                unit = CodedBitstream.write_nal(obj)
+            out += sc + unit
+        new = Packet(data=bytes(out), pts=pkt.pts, dts=pkt.dts,
+                     duration=pkt.duration, flags=pkt.flags,
+                     stream_index=pkt.stream_index,
+                     time_base=pkt.time_base)
+        return [new]

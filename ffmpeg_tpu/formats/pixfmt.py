@@ -323,6 +323,144 @@ register(PixFmtDescriptor("monow", 1, 0, 0, FLAG_BITSTREAM, (ComponentDesc(0, 1,
 register(PixFmtDescriptor("monob", 1, 0, 0, FLAG_BITSTREAM, (ComponentDesc(0, 1, 0, 0, 1),)))
 
 
+
+# --- registry completion toward the full pixdesc.c table ---------------------
+
+# remaining planar YUV combinations
+_planar_yuv("yuv440p10le", 0, 1, depth=10)
+_planar_yuv("yuv440p10be", 0, 1, depth=10, be=True)
+_planar_yuv("yuv440p12le", 0, 1, depth=12)
+_planar_yuv("yuv440p12be", 0, 1, depth=12, be=True)
+for d in (9, 10, 12, 16):
+    for sub, lw, lh in (("420", 1, 1), ("422", 1, 0), ("444", 0, 0)):
+        if f"yuva{sub}p{d}le" not in _REGISTRY:
+            _planar_yuv(f"yuva{sub}p{d}le", lw, lh, depth=d, alpha=True)
+        _planar_yuv(f"yuva{sub}p{d}be", lw, lh, depth=d, alpha=True,
+                    be=True)
+
+# big-endian planar RGB + float variants
+for d in (9, 10, 12, 14, 16):
+    _planar_rgb(f"gbrp{d}be", depth=d, be=True)
+for d in (10, 12, 14, 16):
+    if f"gbrap{d}le" not in _REGISTRY:
+        _planar_rgb(f"gbrap{d}le", depth=d, alpha=True)
+    _planar_rgb(f"gbrap{d}be", depth=d, alpha=True, be=True)
+_planar_rgb("gbrpf32be", depth=32, be=True, flt=True)
+_planar_rgb("gbrapf32be", depth=32, alpha=True, be=True, flt=True)
+if "gbrapf32le" not in _REGISTRY:
+    _planar_rgb("gbrapf32le", depth=32, alpha=True, flt=True)
+
+# packed RGB remainder
+_packed_rgb("rgb48be2", "rgb", depth=16, be=True) if False else None
+for nm, order, be in (("bgr48le", "bgr", False), ("bgr48be", "bgr", True),
+                      ("bgra64le", "bgra", False),
+                      ("bgra64be", "bgra", True)):
+    if nm not in _REGISTRY:
+        _packed_rgb(nm, order, depth=16, be=be)
+for nm in ("rgb444be", "rgb555be", "bgr444be", "bgr555be", "bgr565be"):
+    base = nm[:-2] + "le"
+    if base in _REGISTRY and nm not in _REGISTRY:
+        d0 = _REGISTRY[base]
+        register(PixFmtDescriptor(nm, d0.nb_components, d0.log2_chroma_w,
+                                  d0.log2_chroma_h, d0.flags | FLAG_BE,
+                                  d0.comp))
+
+# low-bit packed RGB (bitstream-ish formats kept as descriptors)
+register(PixFmtDescriptor("rgb8", 3, 0, 0, FLAG_RGB,
+                          (ComponentDesc(0, 1, 0, 5, 3),
+                           ComponentDesc(0, 1, 0, 2, 3),
+                           ComponentDesc(0, 1, 0, 0, 2))))
+register(PixFmtDescriptor("bgr8", 3, 0, 0, FLAG_RGB,
+                          (ComponentDesc(0, 1, 0, 0, 3),
+                           ComponentDesc(0, 1, 0, 3, 3),
+                           ComponentDesc(0, 1, 0, 6, 2))))
+
+# gray remainder
+_planar_yuv("gray9le", 0, 0, depth=9) if False else None
+for d in (9, 14):
+    register(PixFmtDescriptor(f"gray{d}le", 1, 0, 0, FLAG_PLANAR,
+                              (ComponentDesc(0, 2, 0, 0, d),)))
+    register(PixFmtDescriptor(f"gray{d}be", 1, 0, 0,
+                              FLAG_PLANAR | FLAG_BE,
+                              (ComponentDesc(0, 2, 0, 0, d),)))
+for d in (10, 12):
+    register(PixFmtDescriptor(f"gray{d}be", 1, 0, 0,
+                              FLAG_PLANAR | FLAG_BE,
+                              (ComponentDesc(0, 2, 0, 0, d),)))
+register(PixFmtDescriptor("grayf32be", 1, 0, 0, FLAG_FLOAT | FLAG_BE,
+                          (ComponentDesc(0, 4, 0, 0, 32),)))
+register(PixFmtDescriptor("ya16le", 2, 0, 0, FLAG_ALPHA,
+                          (ComponentDesc(0, 4, 0, 0, 16),
+                           ComponentDesc(0, 4, 2, 0, 16))))
+register(PixFmtDescriptor("ya16be", 2, 0, 0, FLAG_ALPHA | FLAG_BE,
+                          (ComponentDesc(0, 4, 0, 0, 16),
+                           ComponentDesc(0, 4, 2, 0, 16))))
+
+# semiplanar remainder
+_semiplanar("nv42", 0, 0, swapped=True)
+_semiplanar("nv20le", 1, 0, depth=10)
+_semiplanar("p410le", 0, 0, depth=10, shift=6)
+_semiplanar("p412le", 0, 0, depth=12, shift=4)
+_semiplanar("p416le", 0, 0, depth=16)
+
+# packed 4:4:4 / alpha YUV
+register(PixFmtDescriptor("ayuv64le", 4, 0, 0, FLAG_ALPHA,
+                          (ComponentDesc(0, 8, 2, 0, 16),
+                           ComponentDesc(0, 8, 4, 0, 16),
+                           ComponentDesc(0, 8, 6, 0, 16),
+                           ComponentDesc(0, 8, 0, 0, 16))))
+register(PixFmtDescriptor("vuya", 4, 0, 0, FLAG_ALPHA,
+                          (ComponentDesc(0, 4, 2, 0, 8),
+                           ComponentDesc(0, 4, 1, 0, 8),
+                           ComponentDesc(0, 4, 0, 0, 8),
+                           ComponentDesc(0, 4, 3, 0, 8))))
+register(PixFmtDescriptor("uyyvyy411", 3, 2, 0, FLAG_BITSTREAM,
+                          (ComponentDesc(0, 6, 1, 0, 8),
+                           ComponentDesc(0, 6, 0, 0, 8),
+                           ComponentDesc(0, 6, 3, 0, 8))))
+register(PixFmtDescriptor("y210le", 3, 1, 0, 0,
+                          (ComponentDesc(0, 4, 0, 6, 10),
+                           ComponentDesc(0, 8, 2, 6, 10),
+                           ComponentDesc(0, 8, 6, 6, 10))))
+register(PixFmtDescriptor("y212le", 3, 1, 0, 0,
+                          (ComponentDesc(0, 4, 0, 4, 12),
+                           ComponentDesc(0, 8, 2, 4, 12),
+                           ComponentDesc(0, 8, 6, 4, 12))))
+register(PixFmtDescriptor("xv30le", 3, 0, 0, 0,
+                          (ComponentDesc(0, 4, 0, 10, 10),
+                           ComponentDesc(0, 4, 0, 0, 10),
+                           ComponentDesc(0, 4, 0, 20, 10))))
+register(PixFmtDescriptor("xv36le", 3, 0, 0, 0,
+                          (ComponentDesc(0, 8, 2, 4, 12),
+                           ComponentDesc(0, 8, 0, 4, 12),
+                           ComponentDesc(0, 8, 4, 4, 12))))
+
+# Bayer mosaics (FLAG_BAYER; single plane)
+for pat in ("bggr", "rggb", "gbrg", "grbg"):
+    register(PixFmtDescriptor(f"bayer_{pat}8", 3, 1, 1, FLAG_BAYER,
+                              (ComponentDesc(0, 1, 0, 0, 8),) * 3))
+    register(PixFmtDescriptor(f"bayer_{pat}16le", 3, 1, 1, FLAG_BAYER,
+                              (ComponentDesc(0, 2, 0, 0, 16),) * 3))
+    register(PixFmtDescriptor(f"bayer_{pat}16be", 3, 1, 1,
+                              FLAG_BAYER | FLAG_BE,
+                              (ComponentDesc(0, 2, 0, 0, 16),) * 3))
+
+# XYZ (DCI)
+register(PixFmtDescriptor("xyz12le", 3, 0, 0, FLAG_RGB,
+                          (ComponentDesc(0, 6, 0, 4, 12),
+                           ComponentDesc(0, 6, 2, 4, 12),
+                           ComponentDesc(0, 6, 4, 4, 12))))
+register(PixFmtDescriptor("xyz12be", 3, 0, 0, FLAG_RGB | FLAG_BE,
+                          (ComponentDesc(0, 6, 0, 4, 12),
+                           ComponentDesc(0, 6, 2, 4, 12),
+                           ComponentDesc(0, 6, 4, 4, 12))))
+
+_ALIASES.update({"yuv440p10": "yuv440p10le", "yuv440p12": "yuv440p12le",
+                 "ya16": "ya16le", "y210": "y210le", "y212": "y212le",
+                 "xv30": "xv30le", "xv36": "xv36le",
+                 "ayuv64": "ayuv64le", "nv20": "nv20le"})
+
+
 # --- colorspace / range enums (pixfmt.h AVColorSpace etc.) -------------------
 
 class ColorRange:

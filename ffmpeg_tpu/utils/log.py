@@ -65,7 +65,7 @@ def enable_report(path: str | None = None) -> None:
     """FFREPORT analog: tee all log lines to a file (cmdutils.c:516)."""
     global _report_file
     path = path or time.strftime("fftpu-%Y%m%d-%H%M%S.log")
-    _report_file = open(path, "a")
+    _report_file = open(path, "a", buffering=1)
 
 
 def log(ctx: object, level: int, msg: str) -> None:

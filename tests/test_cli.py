@@ -205,3 +205,20 @@ def test_cli_multi_output_and_map(tmp_path):
         subprocess.run([str(refutil.REF), "-v", "error", "-i", str(f),
                         "-f", "null", "-"], check=True,
                        capture_output=True)
+
+
+@requires_ref
+def test_progress_and_ffreport(y4m_clip, tmp_path, monkeypatch):
+    """-progress writes machine-readable blocks; FFREPORT tees a log
+    file (cmdutils.c FFREPORT / ffmpeg -progress analogs)."""
+    prog = tmp_path / "progress.txt"
+    report = tmp_path / "report.log"
+    monkeypatch.setenv("FFREPORT", f"file={report}")
+    out = tmp_path / "o.y4m"
+    rc = fftpu_main(["-i", str(y4m_clip), "-progress", str(prog),
+                     "-y", str(out)])
+    assert rc == 0
+    text = prog.read_text()
+    assert "progress=end" in text and "frame=" in text
+    assert report.exists()
+    assert "fftpu command line" in report.read_text()
