@@ -1,9 +1,16 @@
 """H.264/AVC decoder (reference: libavcodec/h264dec.c).
 
-Round-1 scope: CAVLC I slices (I_4x4 / I_16x16 / I_PCM), 4:2:0 8-bit,
-frame MBs, single slice group. The in-loop deblocking filter and
-P slices are the next increments (see PARITY.md). Host entropy decode →
-exact-integer reconstruction; residual batches shaped for TPU offload."""
+Scope: I/P/B frame pictures, CAVLC + CABAC, multiple reference frames
+with list modification and MMCO, weighted prediction (explicit and
+implicit), in-loop deblocking, error concealment. 4:2:0 8-bit,
+frame-MBs, single slice group; 8x8 transform/interlaced are the open
+gaps (see PARITY.md).
+
+Architecture: slice parsing on the host emits per-frame tensors
+(coefficients, modes, motion); reconstruction runs either as exact
+numpy (recon_host) or as ONE jitted device program per geometry
+(recon_tpu: batched IDCT, full-plane half-pel MC with per-pixel phase
+gathers, intra + deblock as wavefront scans) — byte-identical paths."""
 
 from __future__ import annotations
 
