@@ -69,6 +69,7 @@ class CliOptions:
     benchmark: bool = False
     bitexact: bool = False
     progress_url: Optional[str] = None
+    print_graphs_file: Optional[str] = None
 
 
 def parse_args(argv: List[str]) -> CliOptions:
@@ -177,6 +178,8 @@ def parse_args(argv: List[str]) -> CliOptions:
             o.benchmark = True
         elif a == "-progress":
             o.progress_url = take()
+        elif a == "-print_graphs_file":
+            o.print_graphs_file = take()
         elif a == "-fflags":
             v = take()
             if "bitexact" in v:
@@ -388,6 +391,9 @@ def transcode(o: CliOptions) -> None:
     for ch in chains:
         ch["out_idx"] = ch["out_st"].index
 
+    if o.print_graphs_file:
+        _print_graphs(o.print_graphs_file, demux, chains, muxes)
+
     start_us = inp.seek or 0
     if start_us and demux.streams and chains:
         # fast seek to the preceding keyframe; the timestamp filter below
@@ -554,6 +560,36 @@ def transcode(o: CliOptions) -> None:
         for mux in muxes:
             mux.close()
         demux.close()
+
+
+def _print_graphs(path: str, demux, chains, muxes) -> None:
+    """Dump the runtime pipeline graph (fftools/graph/graphprint.c
+    analog): inputs, per-stream chains (decoder/filtergraph/encoder or
+    copy), outputs — as JSON."""
+    import json
+    g = {"inputs": [{
+        "url": demux.url, "format": demux.name,
+        "streams": [{"index": st.index,
+                     "codec": st.codecpar.codec_id,
+                     "type": str(st.codecpar.codec_type)}
+                    for st in demux.streams]}],
+        "chains": [], "outputs": []}
+    for ch in chains:
+        g["chains"].append({
+            "input_stream": ch["in_st"].index,
+            "mode": "copy" if ch["copy"] else "transcode",
+            "filtergraph": None if ch["copy"]
+            else getattr(ch.get("graph"), "description",
+                         ch["out"].vf or ch["out"].af or "null"),
+            "encoder": None if ch["copy"] else ch.get("enc_name"),
+            "bsf": ch.get("bsf_spec"),
+            "output_url": ch["mux"].url,
+            "output_stream": ch["out_idx"]})
+    for m in muxes:
+        g["outputs"].append({"url": m.url, "format": m.name,
+                             "streams": len(m.streams)})
+    with open(path, "w") as f:
+        json.dump(g, f, indent=2)
 
 
 def _init_report(argv) -> Optional[object]:

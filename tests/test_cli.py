@@ -222,3 +222,18 @@ def test_progress_and_ffreport(y4m_clip, tmp_path, monkeypatch):
     assert "progress=end" in text and "frame=" in text
     assert report.exists()
     assert "fftpu command line" in report.read_text()
+
+
+@requires_ref
+def test_print_graphs_file(y4m_clip, tmp_path):
+    """-print_graphs_file dumps the pipeline DAG (graphprint.c analog)."""
+    import json
+    g = tmp_path / "graph.json"
+    out = tmp_path / "o.y4m"
+    rc = fftpu_main(["-i", str(y4m_clip), "-vf", "scale=64:48",
+                     "-print_graphs_file", str(g), "-y", str(out)])
+    assert rc == 0
+    doc = json.loads(g.read_text())
+    assert doc["inputs"][0]["format"] == "yuv4mpegpipe"
+    assert doc["chains"][0]["mode"] == "transcode"
+    assert doc["outputs"][0]["streams"] == 1
