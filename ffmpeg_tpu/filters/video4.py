@@ -290,3 +290,57 @@ class VideoNoiseFilter(Filter):
                     0, 255).astype(np.uint8)
             for p in frame.planes]
         return [out]
+
+
+@register_filter
+class BlendFilter(Filter):
+    """Blend two inputs per-pixel (vf_blend.c subset: all_mode with
+    all_opacity), inputs aligned by framesync."""
+
+    name = "blend"
+    n_inputs = 2
+    OPTIONS = (opt_str("all_mode", default="average"),
+               opt_float("all_opacity", default=1.0))
+
+    def __init__(self, args: str = "", **opts):
+        super().__init__(args, **opts)
+        from .framesync import FrameSync
+        self._fs = FrameSync(2)
+
+    def process(self, frame: Optional[Frame], pad: int = 0) -> List[Frame]:
+        self._fs.push(frame, pad)
+        out = []
+        for top, bottom in self._fs.events():
+            out.append(self._blend(top, bottom))
+        return out
+
+    def _blend(self, a: Frame, b: Frame) -> Frame:
+        mode = str(self.all_mode)
+        op = float(self.all_opacity)
+        out = a.clone_props()
+        planes = []
+        for pa, pb in zip(a.planes, b.planes):
+            x = np.asarray(pa).astype(np.float64)
+            y = np.asarray(pb).astype(np.float64)
+            if y.shape != x.shape:
+                y = np.broadcast_to(y[:x.shape[0], :x.shape[1]], x.shape)
+            if mode == "average":
+                v = (x + y) / 2
+            elif mode == "addition":
+                v = np.minimum(x + y, 255)
+            elif mode == "subtract":
+                v = np.maximum(x - y, 0)
+            elif mode == "lighten":
+                v = np.maximum(x, y)
+            elif mode == "darken":
+                v = np.minimum(x, y)
+            elif mode == "multiply":
+                v = x * y / 255
+            elif mode == "normal":
+                v = y
+            else:
+                raise InvalidData(f"blend: unknown mode {mode!r}")
+            v = x * (1 - op) + v * op
+            planes.append(np.clip(np.rint(v), 0, 255).astype(np.uint8))
+        out.planes = planes
+        return out

@@ -224,3 +224,44 @@ def test_aecho_adds_delayed_copy():
     y = np.asarray(out.planes[0]).ravel()
     assert abs(y[0] - 0.5) < 1e-4
     assert abs(y[800] - 0.25) < 1e-4
+
+
+def test_framesync_pairs_by_pts():
+    from ffmpeg_tpu.filters.framesync import FrameSync
+    from ffmpeg_tpu.utils.rational import Rational
+
+    def fr(pts):
+        f = _gray_frame(value=pts)
+        f.pts = pts
+        f.time_base = Rational(1, 10)
+        return f
+
+    fs = FrameSync(2)
+    # secondary at half the master rate: master pts 0..5, secondary 0,2,4
+    for p in (0, 2, 4):
+        fs.push(fr(p), 1)
+    fs.push(None, 1)
+    for p in range(6):
+        fs.push(fr(p), 0)
+    groups = fs.events()
+    assert len(groups) == 6
+    picked = [g[1].pts for g in groups]
+    assert picked == [0, 0, 2, 2, 4, 4]
+
+
+def test_blend_average():
+    import numpy as np
+    from ffmpeg_tpu.filters import get_filter
+    f = get_filter("blend")("all_mode=average")
+    a, b = _gray_frame(value=100), _gray_frame(value=200)
+    a.pts = b.pts = 0
+    assert f.process(a, 0) == []
+    f.process(b, 1)
+    f.process(None, 1)
+    out = f.process(None, 0)
+    # master frame was already queued; pull via a fresh event check
+    f2 = get_filter("blend")("all_mode=average")
+    f2.process(b, 1)
+    f2.process(None, 1)
+    (res,) = f2.process(a, 0)
+    assert abs(int(np.asarray(res.planes[0])[0, 0]) - 150) <= 1
