@@ -114,3 +114,50 @@ def test_png_encode_reference_decodable():
 def test_png_pal8_roundtrip():
     # palettized PNG synthesized by hand via our encoder? skip: decode-only
     pass
+
+
+@requires_ref
+def test_flac_encoder_lossless_roundtrip(tmp_path):
+    """Our FLAC encoder must be bit-lossless: the reference decodes our
+    stream back to the exact input samples (flacenc.c analog)."""
+    import subprocess
+    rng = np.random.default_rng(7)
+    n = 4096 * 2 + 777            # exercise a short final block
+    pcm = (rng.integers(-20000, 20000, (2, n))).astype(np.int16)
+    from ffmpeg_tpu.codecs import CodecContext
+    from ffmpeg_tpu.core.frame import Frame
+    from ffmpeg_tpu.io.stream import CodecParameters, MediaType
+    par = CodecParameters(codec_type=MediaType.AUDIO, codec_id="flac",
+                          sample_rate=44100)
+    enc = CodecContext.open_encoder(par)
+    f = Frame.audio(pcm, 44100, "s16p", "stereo", pts=0)
+    data = b""
+    enc.send_frame(f)
+    while True:
+        try:
+            data += enc.receive_packet().data
+        except Exception:
+            break
+    enc.send_frame(None)
+    while True:
+        try:
+            data += enc.receive_packet().data
+        except Exception:
+            break
+    p = tmp_path / "o.flac"
+    p.write_bytes(data)
+    raw = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-i", str(p),
+         "-f", "s16le", "-"], check=True, capture_output=True).stdout
+    got = np.frombuffer(raw, "<i2").reshape(-1, 2).T
+    np.testing.assert_array_equal(got, pcm)
+    # and our own decoder round-trips
+    dec = CodecContext.open_decoder(par)
+    from ffmpeg_tpu.io import open_input
+    d = open_input(str(p))
+    frames = dec.decode_all(d.packets())
+    ours = np.concatenate([np.asarray(fr.audio_data) for fr in frames],
+                          axis=1)
+    np.testing.assert_array_equal(
+        np.clip(np.rint(ours * 32768.0), -32768, 32767).astype(np.int16)
+        if ours.dtype.kind == "f" else ours.astype(np.int16), pcm)
