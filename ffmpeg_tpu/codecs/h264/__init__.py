@@ -111,7 +111,7 @@ class H264Decoder(Codec):
             s = parse_sps(rbsp)
             self.sps[s.sps_id] = s
         elif ntype == _nal.NAL_PPS:
-            p = parse_pps(rbsp)
+            p = parse_pps(rbsp, self.sps)
             self.pps[p.pps_id] = p
         return ntype, rbsp
 

@@ -92,11 +92,21 @@ def deblock_frame(dec, alpha_off=0, beta_off=0):
     def mv_far(a, b):
         return abs(a[0] - b[0]) >= 4 or abs(a[1] - b[1]) >= 4
 
+    # 8x8-transform MBs: a 4x4 cell is "coded" when its 8x8 block is
+    nnz_eff = dec.nnz_y.copy()
+    if dec.trans8.any():
+        g = dec.nnz_y.reshape(nmby * 2, 2, nmbx * 2, 2).max((1, 3))
+        t8c = np.repeat(np.repeat(dec.trans8, 2, 0), 2, 1)
+        g = np.where(t8c, g, 0)
+        nnz_eff = np.where(
+            np.repeat(np.repeat(t8c, 2, 0), 2, 1),
+            np.repeat(np.repeat(g, 2, 0), 2, 1), nnz_eff)
+
     def seg_bs(bxp, byp, bxq, byq, mb_edge):
         if dec.mb_intra[byp // 4, bxp // 4] or \
                 dec.mb_intra[byq // 4, bxq // 4]:
             return 4 if mb_edge else 3
-        if dec.nnz_y[byp, bxp] > 0 or dec.nnz_y[byq, bxq] > 0:
+        if nnz_eff[byp, bxp] > 0 or nnz_eff[byq, bxq] > 0:
             return 2
         # spec 8.7.2.1: compare by reference PICTURE, list-agnostic
         P = blk_motion(bxp, byp)
@@ -127,6 +137,8 @@ def deblock_frame(dec, alpha_off=0, beta_off=0):
             qp_cur = int(dec.mb_qp[mby, mbx])
             # ---- vertical edges (filter across columns) ----------------
             for e in range(4):
+                if e in (1, 3) and dec.trans8[mby, mbx]:
+                    continue           # 8x8 transform: no inner edges
                 x = mbx * 16 + e * 4
                 if e == 0:
                     if mbx == 0:
@@ -178,6 +190,8 @@ def deblock_frame(dec, alpha_off=0, beta_off=0):
                             plane[row, cxe] = nq0
             # ---- horizontal edges ---------------------------------------
             for e in range(4):
+                if e in (1, 3) and dec.trans8[mby, mbx]:
+                    continue           # 8x8 transform: no inner edges
                 y = mby * 16 + e * 4
                 if e == 0:
                     if mby == 0:

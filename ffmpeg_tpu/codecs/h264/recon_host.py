@@ -28,6 +28,31 @@ def _add_residual(plane, x, y, block):
     plane[y:y + 4, x:x + 4] = dst
 
 
+def _add_residual8(plane, x, y, block):
+    dst = plane[y:y + 8, x:x + 8].copy()
+    recon.idct8_add(dst, block.astype(np.int64))
+    plane[y:y + 8, x:x + 8] = dst
+
+
+_BLK8_XY = ((0, 0), (1, 0), (0, 1), (1, 1))
+
+
+def _luma_residual_mb(dec, mbx, mby):
+    """Add the luma residual of one MB (4x4 or 8x8 transform)."""
+    if dec.trans8[mby, mbx]:
+        for dx8, dy8 in _BLK8_XY:
+            bx8, by8 = mbx * 2 + dx8, mby * 2 + dy8
+            blk = dec.coeff8_y[by8, bx8]
+            if blk.any():
+                _add_residual8(dec.y, bx8 * 8, by8 * 8, blk)
+        return
+    bx, by = mbx * 4, mby * 4
+    for sy in range(4):
+        for sx in range(4):
+            _add_residual(dec.y, (bx + sx) * 4, (by + sy) * 4,
+                          dec.coeff_y[by + sy, bx + sx])
+
+
 def build_weight_arrays(dec, sh):
     """Per-4x4 prediction weights/offsets/denoms resolved from the
     slice's pred_weight_table or the implicit-bipred POC derivation
@@ -146,10 +171,7 @@ def _recon_inter_mb(dec, mbx, mby, list0, list1):
             dec.u[cy:cy + 2, cx:cx + 2] = out[1]
             dec.v[cy:cy + 2, cx:cx + 2] = out[2]
     # luma residual
-    for sy in range(4):
-        for sx in range(4):
-            _add_residual(dec.y, (bx + sx) * 4, (by + sy) * 4,
-                          dec.coeff_y[by + sy, bx + sx])
+    _luma_residual_mb(dec, mbx, mby)
     # chroma residual
     for pl, co in ((dec.u, dec.coeff_u), (dec.v, dec.coeff_v)):
         for dy in range(2):
@@ -163,6 +185,22 @@ def _recon_intra_mb(dec, mbx, mby):
     x0, y0 = mbx * 16, mby * 16
     i16 = int(dec.i16_mode[mby, mbx])
     avail_l, avail_t = (bool(f) for f in dec.mb_nbr_avail[mby, mbx])
+    if dec.trans8[mby, mbx]:
+        for dx8, dy8 in _BLK8_XY:
+            bx8, by8 = mbx * 2 + dx8, mby * 2 + dy8
+            px, py = bx8 * 8, by8 * 8
+            al, at, atr, atl = (bool(f)
+                                for f in dec.blk8_avail[by8, bx8])
+            pred = recon.pred8x8(dec.y, px, py,
+                                 int(dec.i8_pred[by8, bx8]),
+                                 al, at, atr, atl)
+            dec.y[py:py + 8, px:px + 8] = \
+                np.clip(pred, 0, 255).astype(np.uint8)
+            blk = dec.coeff8_y[by8, bx8]
+            if blk.any():
+                _add_residual8(dec.y, px, py, blk)
+        _recon_intra_chroma(dec, mbx, mby, avail_l, avail_t)
+        return
     if i16 >= 0:
         pred = recon.pred16x16(dec.y, x0, y0, i16, avail_l, avail_t)
         dec.y[y0:y0 + 16, x0:x0 + 16] = \
@@ -182,7 +220,10 @@ def _recon_intra_mb(dec, mbx, mby):
             dec.y[py:py + 4, px:px + 4] = \
                 np.clip(pred, 0, 255).astype(np.uint8)
             _add_residual(dec.y, px, py, dec.coeff_y[by4, bx4])
-    # chroma
+    _recon_intra_chroma(dec, mbx, mby, avail_l, avail_t)
+
+
+def _recon_intra_chroma(dec, mbx, mby, avail_l, avail_t):
     cmode = int(dec.chroma_imode[mby, mbx])
     cx0, cy0 = mbx * 8, mby * 8
     for pl, co in ((dec.u, dec.coeff_u), (dec.v, dec.coeff_v)):

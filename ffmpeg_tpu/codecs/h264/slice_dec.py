@@ -172,6 +172,11 @@ class SliceDecoder:
         self.coeff_v = np.zeros((nmby * 2, nmbx * 2, 16), np.int32)
         self.i4_pred = np.full((nmby * 4, nmbx * 4), -1, np.int32)
         self.i16_mode = np.full((nmby, nmbx), -1, np.int32)
+        # 8x8 transform state (High profile)
+        self.coeff8_y = np.zeros((nmby * 2, nmbx * 2, 64), np.int32)
+        self.trans8 = np.zeros((nmby, nmbx), bool)
+        self.i8_pred = np.full((nmby * 2, nmbx * 2), -1, np.int32)
+        self.blk8_avail = np.zeros((nmby * 2, nmbx * 2, 4), bool)
         self.chroma_imode = np.zeros((nmby, nmbx), np.int32)
         self.is_pcm = np.zeros((nmby, nmbx), bool)
         self.pcm = {}                 # mb addr -> (y16x16, u8x8, v8x8)
@@ -437,21 +442,14 @@ class SliceDecoder:
             raise InvalidData("h264: bad cbp")
         cbp = T.GOLOMB_TO_INTER_CBP[cbp_code]
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        trans8 = False
+        if self.pps.transform_8x8_mode and cbp_luma and \
+                (mb_type != 0 or self.sps.direct_8x8_inference):
+            trans8 = bool(b.get1())
         if cbp:
             qp = (qp + b.se() + 52) % 52
         self.mb_qp[mby, mbx] = qp
-        for blk in range(16):
-            dx, dy = _BLK_XY[blk]
-            bx4, by4 = bx + dx, by + dy
-            if not (cbp_luma & (1 << (blk >> 2))):
-                self.nnz_y[by4, bx4] = 0
-                continue
-            nc = self._pred_nnz(self.nnz_y, bx4, by4)
-            lv, total = decode_residual(b, 16, nc)
-            self.nnz_y[by4, bx4] = total
-            raster = np.zeros(16, np.int64)
-            raster[recon.ZIGZAG4] = lv
-            self.coeff_y[by4, bx4] = recon.dequant4(raster, qp)
+        self._inter_luma_residual(b, mbx, mby, qp, cbp_luma, trans8)
         self._decode_chroma_inter(b, mbx, mby, qp, cbp_chroma)
         return qp
 
@@ -560,9 +558,32 @@ class SliceDecoder:
             raise InvalidData("h264: bad cbp")
         cbp = T.GOLOMB_TO_INTER_CBP[cbp_code]
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        trans8 = False
+        if self.pps.transform_8x8_mode and cbp_luma and \
+                (mb_type in (0, 1, 2)
+                 or all(st == 0 for st in subs)):
+            trans8 = bool(b.get1())
         if cbp:
             qp = (qp + b.se() + 52) % 52
         self.mb_qp[mby, mbx] = qp
+        self._inter_luma_residual(b, mbx, mby, qp, cbp_luma, trans8)
+        self._decode_chroma_inter(b, mbx, mby, qp, cbp_chroma)
+        return qp
+
+    def _inter_luma_residual(self, b, mbx, mby, qp, cbp_luma, trans8):
+        bx, by = mbx * 4, mby * 4
+        if trans8:
+            self.trans8[mby, mbx] = True
+            for blk8 in range(4):
+                dx8, dy8 = self._BLK8_XY[blk8]
+                if cbp_luma & (1 << blk8):
+                    self._read_luma8_residual(b, mbx, mby, blk8, qp,
+                                              False)
+                else:
+                    self.nnz_y[by + dy8 * 2:by + dy8 * 2 + 2,
+                               bx + dx8 * 2:bx + dx8 * 2 + 2] = 0
+            return
+        w4 = self.pps.scaling4[3]
         for blk in range(16):
             dx, dy = _BLK_XY[blk]
             bx4, by4 = bx + dx, by + dy
@@ -574,27 +595,26 @@ class SliceDecoder:
             self.nnz_y[by4, bx4] = total
             raster = np.zeros(16, np.int64)
             raster[recon.ZIGZAG4] = lv
-            self.coeff_y[by4, bx4] = recon.dequant4(raster, qp)
-        self._decode_chroma_inter(b, mbx, mby, qp, cbp_chroma)
-        return qp
+            self.coeff_y[by4, bx4] = recon.dequant4(raster, qp, w4)
 
     def _decode_chroma_inter(self, b, mbx, mby, qp, cbp_chroma):
         qpc = T.CHROMA_QP_8BIT[
             max(0, min(51, qp + self.pps.chroma_qp_index_offset))]
         qpc2 = T.CHROMA_QP_8BIT[
             max(0, min(51, qp + self.pps.second_chroma_qp_index_offset))]
-        comps = ((self.coeff_u, self.nnz_u, qpc),
-                 (self.coeff_v, self.nnz_v, qpc2))
+        s4 = self.pps.scaling4
+        comps = ((self.coeff_u, self.nnz_u, qpc, s4[4]),
+                 (self.coeff_v, self.nnz_v, qpc2, s4[5]))
         dcs = []
-        for _co, _nnz, qpc_used in comps:
+        for _co, _nnz, qpc_used, w in comps:
             dc = np.zeros((2, 2), np.int64)
             if cbp_chroma:
                 lv, _ = decode_residual(b, 4, -1)
                 dc = recon.chroma_dc_transform(
-                    np.array(lv[:4], np.int64), qpc_used)
+                    np.array(lv[:4], np.int64), qpc_used, w[0])
             dcs.append(dc)
         acs_all = []
-        for _co, nnz, _q in comps:
+        for _co, nnz, _q, _w in comps:
             acs = []
             for blk in range(4):
                 dx, dy = blk & 1, blk >> 1
@@ -611,10 +631,10 @@ class SliceDecoder:
             acs_all.append(acs)
         if not cbp_chroma:
             return
-        for ci, (coeff, _nnz, qpc_used) in enumerate(comps):
+        for ci, (coeff, _nnz, qpc_used, w) in enumerate(comps):
             for blk in range(4):
                 dx, dy = blk & 1, blk >> 1
-                block = recon.dequant4(acs_all[ci][blk], qpc_used)
+                block = recon.dequant4(acs_all[ci][blk], qpc_used, w)
                 block[0] = dcs[ci][dy, dx]
                 coeff[mby * 2 + dy, mbx * 2 + dx] = block
 
@@ -664,6 +684,10 @@ class SliceDecoder:
             self.mb_qp[mby, mbx] = 0
             return qp
 
+        if mb_type == 0 and self.pps.transform_8x8_mode and b.get1():
+            # I_NxN with transform_size_8x8_flag == 1: Intra_8x8
+            return self._decode_i8x8(b, mbx, mby, qp)
+
         if mb_type == 0:
             # I_NxN: 16 prediction modes (spec 8.3.1.1: unavailable
             # neighbour -> DC; non-I4x4 neighbours stored as mode 2)
@@ -712,7 +736,8 @@ class SliceDecoder:
                     self.nnz_y[by4, bx4] = total
                     raster = np.zeros(16, np.int64)
                     raster[recon.ZIGZAG4] = lv
-                    self.coeff_y[by4, bx4] = recon.dequant4(raster, qp)
+                    self.coeff_y[by4, bx4] = recon.dequant4(
+                        raster, qp, self.pps.scaling4[0])
                 else:
                     self.nnz_y[by4, bx4] = 0
                 self.blk_done[by4, bx4] = True
@@ -736,7 +761,8 @@ class SliceDecoder:
         dc_lv, _dc_total = decode_residual(b, 16, nc)
         dc_raster = np.zeros(16, np.int64)
         dc_raster[recon.ZIGZAG4] = dc_lv
-        dc = recon.luma_dc_transform(dc_raster, qp)
+        dc = recon.luma_dc_transform(dc_raster, qp,
+                                     self.pps.scaling4[0][0])
 
         for blk in range(16):
             dx, dy = _BLK_XY[blk]
@@ -749,10 +775,98 @@ class SliceDecoder:
                 raster[recon.ZIGZAG4[1:]] = lv
             else:
                 self.nnz_y[by4, bx4] = 0
-            block = recon.dequant4(raster, qp)
+            block = recon.dequant4(raster, qp, self.pps.scaling4[0])
             block[0] = dc[dy, dx]
             self.coeff_y[by4, bx4] = block
         self.blk_done[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = True
+        self._decode_chroma(b, mbx, mby, qp, chroma_mode, cbp_chroma,
+                            avail_l, avail_t)
+        return qp
+
+    # zscan order of 8x8 blocks inside an MB
+    _BLK8_XY = ((0, 0), (1, 0), (0, 1), (1, 1))
+
+    def _read_i8_modes(self, b, mbx, mby):
+        """The four Intra_8x8 prediction modes (prev/rem scheme; the
+        context comes from the covering 4x4 mode cells)."""
+        modes = []
+        for dx8, dy8 in self._BLK8_XY:
+            bx4, by4 = mbx * 4 + dx8 * 2, mby * 4 + dy8 * 2
+            la = self._nbr_avail(bx4 - 1, by4, mbx, mby)
+            ta = self._nbr_avail(bx4, by4 - 1, mbx, mby)
+            if not la or not ta:
+                pred = 2
+            else:
+                lm = int(self.intra4x4_modes[by4, bx4 - 1])
+                tm = int(self.intra4x4_modes[by4 - 1, bx4])
+                pred = min(lm if lm >= 0 else 2, tm if tm >= 0 else 2)
+            if b.get1():
+                mode = pred
+            else:
+                rem = b.get(3)
+                mode = rem if rem < pred else rem + 1
+            modes.append(mode)
+            self.intra4x4_modes[by4:by4 + 2, bx4:bx4 + 2] = mode
+        return modes
+
+    def _record_blk8(self, mbx, mby, blk8, mode):
+        """Availability flags + bookkeeping for one intra 8x8 block."""
+        dx8, dy8 = self._BLK8_XY[blk8]
+        bx8, by8 = mbx * 2 + dx8, mby * 2 + dy8
+        bx4, by4 = bx8 * 2, by8 * 2
+        self.blk8_avail[by8, bx8] = (
+            self._blk_done_at(bx4 - 1, by4),
+            self._blk_done_at(bx4, by4 - 1),
+            self._blk_done_at(bx4 + 2, by4 - 1),
+            self._blk_done_at(bx4 - 1, by4 - 1))
+        self.i8_pred[by8, bx8] = mode
+        self.blk_done[by4:by4 + 2, bx4:bx4 + 2] = True
+        return bx8, by8
+
+    def _read_luma8_residual(self, b, mbx, mby, blk8, qp, intra):
+        """CAVLC 8x8 luma residual: four interleaved 4x4 scans
+        (coefficient 4*i+n of the 8x8 zigzag lives in sub-block n at
+        scan position i — spec 7.4.5.3.3 / h264_cavlc.c)."""
+        from .params import ZZ8
+        dx8, dy8 = self._BLK8_XY[blk8]
+        bx8, by8 = mbx * 2 + dx8, mby * 2 + dy8
+        lv64 = np.zeros(64, np.int64)
+        for n in range(4):
+            bx4 = mbx * 4 + dx8 * 2 + (n & 1)
+            by4 = mby * 4 + dy8 * 2 + (n >> 1)
+            nc = self._pred_nnz(self.nnz_y, bx4, by4)
+            lv, total = decode_residual(b, 16, nc)
+            self.nnz_y[by4, bx4] = total
+            for i in range(16):
+                lv64[ZZ8[4 * i + n]] = lv[i]
+        w8 = self.pps.scaling8[0 if intra else 1]
+        self.coeff8_y[by8, bx8] = recon.dequant8(lv64, qp, w8)
+
+    def _decode_i8x8(self, b: Bits, mbx: int, mby: int, qp: int) -> int:
+        """Intra_8x8 macroblock (CAVLC)."""
+        self.trans8[mby, mbx] = True
+        self.mb_intra[mby, mbx] = True
+        self.mb_16x16[mby, mbx] = True
+        modes = self._read_i8_modes(b, mbx, mby)
+        chroma_mode = b.ue()
+        cbp_code = b.ue()
+        if cbp_code > 47:
+            raise InvalidData("h264: bad cbp")
+        cbp = T.GOLOMB_TO_INTRA4X4_CBP[cbp_code]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = (qp + b.se() + 52) % 52
+        self.mb_qp[mby, mbx] = qp
+        for blk8 in range(4):
+            self._record_blk8(mbx, mby, blk8, modes[blk8])
+            dx8, dy8 = self._BLK8_XY[blk8]
+            if cbp_luma & (1 << blk8):
+                self._read_luma8_residual(b, mbx, mby, blk8, qp, True)
+            else:
+                self.nnz_y[mby * 4 + dy8 * 2:mby * 4 + dy8 * 2 + 2,
+                           mbx * 4 + dx8 * 2:mbx * 4 + dx8 * 2 + 2] = 0
+        avail_l = self._avail(mbx, mby, -1, 0)
+        avail_t = self._avail(mbx, mby, 0, -1)
         self._decode_chroma(b, mbx, mby, qp, chroma_mode, cbp_chroma,
                             avail_l, avail_t)
         return qp
@@ -765,20 +879,21 @@ class SliceDecoder:
             max(0, min(51, qp + self.pps.second_chroma_qp_index_offset))]
         self.chroma_imode[mby, mbx] = chroma_mode
         self.mb_nbr_avail[mby, mbx] = (avail_l, avail_t)
-        comps = ((self.coeff_u, self.nnz_u, qpc),
-                 (self.coeff_v, self.nnz_v, qpc2))
+        s4 = self.pps.scaling4
+        comps = ((self.coeff_u, self.nnz_u, qpc, s4[1]),
+                 (self.coeff_v, self.nnz_v, qpc2, s4[2]))
         # bitstream order: both components' DC blocks, then all AC blocks
         dcs = []
-        for _co, _nnz, qpc_used in comps:
+        for _co, _nnz, qpc_used, w in comps:
             dc = np.zeros((2, 2), np.int64)
             if cbp_chroma:
                 lv, _ = decode_residual(b, 4, -1)
                 dc = recon.chroma_dc_transform(
                     np.array([lv[0], lv[1], lv[2], lv[3]], np.int64),
-                    qpc_used)
+                    qpc_used, w[0])
             dcs.append(dc)
         acs_all = []
-        for _co, nnz, _qpc_used in comps:
+        for _co, nnz, _qpc_used, _w in comps:
             acs = []
             for blk in range(4):
                 dx, dy = blk & 1, blk >> 1
@@ -793,10 +908,10 @@ class SliceDecoder:
                     nnz[mby * 2 + dy, mbx * 2 + dx] = 0
                 acs.append(raster)
             acs_all.append(acs)
-        for ci, (coeff, _nnz, qpc_used) in enumerate(comps):
+        for ci, (coeff, _nnz, qpc_used, w) in enumerate(comps):
             for blk in range(4):
                 dx, dy = blk & 1, blk >> 1
-                block = recon.dequant4(acs_all[ci][blk], qpc_used)
+                block = recon.dequant4(acs_all[ci][blk], qpc_used, w)
                 block[0] = dcs[ci][dy, dx]
                 coeff[mby * 2 + dy, mbx * 2 + dx] = block
 
