@@ -21,11 +21,29 @@ from .cabac_tables import CONTEXT_INIT_I, CONTEXT_INIT_PB
 from .slice_dec import _BLK_XY, SliceDecoder
 
 # residual categories: 0 luma DC, 1 luma AC, 2 luma 4x4, 3 chroma DC,
-# 4 chroma AC  — context base offsets (frame coding)
+# 4 chroma AC, 5 luma 8x8 — context base offsets (frame coding).
+# Cat 5 has no coded_block_flag (inferred from cbp, spec 9.3.3.1.1.9)
+# and its sig/last contexts are position-class maps (Table 9-43).
 _CBF_BASE = [85, 89, 93, 97, 101]
-_SIG_BASE = [105, 105 + 15, 105 + 29, 105 + 44, 105 + 47]
-_LAST_BASE = [166, 166 + 15, 166 + 29, 166 + 44, 166 + 47]
-_ABS_BASE = [227, 227 + 10, 227 + 20, 227 + 30, 227 + 39]
+_SIG_BASE = [105, 105 + 15, 105 + 29, 105 + 44, 105 + 47, 402]
+_LAST_BASE = [166, 166 + 15, 166 + 29, 166 + 44, 166 + 47, 417]
+_ABS_BASE = [227, 227 + 10, 227 + 20, 227 + 30, 227 + 39, 426]
+# scan position -> ctx increment for the 8x8 significance map
+# (frame-coded; spec Table 9-43 / h264_cabac.c sig/last offset tables)
+_SIG8 = [0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+         4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+         7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+         12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12]
+_LAST8 = [0] + [1] * 15 + [2] * 16 + [3] * 8 + [4] * 8 + [5] * 4 + \
+    [6] * 4 + [7] * 4 + [8] * 3
+
+
+def _sig_ctx(cat, pos):
+    return _SIG_BASE[cat] + (_SIG8[pos] if cat == 5 else pos)
+
+
+def _last_ctx(cat, pos):
+    return _LAST_BASE[cat] + (_LAST8[pos] if cat == 5 else pos)
 _LEVEL1_CTX = [1, 2, 3, 4, 0, 0, 0, 0]
 _LEVELGT1_CTX = [5, 5, 5, 5, 6, 7, 8, 9]
 _LEVEL_TRANS = [[1, 2, 3, 3, 4, 5, 6, 7], [4, 4, 4, 4, 5, 6, 7, 7]]
@@ -265,6 +283,16 @@ class CabacSliceCoder:
             return 2
         return 3
 
+    def transform_size_8x8_flag(self, mbx, mby, v=None):
+        """ctx 399 + left/top MB 8x8-transform flags (spec 9.3.3.1.1.10;
+        h264_cabac.c decode_cabac_mb_transform_size)."""
+        ctx = 399
+        if self._mb_ok(mbx - 1, mby) and self.dec.trans8[mby, mbx - 1]:
+            ctx += 1
+        if self._mb_ok(mbx, mby - 1) and self.dec.trans8[mby - 1, mbx]:
+            ctx += 1
+        return self.io.dec(self.ctx[ctx], v)
+
     def cbp(self, mbx, mby, intra, v=None):
         cbp_a = self._nbr_cbp(mbx - 1, mby, intra)
         cbp_b = self._nbr_cbp(mbx, mby - 1, intra)
@@ -433,19 +461,21 @@ class CabacSliceCoder:
         """Decode (levels None) or encode one residual block. Returns
         (levels list in scan order, total)."""
         io = self.io
-        cbf_ctx = self.ctx[self._cbf_ctx(cat, mbx, mby, bx, by, intra)]
+        cbf_ctx = None if cat == 5 else \
+            self.ctx[self._cbf_ctx(cat, mbx, mby, bx, by, intra)]
         if levels is not None:
             nz = [(i, lv) for i, lv in enumerate(levels) if lv]
-            io.dec(cbf_ctx, 1 if nz else 0)
-            if not nz:
-                return levels, 0
+            if cat != 5:
+                io.dec(cbf_ctx, 1 if nz else 0)
+                if not nz:
+                    return levels, 0
             # significance map
             for pos in range(n_coeffs - 1):
                 sig = any(i == pos for i, _ in nz)
-                io.dec(self.ctx[_SIG_BASE[cat] + pos], 1 if sig else 0)
+                io.dec(self.ctx[_sig_ctx(cat, pos)], 1 if sig else 0)
                 if sig:
                     last = nz[-1][0] == pos
-                    io.dec(self.ctx[_LAST_BASE[cat] + pos],
+                    io.dec(self.ctx[_last_ctx(cat, pos)],
                            1 if last else 0)
                     if last:
                         break
@@ -480,14 +510,14 @@ class CabacSliceCoder:
 
         # ---- decode ----
         out = [0] * n_coeffs
-        if not io.dec(cbf_ctx):
+        if cat != 5 and not io.dec(cbf_ctx):
             return out, 0
         index = []
         last = 0
         while last < n_coeffs - 1:
-            if io.dec(self.ctx[_SIG_BASE[cat] + last]):
+            if io.dec(self.ctx[_sig_ctx(cat, last)]):
                 index.append(last)
-                if io.dec(self.ctx[_LAST_BASE[cat] + last]):
+                if io.dec(self.ctx[_last_ctx(cat, last)]):
                     last = n_coeffs
                     break
             last += 1
@@ -580,6 +610,44 @@ def _decode_mb_cabac(dec, sc, mbx, mby, qp, is_p, is_b=False):
                                   intra_slice=True)
 
 
+def _luma_residual_cabac(dec, sc, mbx, mby, qp, cbp_luma, trans8, intra):
+    """Luma residual blocks of one MB: a single cat-5 block per coded
+    8x8 when trans8, else sixteen cat-1/2 4x4 blocks. The 4x4 nnz cells
+    of a coded 8x8 are set to 1 so later cbf contexts and deblocking see
+    the covering block as coded (spec 9.3.3.1.1.9 neighbour inference;
+    h264.h nnz cache fill for CABAC 8x8 MBs)."""
+    from .params import ZZ8
+    bx, by = mbx * 4, mby * 4
+    if trans8:
+        dec.trans8[mby, mbx] = True
+        w8 = dec.pps.scaling8[0 if intra else 1]
+        for blk8 in range(4):
+            dx8, dy8 = dec._BLK8_XY[blk8]
+            x4, y4 = bx + dx8 * 2, by + dy8 * 2
+            if cbp_luma & (1 << blk8):
+                lv, _total = sc.residual(5, mbx, mby, x4, y4, 64, intra)
+                lv64 = np.zeros(64, np.int64)
+                lv64[ZZ8] = lv
+                dec.coeff8_y[mby * 2 + dy8, mbx * 2 + dx8] = \
+                    recon.dequant8(lv64, qp, w8)
+                dec.nnz_y[y4:y4 + 2, x4:x4 + 2] = 1
+            else:
+                dec.nnz_y[y4:y4 + 2, x4:x4 + 2] = 0
+        return
+    w4 = dec.pps.scaling4[0 if intra else 3]
+    for blk in range(16):
+        dxb, dyb = _BLK_XY[blk]
+        bx4, by4 = bx + dxb, by + dyb
+        if not (cbp_luma & (1 << (blk >> 2))):
+            dec.nnz_y[by4, bx4] = 0
+            continue
+        lv, total = sc.residual(2, mbx, mby, bx4, by4, 16, intra)
+        dec.nnz_y[by4, bx4] = total
+        raster = np.zeros(16, np.int64)
+        raster[recon.ZIGZAG4] = lv
+        dec.coeff_y[by4, bx4] = recon.dequant4(raster, qp, w4)
+
+
 def _decode_mb_cabac_b(dec, sc, mbx, mby, qp, mb_type):
     bx, by = mbx * 4, mby * 4
     sc._cur_comp = 0
@@ -630,22 +698,16 @@ def _decode_mb_cabac_b(dec, sc, mbx, mby, qp, mb_type):
                            bx + px:bx + px + w4] = 2
     cbp = sc.cbp(mbx, mby, False)
     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    trans8 = False
+    if dec.pps.transform_8x8_mode and cbp_luma and \
+            (mb_type != 0 or dec.sps.direct_8x8_inference):
+        trans8 = bool(sc.transform_size_8x8_flag(mbx, mby))
     if cbp:
         qp = (qp + sc.mb_qp_delta() + 52) % 52
     else:
         sc.last_dqp = 0
     dec.mb_qp[mby, mbx] = qp
-    for blk in range(16):
-        dxb, dyb = _BLK_XY[blk]
-        bx4, by4 = bx + dxb, by + dyb
-        if not (cbp_luma & (1 << (blk >> 2))):
-            dec.nnz_y[by4, bx4] = 0
-            continue
-        lv, total = sc.residual(2, mbx, mby, bx4, by4, 16, False)
-        dec.nnz_y[by4, bx4] = total
-        raster = np.zeros(16, np.int64)
-        raster[recon.ZIGZAG4] = lv
-        dec.coeff_y[by4, bx4] = recon.dequant4(raster, qp)
+    _luma_residual_cabac(dec, sc, mbx, mby, qp, cbp_luma, trans8, False)
     cbp_entry = _decode_chroma_cabac(dec, sc, mbx, mby, qp, 0, cbp_chroma,
                                      False, False, cbp, intra=False)
     sc.cbp_tab[mby, mbx] = cbp_entry
@@ -663,22 +725,46 @@ def _decode_mb_cabac_intra(dec, sc, mbx, mby, qp, t, intra_slice):
     sc.i4x4_tab[mby, mbx] = not is16
     sc._cur_comp = 0
 
+    trans8 = False
     if not is16:
+        if dec.pps.transform_8x8_mode:
+            trans8 = bool(sc.transform_size_8x8_flag(mbx, mby))
         modes = []
-        for blk in range(16):
-            dxb, dyb = _BLK_XY[blk]
-            bxx, byy = bx + dxb, by + dyb
-            la = dec._nbr_avail(bxx - 1, byy, mbx, mby)
-            ta = dec._nbr_avail(bxx, byy - 1, mbx, mby)
-            if not la or not ta:
-                pred = 2
-            else:
-                lm = int(dec.intra4x4_modes[byy, bxx - 1])
-                tm = int(dec.intra4x4_modes[byy - 1, bxx])
-                pred = min(lm if lm >= 0 else 2, tm if tm >= 0 else 2)
-            mode = sc.intra4x4_mode(pred)
-            modes.append(mode)
-            dec.intra4x4_modes[byy, bxx] = mode
+        if trans8:
+            # Intra_8x8: four modes, prev/rem shares the intra4x4
+            # contexts; context cells are the covering 4x4 modes
+            dec.trans8[mby, mbx] = True
+            dec.mb_16x16[mby, mbx] = True
+            for dx8, dy8 in dec._BLK8_XY:
+                bxx, byy = bx + dx8 * 2, by + dy8 * 2
+                la = dec._nbr_avail(bxx - 1, byy, mbx, mby)
+                ta = dec._nbr_avail(bxx, byy - 1, mbx, mby)
+                if not la or not ta:
+                    pred = 2
+                else:
+                    lm = int(dec.intra4x4_modes[byy, bxx - 1])
+                    tm = int(dec.intra4x4_modes[byy - 1, bxx])
+                    pred = min(lm if lm >= 0 else 2,
+                               tm if tm >= 0 else 2)
+                mode = sc.intra4x4_mode(pred)
+                modes.append(mode)
+                dec.intra4x4_modes[byy:byy + 2, bxx:bxx + 2] = mode
+        else:
+            for blk in range(16):
+                dxb, dyb = _BLK_XY[blk]
+                bxx, byy = bx + dxb, by + dyb
+                la = dec._nbr_avail(bxx - 1, byy, mbx, mby)
+                ta = dec._nbr_avail(bxx, byy - 1, mbx, mby)
+                if not la or not ta:
+                    pred = 2
+                else:
+                    lm = int(dec.intra4x4_modes[byy, bxx - 1])
+                    tm = int(dec.intra4x4_modes[byy - 1, bxx])
+                    pred = min(lm if lm >= 0 else 2,
+                               tm if tm >= 0 else 2)
+                mode = sc.intra4x4_mode(pred)
+                modes.append(mode)
+                dec.intra4x4_modes[byy, bxx] = mode
         chroma_mode = sc.chroma_pred_mode(mbx, mby)
         cbp = sc.cbp(mbx, mby, True)
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
@@ -694,6 +780,7 @@ def _decode_mb_cabac_intra(dec, sc, mbx, mby, qp, t, intra_slice):
     dec.mb_qp[mby, mbx] = qp
     cbp_entry = cbp_luma | (cbp_chroma << 4)
 
+    s4 = dec.pps.scaling4
     if is16:
         dec.i16_mode[mby, mbx] = pred16
         dc_lv, dc_total = sc.residual(0, mbx, mby, 0, 0, 16, True)
@@ -701,7 +788,7 @@ def _decode_mb_cabac_intra(dec, sc, mbx, mby, qp, t, intra_slice):
             cbp_entry |= 0x100
         dc_raster = np.zeros(16, np.int64)
         dc_raster[recon.ZIGZAG4] = dc_lv
-        dcs = recon.luma_dc_transform(dc_raster, qp)
+        dcs = recon.luma_dc_transform(dc_raster, qp, s4[0][0])
         for blk in range(16):
             dxb, dyb = _BLK_XY[blk]
             bx4, by4 = bx + dxb, by + dyb
@@ -712,10 +799,14 @@ def _decode_mb_cabac_intra(dec, sc, mbx, mby, qp, t, intra_slice):
                 raster[recon.ZIGZAG4[1:]] = lv
             else:
                 dec.nnz_y[by4, bx4] = 0
-            block = recon.dequant4(raster, qp)
+            block = recon.dequant4(raster, qp, s4[0])
             block[0] = dcs[dyb, dxb]
             dec.coeff_y[by4, bx4] = block
         dec.blk_done[by:by + 4, bx:bx + 4] = True
+    elif trans8:
+        for blk8 in range(4):
+            dec._record_blk8(mbx, mby, blk8, modes[blk8])
+        _luma_residual_cabac(dec, sc, mbx, mby, qp, cbp_luma, True, True)
     else:
         for blk in range(16):
             dxb, dyb = _BLK_XY[blk]
@@ -731,7 +822,7 @@ def _decode_mb_cabac_intra(dec, sc, mbx, mby, qp, t, intra_slice):
                 dec.nnz_y[by4, bx4] = total
                 raster = np.zeros(16, np.int64)
                 raster[recon.ZIGZAG4] = lv
-                dec.coeff_y[by4, bx4] = recon.dequant4(raster, qp)
+                dec.coeff_y[by4, bx4] = recon.dequant4(raster, qp, s4[0])
             else:
                 dec.nnz_y[by4, bx4] = 0
             dec.blk_done[by4, bx4] = True
@@ -744,7 +835,6 @@ def _decode_mb_cabac_intra(dec, sc, mbx, mby, qp, t, intra_slice):
 
 
 def _decode_mb_cabac_p(dec, sc, mbx, mby, qp, mb_type):
-    from .slice_dec import _BLK_XY as BLK
     bx, by = mbx * 4, mby * 4
     sc._cur_comp = 0
     nref = dec.num_ref[0]
@@ -780,22 +870,16 @@ def _decode_mb_cabac_p(dec, sc, mbx, mby, qp, mb_type):
         dec._store_mv(pbx, pby, w4, h4, mv, 0, ref)
     cbp = sc.cbp(mbx, mby, False)
     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    trans8 = False
+    if dec.pps.transform_8x8_mode and cbp_luma and \
+            (mb_type in (0, 1, 2) or all(st == 0 for st in subs)):
+        trans8 = bool(sc.transform_size_8x8_flag(mbx, mby))
     if cbp:
         qp = (qp + sc.mb_qp_delta() + 52) % 52
     else:
         sc.last_dqp = 0
     dec.mb_qp[mby, mbx] = qp
-    for blk in range(16):
-        dxb, dyb = BLK[blk]
-        bx4, by4 = bx + dxb, by + dyb
-        if not (cbp_luma & (1 << (blk >> 2))):
-            dec.nnz_y[by4, bx4] = 0
-            continue
-        lv, total = sc.residual(2, mbx, mby, bx4, by4, 16, False)
-        dec.nnz_y[by4, bx4] = total
-        raster = np.zeros(16, np.int64)
-        raster[recon.ZIGZAG4] = lv
-        dec.coeff_y[by4, bx4] = recon.dequant4(raster, qp)
+    _luma_residual_cabac(dec, sc, mbx, mby, qp, cbp_luma, trans8, False)
     cbp_entry = _decode_chroma_cabac(dec, sc, mbx, mby, qp, 0, cbp_chroma,
                                      False, False, cbp, intra=False)
     sc.cbp_tab[mby, mbx] = cbp_entry
@@ -817,9 +901,12 @@ def _decode_chroma_cabac(dec, sc, mbx, mby, qp, chroma_mode, cbp_chroma,
     if intra:
         dec.chroma_imode[mby, mbx] = chroma_mode
         dec.mb_nbr_avail[mby, mbx] = (avail_l, avail_t)
-    comps = ((dec.coeff_u, dec.nnz_u, qpc), (dec.coeff_v, dec.nnz_v, qpc2))
+    s4 = dec.pps.scaling4
+    wu, wv = (s4[1], s4[2]) if intra else (s4[4], s4[5])
+    comps = ((dec.coeff_u, dec.nnz_u, qpc, wu),
+             (dec.coeff_v, dec.nnz_v, qpc2, wv))
     dcs = []
-    for ci, (_co, _nnz, qpc_used) in enumerate(comps):
+    for ci, (_co, _nnz, qpc_used, w) in enumerate(comps):
         sc._cur_comp = ci
         dc = np.zeros((2, 2), np.int64)
         if cbp_chroma:
@@ -827,10 +914,10 @@ def _decode_chroma_cabac(dec, sc, mbx, mby, qp, chroma_mode, cbp_chroma,
             if total:
                 cbp_entry |= 0x40 << ci
             dc = recon.chroma_dc_transform(np.array(lv[:4], np.int64),
-                                           qpc_used)
+                                           qpc_used, w[0])
         dcs.append(dc)
     acs_all = []
-    for ci, (_co, nnz, _q) in enumerate(comps):
+    for ci, (_co, nnz, _q, _w) in enumerate(comps):
         sc._cur_comp = ci
         acs = []
         for blk in range(4):
@@ -845,10 +932,10 @@ def _decode_chroma_cabac(dec, sc, mbx, mby, qp, chroma_mode, cbp_chroma,
                 nnz[mby * 2 + dyb, mbx * 2 + dxb] = 0
             acs.append(raster)
         acs_all.append(acs)
-    for ci, (coeff, _nnz, qpc_used) in enumerate(comps):
+    for ci, (coeff, _nnz, qpc_used, w) in enumerate(comps):
         for blk in range(4):
             dxb, dyb = blk & 1, blk >> 1
-            block = recon.dequant4(acs_all[ci][blk], qpc_used)
+            block = recon.dequant4(acs_all[ci][blk], qpc_used, w)
             block[0] = dcs[ci][dyb, dxb]
             coeff[mby * 2 + dyb, mbx * 2 + dxb] = block
     return cbp_entry

@@ -151,6 +151,11 @@ def chroma_dc_transform(dc_levels: np.ndarray, qp: int,
 # availability flags, returning the predicted block.
 
 def pred4x4(plane, x, y, mode, avail_l, avail_t, avail_tr, avail_tl):
+    # invalid streams can request a mode whose reference samples are
+    # unavailable (the reference errors the slice; we conceal with DC)
+    if (not avail_l and mode in (1, 4, 5, 6, 8)) or \
+            (not avail_t and mode in (0, 3, 4, 5, 6, 7)):
+        mode = 2
     p = plane.astype(np.int32)
     left = p[y:y + 4, x - 1] if avail_l else None
     top = p[y - 1, x:x + 4] if avail_t else None
@@ -305,6 +310,11 @@ def filter_ref8(left, top, tl, avail_l, avail_t, avail_tr, avail_tl):
 def pred8x8(plane, x, y, mode, avail_l, avail_t, avail_tr, avail_tl):
     """Intra_8x8 luma prediction (spec 8.3.2.2.2-8.3.2.2.10) on
     FILTERED reference samples."""
+    # invalid streams can request a mode whose reference samples are
+    # unavailable (the reference errors the slice; we conceal with DC)
+    if (not avail_l and mode in (1, 4, 5, 6, 8)) or \
+            (not avail_t and mode in (0, 3, 4, 5, 6, 7)):
+        mode = 2
     p = plane.astype(np.int64)
     raw_l = p[y:y + 8, x - 1] if avail_l else None
     raw_tl = int(p[y - 1, x - 1]) if avail_tl else None

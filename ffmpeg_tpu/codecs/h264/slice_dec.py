@@ -139,6 +139,8 @@ def parse_slice_header(b: Bits, nal_type: int, sps: SPS,
                 else:
                     raise NotSupported(f"h264: mmco {op} (long-term)")
             sh.mmco = tuple(ops)
+    if pps.cabac and sh.slice_type != 2:
+        sh.cabac_init_idc = b.ue()
     sh.qp = pps.init_qp + b.se()
     if pps.deblocking_filter_control_present:
         sh.disable_deblocking = b.ue()

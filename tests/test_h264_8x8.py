@@ -310,3 +310,179 @@ def test_scaling_matrices_exact(tmp_path, which):
     stream += H.craft_i16x16_residual(seed=4)[len(H.make_sps())
                                               + len(H.make_pps()):]
     _decode_vs_ref(stream, 2, tmp_path)
+
+
+# ---------------------------------------------------------------------------
+# CABAC 8x8 (cat-5 residual, ctx 399-401 flag, Intra_8x8 mode coding)
+
+def _cabac_8x8_env(slice_type, idr, frame_num=0, deblock=False):
+    """Header bits + scratch decoder for a High-profile CABAC slice.
+    The baseline header syntax of test_h264_cabac._setup matches our
+    High SPS/PPS field-for-field; only the parameter-set NALs differ."""
+    import test_h264_cabac as C
+    w, dec, _s, _p = C._setup(MB_W, MB_H, slice_type, idr, frame_num,
+                              deblock=deblock)
+    dec.pps.transform_8x8_mode = True
+    return w, dec
+
+
+def _encode_mb_i8x8_cabac(dec, sc, mbx, mby, rng):
+    import test_h264_cabac as C
+    avail_l = dec._avail(mbx, mby, -1, 0)
+    avail_t = dec._avail(mbx, mby, 0, -1)
+    dec.mb_intra[mby, mbx] = True
+    bx, by = mbx * 4, mby * 4
+    sc._cur_comp = 0
+    sc.intra_mb_type(mbx, mby, 3, 1, v=(0, 0, 0, 0))
+    sc.i4x4_tab[mby, mbx] = True
+    sc.transform_size_8x8_flag(mbx, mby, v=1)
+    dec.trans8[mby, mbx] = True
+    dec.mb_16x16[mby, mbx] = True
+    modes = []
+    for dx8, dy8 in dec._BLK8_XY:
+        bxx, byy = bx + dx8 * 2, by + dy8 * 2
+        la = dec._nbr_avail(bxx - 1, byy, mbx, mby)
+        ta = dec._nbr_avail(bxx, byy - 1, mbx, mby)
+        if not la or not ta:
+            pred = 2
+        else:
+            lm = int(dec.intra4x4_modes[byy, bxx - 1])
+            tm = int(dec.intra4x4_modes[byy - 1, bxx])
+            pred = min(lm if lm >= 0 else 2, tm if tm >= 0 else 2)
+        choices = [2]
+        if ta:
+            choices += [0, 3, 7]
+        if la:
+            choices += [1, 8]
+        if la and ta:
+            choices += [4, 5, 6]
+        mode = int(rng.choice(choices))
+        sc.intra4x4_mode(pred, v=mode)
+        modes.append(mode)
+        dec.intra4x4_modes[byy:byy + 2, bxx:bxx + 2] = mode
+    cl = [0]
+    if avail_l:
+        cl.append(1)
+    if avail_t:
+        cl.append(2)
+    if avail_l and avail_t:
+        cl.append(3)
+    chroma_mode = int(cl[rng.integers(0, len(cl))])
+    sc.chroma_mode_tab[mby, mbx] = chroma_mode
+    sc.chroma_pred_mode(mbx, mby, v=chroma_mode)
+    cbp_luma = int(rng.integers(0, 16))
+    cbp_chroma = int(rng.integers(0, 3))
+    cbp_entry = cbp_luma | (cbp_chroma << 4)
+    sc.cbp(mbx, mby, True, v=cbp_entry)
+    if cbp_luma or cbp_chroma:
+        sc.mb_qp_delta(v=0)
+    else:
+        sc.last_dqp = 0
+    for blk8 in range(4):
+        dec._record_blk8(mbx, mby, blk8, modes[blk8])
+        dx8, dy8 = dec._BLK8_XY[blk8]
+        x4, y4 = bx + dx8 * 2, by + dy8 * 2
+        if cbp_luma & (1 << blk8):
+            lv = C._rand_levels(rng, 64, maxn=6, amp=6)
+            if not any(lv):
+                lv[int(rng.integers(0, 40))] = 1
+            sc.residual(5, mbx, mby, x4, y4, 64, True, levels=lv)
+            dec.nnz_y[y4:y4 + 2, x4:x4 + 2] = 1
+        else:
+            dec.nnz_y[y4:y4 + 2, x4:x4 + 2] = 0
+    cbp_entry = C._encode_chroma(dec, sc, mbx, mby, cbp_entry, rng,
+                                 intra=True)
+    sc.cbp_tab[mby, mbx] = cbp_entry
+    dec.blk_done[by:by + 4, bx:bx + 4] = True
+    dec.mb_avail[mby, mbx] = True
+
+
+def craft_cabac_i8x8(seed=0, deblock=False):
+    import test_h264_cabac as C
+    from ffmpeg_tpu.codecs.h264.cabac import CabacEncoder
+    from ffmpeg_tpu.codecs.h264.cabac_slice import CabacSliceCoder
+    w, dec = _cabac_8x8_env(2, True, deblock=deblock)
+    rng = np.random.default_rng(seed)
+    enc = CabacEncoder()
+    sc = CabacSliceCoder(dec, enc, 2, 26, encode=True)
+    n = MB_W * MB_H
+    for idx in range(n):
+        _encode_mb_i8x8_cabac(dec, sc, idx % MB_W, idx // MB_W, rng)
+        enc.terminate(1 if idx == n - 1 else 0)
+    payload = C._bits_to_bytes(w.bits) + C._bits_to_bytes(enc.bitstring())
+    return H.nal(3, 5, payload)
+
+
+def craft_cabac_p_trans8(frame_num, seed, deblock=False):
+    """P slice: P_16x16 MBs, every coded-luma MB uses the 8x8 transform."""
+    import test_h264_cabac as C
+    from ffmpeg_tpu.codecs.h264.cabac import CabacEncoder
+    from ffmpeg_tpu.codecs.h264.cabac_slice import CabacSliceCoder, _amvd
+    w, dec = _cabac_8x8_env(0, False, frame_num, deblock=deblock)
+    dec.num_ref = (1, 1)
+    rng = np.random.default_rng(seed)
+    enc = CabacEncoder()
+    sc = CabacSliceCoder(dec, enc, 0, 26, encode=True)
+    n = MB_W * MB_H
+    for idx in range(n):
+        mbx, mby = idx % MB_W, idx // MB_W
+        bx, by = mbx * 4, mby * 4
+        sc.mb_skip_flag(mbx, mby, v=0)
+        sc.p_mb_type(v=0)
+        sc._ref_set.clear()
+        for comp in range(2):
+            amvd = _amvd(sc, bx, by, comp)
+            mvd = int(rng.integers(-10, 11))
+            sc.mvd(40 if comp == 0 else 47, amvd, v=mvd)
+            sc.mvd_cache[0, by:by + 4, bx:bx + 4, comp] = \
+                min(abs(mvd), 70)
+        cbp_luma = int(rng.integers(1, 16))
+        cbp_chroma = int(rng.integers(0, 3))
+        cbp = cbp_luma | (cbp_chroma << 4)
+        sc.cbp(mbx, mby, False, v=cbp)
+        sc.transform_size_8x8_flag(mbx, mby, v=1)
+        dec.trans8[mby, mbx] = True
+        sc.mb_qp_delta(v=0)
+        for blk8 in range(4):
+            dx8, dy8 = dec._BLK8_XY[blk8]
+            x4, y4 = bx + dx8 * 2, by + dy8 * 2
+            if cbp_luma & (1 << blk8):
+                lv = C._rand_levels(rng, 64, maxn=4, amp=5)
+                if not any(lv):
+                    lv[int(rng.integers(0, 40))] = 1
+                sc.residual(5, mbx, mby, x4, y4, 64, False, levels=lv)
+                dec.nnz_y[y4:y4 + 2, x4:x4 + 2] = 1
+            else:
+                dec.nnz_y[y4:y4 + 2, x4:x4 + 2] = 0
+        cbp_entry = C._encode_chroma(dec, sc, mbx, mby, cbp, rng,
+                                     intra=False)
+        sc.cbp_tab[mby, mbx] = cbp_entry
+        dec.blk_done[by:by + 4, bx:bx + 4] = True
+        dec.mb_avail[mby, mbx] = True
+        enc.terminate(1 if idx == n - 1 else 0)
+    payload = C._bits_to_bytes(w.bits) + C._bits_to_bytes(enc.bitstring())
+    return H.nal(2, 1, payload)
+
+
+@requires_ref
+@pytest.mark.parametrize("seed", [0, 7])
+def test_i8x8_cabac_exact(tmp_path, seed):
+    stream = make_sps_high() + make_pps_8x8(cabac=True) \
+        + craft_cabac_i8x8(seed=seed)
+    _decode_vs_ref(stream, 1, tmp_path)
+
+
+@requires_ref
+def test_i8x8_cabac_deblocked_exact(tmp_path):
+    stream = make_sps_high() + make_pps_8x8(cabac=True) \
+        + craft_cabac_i8x8(seed=4, deblock=True)
+    _decode_vs_ref(stream, 1, tmp_path)
+
+
+@requires_ref
+def test_p_trans8_cabac_exact(tmp_path):
+    stream = make_sps_high() + make_pps_8x8(cabac=True) \
+        + craft_cabac_i8x8(seed=1) \
+        + craft_cabac_p_trans8(frame_num=1, seed=31) \
+        + craft_cabac_p_trans8(frame_num=2, seed=32, deblock=True)
+    _decode_vs_ref(stream, 3, tmp_path)
