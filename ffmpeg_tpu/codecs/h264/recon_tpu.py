@@ -127,6 +127,103 @@ def _gen_i4_tables():
 
 _I4_IDX, _I4_W, _I4_SH = _gen_i4_tables()
 
+
+# ---------------------------------------------------------------------------
+# Intra_8x8 mode tables over the FILTERED reference vector
+# r = [lf0..lf7 (0..7), tlf (8), tf0..tf15 (9..24)] (spec 8.3.2.2.2-10;
+# mirrors recon.pred8x8's per-pixel formulas; DC handled separately).
+
+
+def _gen_i8_tables():
+    idx = np.zeros((9, 64, 3), np.int32)
+    w = np.zeros((9, 64, 3), np.int32)
+    sh = np.zeros((9, 64), np.int32)
+
+    def Tk(k):
+        return 8 if k < 0 else 9 + k
+
+    def Lk(k):
+        return 8 if k < 0 else k
+
+    for j in range(8):
+        for i in range(8):
+            p = j * 8 + i
+            idx[0, p], w[0, p], sh[0, p] = (Tk(i), 0, 0), (1, 0, 0), 0
+            idx[1, p], w[1, p], sh[1, p] = (Lk(j), 0, 0), (1, 0, 0), 0
+            # mode 3: diagonal down-left
+            k = i + j
+            idx[3, p] = (Tk(14), Tk(15), Tk(15)) if k == 14 else \
+                (Tk(k), Tk(k + 1), Tk(k + 2))
+            w[3, p], sh[3, p] = (1, 2, 1), 2
+            # mode 4: diagonal down-right
+            if i > j:
+                k = i - j
+                idx[4, p] = (Tk(k - 2), Tk(k - 1), Tk(k))
+            elif i < j:
+                k = j - i
+                idx[4, p] = (Lk(k - 2), Lk(k - 1), Lk(k))
+            else:
+                idx[4, p] = (Tk(0), 8, Lk(0))
+            w[4, p], sh[4, p] = (1, 2, 1), 2
+            # mode 5: vertical-right
+            z = 2 * i - j
+            k = i - (j >> 1)
+            if z >= 0 and z % 2 == 0:
+                idx[5, p], w[5, p], sh[5, p] = \
+                    (Tk(k - 1), Tk(k), 0), (1, 1, 0), 1
+            elif z > 0:
+                idx[5, p], w[5, p], sh[5, p] = \
+                    (Tk(k - 2), Tk(k - 1), Tk(k)), (1, 2, 1), 2
+            elif z == -1:
+                idx[5, p], w[5, p], sh[5, p] = \
+                    (Lk(0), 8, Tk(0)), (1, 2, 1), 2
+            else:
+                k = j - 2 * i
+                idx[5, p], w[5, p], sh[5, p] = \
+                    (Lk(k - 1), Lk(k - 2), Lk(k - 3)), (1, 2, 1), 2
+            # mode 6: horizontal-down
+            z = 2 * j - i
+            k = j - (i >> 1)
+            if z >= 0 and z % 2 == 0:
+                idx[6, p], w[6, p], sh[6, p] = \
+                    (Lk(k - 1), Lk(k), 0), (1, 1, 0), 1
+            elif z > 0:
+                idx[6, p], w[6, p], sh[6, p] = \
+                    (Lk(k - 2), Lk(k - 1), Lk(k)), (1, 2, 1), 2
+            elif z == -1:
+                idx[6, p], w[6, p], sh[6, p] = \
+                    (Tk(0), 8, Lk(0)), (1, 2, 1), 2
+            else:
+                k = i - 2 * j
+                idx[6, p], w[6, p], sh[6, p] = \
+                    (Tk(k - 1), Tk(k - 2), Tk(k - 3)), (1, 2, 1), 2
+            # mode 7: vertical-left
+            k = i + (j >> 1)
+            if j % 2 == 0:
+                idx[7, p], w[7, p], sh[7, p] = \
+                    (Tk(k), Tk(k + 1), 0), (1, 1, 0), 1
+            else:
+                idx[7, p], w[7, p], sh[7, p] = \
+                    (Tk(k), Tk(k + 1), Tk(k + 2)), (1, 2, 1), 2
+            # mode 8: horizontal-up
+            z = i + 2 * j
+            k = j + (i >> 1)
+            if z > 13:
+                idx[8, p], w[8, p], sh[8, p] = (Lk(7), 0, 0), (1, 0, 0), 0
+            elif z == 13:
+                idx[8, p], w[8, p], sh[8, p] = \
+                    (Lk(6), Lk(7), Lk(7)), (1, 2, 1), 2
+            elif z % 2 == 0:
+                idx[8, p], w[8, p], sh[8, p] = \
+                    (Lk(k), Lk(k + 1), 0), (1, 1, 0), 1
+            else:
+                idx[8, p], w[8, p], sh[8, p] = \
+                    (Lk(k), Lk(k + 1), Lk(k + 2)), (1, 2, 1), 2
+    return idx, w, sh
+
+
+_I8_IDX, _I8_W, _I8_SH = _gen_i8_tables()
+
 # quarter-pel case table: phase yf*4+xf -> (plane1, dy1, dx1,
 # plane2, dy2, dx2); result = (v1 + v2 + 1) >> 1 (duplicated entries make
 # the plain cases exact too). Planes: 0=G int-pel, 1=B h-half, 2=H v-half,
@@ -204,6 +301,48 @@ def _residual_plane(coeff):
     n4y, n4x = coeff.shape[:2]
     blocks = _idct_blocks(coeff)                     # (n4y, n4x, 4, 4)
     return blocks.transpose(0, 2, 1, 3).reshape(n4y * 4, n4x * 4)
+
+
+def _idct8_blocks(coeff):
+    """coeff: (..., 64) int32 raster dequantized 8x8 blocks ->
+    (..., 8, 8) residual (exact spec 8.5.12.3 / recon.idct8_add math:
+    horizontal pass, then vertical)."""
+    import jax.numpy as jnp
+    b = coeff.reshape(coeff.shape[:-1] + (8, 8)).astype(np.int32)
+
+    def p(x):
+        # 1-D transform along the LAST axis
+        x0, x1, x2, x3, x4, x5, x6, x7 = [x[..., i] for i in range(8)]
+        a0 = x0 + x4
+        a2 = x0 - x4
+        a4 = (x2 >> 1) - x6
+        a6 = (x6 >> 1) + x2
+        b0 = a0 + a6
+        b2 = a2 + a4
+        b4 = a2 - a4
+        b6 = a0 - a6
+        a1 = -x3 + x5 - x7 - (x7 >> 1)
+        a3 = x1 + x7 - x3 - (x3 >> 1)
+        a5 = -x1 + x7 + x5 + (x5 >> 1)
+        a7 = x3 + x5 + x1 + (x1 >> 1)
+        b1 = a1 + (a7 >> 2)
+        b7 = a7 - (a1 >> 2)
+        b3 = a3 + (a5 >> 2)
+        b5 = (a3 >> 2) - a5
+        return jnp.stack([b0 + b7, b2 + b5, b4 + b3, b6 + b1,
+                          b6 - b1, b4 - b3, b2 - b5, b0 - b7], axis=-1)
+
+    t = p(b)                             # (..., row, hout)
+    s = p(t.swapaxes(-1, -2))            # (..., hout, vout)
+    return (s.swapaxes(-1, -2) + 32) >> 6
+
+
+def _residual_plane8(coeff8):
+    """(n8y, n8x, 64) -> (H, W) int32 residual plane (zero outside
+    8x8-transform MBs because their coefficients are zero)."""
+    n8y, n8x = coeff8.shape[:2]
+    blocks = _idct8_blocks(coeff8)
+    return blocks.transpose(0, 2, 1, 3).reshape(n8y * 8, n8x * 8)
 
 
 def _avg(a, b):
@@ -427,6 +566,62 @@ def _i4_predict(y, px, py, mode, avail):
     return jnp.where((m == 2)[:, None], dc[:, None], out)
 
 
+def _i8_predict(y, px, py, mode, avail):
+    """Intra_8x8 prediction for a batch of blocks: gathers raw refs,
+    applies the 8.3.2.2.1 reference filter, then the mode tables.
+    px/py: (L,) pixel coords; avail: (L, 4) [l, t, tr, tl].
+    Returns (L, 8, 8) int32."""
+    import jax.numpy as jnp
+    L = px.shape[0]
+    Hh, Ww = y.shape
+
+    def g(r, c):
+        return y[jnp.clip(r, 0, Hh - 1), jnp.clip(c, 0, Ww - 1)]
+
+    al, at, atr, atl = (avail[:, k] for k in range(4))
+    off8 = jnp.arange(8)
+    left = g(py[:, None] + off8[None, :], (px - 1)[:, None])   # (L, 8)
+    t16 = g((py - 1)[:, None], px[:, None] + jnp.arange(16)[None, :])
+    t16 = jnp.where(atr[:, None], t16,
+                    jnp.concatenate([t16[:, :8],
+                                     jnp.tile(t16[:, 7:8], (1, 8))], 1))
+    tl = g(py - 1, px - 1)                                      # (L,)
+    # --- reference filtering (recon.filter_ref8)
+    tf0 = jnp.where(atl, (tl + 2 * t16[:, 0] + t16[:, 1] + 2) >> 2,
+                    (3 * t16[:, 0] + t16[:, 1] + 2) >> 2)
+    tfm = (t16[:, 0:14] + 2 * t16[:, 1:15] + t16[:, 2:16] + 2) >> 2
+    tf15 = (t16[:, 14] + 3 * t16[:, 15] + 2) >> 2
+    tf = jnp.concatenate([tf0[:, None], tfm, tf15[:, None]], 1)
+    lf0 = jnp.where(atl, (tl + 2 * left[:, 0] + left[:, 1] + 2) >> 2,
+                    (3 * left[:, 0] + left[:, 1] + 2) >> 2)
+    lfm = (left[:, 0:6] + 2 * left[:, 1:7] + left[:, 2:8] + 2) >> 2
+    lf7 = (left[:, 6] + 3 * left[:, 7] + 2) >> 2
+    lf = jnp.concatenate([lf0[:, None], lfm, lf7[:, None]], 1)
+    tlf = jnp.where(
+        at & al, (t16[:, 0] + 2 * tl + left[:, 0] + 2) >> 2,
+        jnp.where(at, (3 * tl + t16[:, 0] + 2) >> 2,
+                  jnp.where(al, (3 * tl + left[:, 0] + 2) >> 2, tl)))
+    r = jnp.concatenate([lf, tlf[:, None], tf], axis=1)        # (L, 25)
+    idx = jnp.asarray(_I8_IDX)
+    wts = jnp.asarray(_I8_W)
+    shs = jnp.asarray(_I8_SH)
+    m = jnp.clip(mode, 0, 8)
+    bi = idx[m]                                                # (L, 64, 3)
+    bw = wts[m]
+    bs = shs[m]
+    vals = jnp.take_along_axis(r[:, None, :],
+                               bi.reshape(L, 1, 192), axis=2)
+    vals = vals.reshape(L, 64, 3)
+    rnd = (1 << bs) >> 1
+    out = ((vals * bw).sum(-1) + rnd) >> bs
+    dc = jnp.where(
+        al & at, (lf.sum(-1) + tf[:, :8].sum(-1) + 8) >> 4,
+        jnp.where(al, (lf.sum(-1) + 4) >> 3,
+                  jnp.where(at, (tf[:, :8].sum(-1) + 4) >> 3, 128)))
+    out = jnp.where((m == 2)[:, None], dc[:, None], out)
+    return out.reshape(L, 8, 8)
+
+
 def _scatter_blocks(plane, px, py, vals, do, bh, bw):
     """Scatter (L, bh, bw) vals at pixel coords (py, px) masked by do."""
     import jax.numpy as jnp
@@ -523,13 +718,15 @@ def _build_recon(nmbx: int, nmby: int, R: int, do_deblock: bool):
     DLANES = min(nmby, (nmbx + 1) // 2 + 1)
     NDDIAG = NDIAG
 
-    def recon(coeff_y, coeff_u, coeff_v, i4_pred, blk_avail, i16_mode,
+    def recon(coeff_y, coeff8_y, coeff_u, coeff_v, i4_pred, i8_pred,
+              blk_avail, blk8_avail, i16_mode,
               chroma_imode, mb_nbr_avail, mb_intra, mb_avail, is_pcm,
               pcm_y, pcm_u, pcm_v, mv, slot, wp,
               dpb_y, dpb_u, dpb_v, dbp):
         wl, ol, dl, wu, ou, wv_, ov, dcc = wp
-        # 1. residuals
-        ry = _residual_plane(coeff_y)
+        # 1. residuals (4x4 and 8x8 planes are disjoint per MB: summing
+        # them selects the right transform without a mask)
+        ry = _residual_plane(coeff_y) + _residual_plane8(coeff8_y)
         ru = _residual_plane(coeff_u)
         rv = _residual_plane(coeff_v)
 
@@ -590,6 +787,19 @@ def _build_recon(nmbx: int, nmby: int, R: int, do_deblock: bool):
                     u = pl
                 else:
                     v = pl
+            # --- Intra_8x8 inner wavefront: zscan blk8 order covers
+            # the left/top/top-right deps inside the MB
+            for (sx8, sy8) in ((0, 0), (1, 0), (0, 1), (1, 1)):
+                bx8 = mbxc * 2 + sx8
+                by8 = mbyc * 2 + sy8
+                mode8 = i8_pred[by8, bx8]
+                do8 = act & (mode8 >= 0)
+                px8, py8 = bx8 * 8, by8 * 8
+                pred8 = _i8_predict(y, px8, py8, mode8,
+                                    blk8_avail[by8, bx8])
+                res8 = _gather_blocks(ry, px8, py8, 8, 8)
+                out8 = jnp.clip(jnp.clip(pred8, 0, 255) + res8, 0, 255)
+                y = _scatter_blocks(y, px8, py8, out8, do8, 8, 8)
             # --- I_NxN inner wavefront
             for s, blocks in enumerate(_SUBSTEPS):
                 for (sx, sy) in blocks:
@@ -808,7 +1018,20 @@ def deblock_params(dec, alpha_off=0, beta_off=0):
     mv = dec.mv.astype(np.int64)
 
     mb_intra4 = np.repeat(np.repeat(dec.mb_intra, 4, 0), 4, 1)
-    nnz = dec.nnz_y > 0
+    # 8x8-transform MBs: a 4x4 cell is "coded" when its covering 8x8
+    # block is (loopfilter.py nnz_eff); their interior e∈{1,3} luma
+    # edges are not filtered (8.7: transform-block edges only)
+    nnz_src = dec.nnz_y
+    trans8 = getattr(dec, "trans8", None)
+    t84 = None
+    if trans8 is not None and trans8.any():
+        g8 = nnz_src.reshape(nmby * 2, 2, nmbx * 2, 2).max((1, 3))
+        t8c = np.repeat(np.repeat(trans8, 2, 0), 2, 1)
+        g8 = np.where(t8c, g8, 0)
+        t84 = np.repeat(np.repeat(trans8, 4, 0), 4, 1)
+        nnz_src = np.where(t84, np.repeat(np.repeat(g8, 2, 0), 2, 1),
+                           nnz_src)
+    nnz = nnz_src > 0
     qp_mb = dec.mb_qp.astype(np.int64)
 
     out = {}
@@ -855,6 +1078,14 @@ def deblock_params(dec, alpha_off=0, beta_off=0):
         # interior edges always have qpP == qp_cur
         qpP_eff = np.where(mb_edge, qpP, qp_cur)
         bs = np.where(frame_edge, 0, bs)
+        if t84 is not None:
+            if direction == "v":
+                inner = (np.arange(n4x) % 2 == 1)[None, :] & \
+                    np.ones((n4y, 1), bool)
+            else:
+                inner = (np.arange(n4y) % 2 == 1)[:, None] & \
+                    np.ones((1, n4x), bool)
+            bs = np.where(t84 & inner, 0, bs)
         # q-side MB not covered by a slice -> no filtering of its edges
         avail4 = np.repeat(np.repeat(dec.mb_avail, 4, 0), 4, 1)
         bs = np.where(avail4, bs, 0)
@@ -945,8 +1176,9 @@ def reconstruct(dec, alpha_off=0, beta_off=0, do_deblock=True) -> None:
         dec.wp = build_weight_arrays(dec, getattr(dec, "last_sh", None))
 
     fn = _get_recon(nmbx, nmby, Rmax, do_deblock)
-    y, u, v = fn(dec.coeff_y, dec.coeff_u, dec.coeff_v,
-                 dec.i4_pred, dec.blk_avail, dec.i16_mode,
+    y, u, v = fn(dec.coeff_y, dec.coeff8_y, dec.coeff_u, dec.coeff_v,
+                 dec.i4_pred, dec.i8_pred, dec.blk_avail,
+                 dec.blk8_avail, dec.i16_mode,
                  dec.chroma_imode, dec.mb_nbr_avail,
                  dec.mb_intra, dec.mb_avail, dec.is_pcm,
                  pcm_y, pcm_u, pcm_v,

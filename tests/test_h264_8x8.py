@@ -228,14 +228,14 @@ def _decode_vs_ref(stream, nframes, tmp_path, tpu=False):
 def test_i8x8_cavlc_exact(tmp_path, seed):
     stream = make_sps_high() + make_pps_8x8() \
         + craft_i8x8_frame(seed=seed)
-    _decode_vs_ref(stream, 1, tmp_path)
+    _decode_vs_ref(stream, 1, tmp_path, tpu=True)
 
 
 @requires_ref
 def test_i8x8_cavlc_deblocked_exact(tmp_path):
     stream = make_sps_high() + make_pps_8x8() \
         + craft_i8x8_frame(seed=3, deblock=True)
-    _decode_vs_ref(stream, 1, tmp_path)
+    _decode_vs_ref(stream, 1, tmp_path, tpu=True)
 
 
 @requires_ref
@@ -245,7 +245,7 @@ def test_p_trans8_cavlc_exact(tmp_path):
         + craft_i8x8_frame(seed=1)
     stream += _craft_p_trans8(frame_num=1, seed=21)
     stream += _craft_p_trans8(frame_num=2, seed=22, deblock=True)
-    _decode_vs_ref(stream, 3, tmp_path)
+    _decode_vs_ref(stream, 3, tmp_path, tpu=True)
 
 
 def _craft_p_trans8(frame_num, seed, mb_w=MB_W, mb_h=MB_H,
@@ -309,7 +309,7 @@ def test_scaling_matrices_exact(tmp_path, which):
     import test_h264 as me
     stream += H.craft_i16x16_residual(seed=4)[len(H.make_sps())
                                               + len(H.make_pps()):]
-    _decode_vs_ref(stream, 2, tmp_path)
+    _decode_vs_ref(stream, 2, tmp_path, tpu=True)
 
 
 # ---------------------------------------------------------------------------
@@ -469,14 +469,14 @@ def craft_cabac_p_trans8(frame_num, seed, deblock=False):
 def test_i8x8_cabac_exact(tmp_path, seed):
     stream = make_sps_high() + make_pps_8x8(cabac=True) \
         + craft_cabac_i8x8(seed=seed)
-    _decode_vs_ref(stream, 1, tmp_path)
+    _decode_vs_ref(stream, 1, tmp_path, tpu=True)
 
 
 @requires_ref
 def test_i8x8_cabac_deblocked_exact(tmp_path):
     stream = make_sps_high() + make_pps_8x8(cabac=True) \
         + craft_cabac_i8x8(seed=4, deblock=True)
-    _decode_vs_ref(stream, 1, tmp_path)
+    _decode_vs_ref(stream, 1, tmp_path, tpu=True)
 
 
 @requires_ref
@@ -485,4 +485,4 @@ def test_p_trans8_cabac_exact(tmp_path):
         + craft_cabac_i8x8(seed=1) \
         + craft_cabac_p_trans8(frame_num=1, seed=31) \
         + craft_cabac_p_trans8(frame_num=2, seed=32, deblock=True)
-    _decode_vs_ref(stream, 3, tmp_path)
+    _decode_vs_ref(stream, 3, tmp_path, tpu=True)
