@@ -1,0 +1,116 @@
+"""HEVC decoder (ITU-T H.265; reference: libavcodec/hevc/hevcdec.c).
+
+Scope this round: Main profile 8-bit 4:2:0 IDR I-slices, no tiles/WPP,
+SAO/deblock pending. Crafted-stream differential tests validate the
+entropy layer and reconstruction against the reference decoder."""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from ...core.frame import Frame
+from ...core.packet import Packet
+from ...io.stream import MediaType
+from ...utils.error import InvalidData
+from ...utils.rational import Rational
+from ..codec import Codec, register_decoder
+from ..h264 import nal as _nal
+from ..h264.cabac import CabacDecoder
+from . import params as P
+from .ctu import CtuCoder, FrameDec
+
+
+@register_decoder
+class HevcDecoder(Codec):
+    codec_id = "hevc"
+    codec_type = MediaType.VIDEO
+
+    def __init__(self, par, options=None):
+        super().__init__(par, options)
+        self.sps = {}
+        self.pps = {}
+        self.nal_size = 0
+        ed = par.extradata or b""
+        if len(ed) > 22 and ed[0] == 1:      # hvcC
+            self.nal_size = (ed[21] & 3) + 1
+            n_arrays = ed[22]
+            pos = 23
+            for _ in range(n_arrays):
+                pos += 1                     # array header
+                n = int.from_bytes(ed[pos:pos + 2], "big")
+                pos += 2
+                for _ in range(n):
+                    ln = int.from_bytes(ed[pos:pos + 2], "big")
+                    self._handle_nal(ed[pos + 2:pos + 2 + ln])
+                    pos += 2 + ln
+        elif ed:
+            for u in _nal.split_annexb(ed):
+                self._handle_nal(u)
+
+    def _handle_nal(self, unit: bytes, pkt: Optional[Packet] = None):
+        if len(unit) < 3:
+            return None
+        ntype = (unit[0] >> 1) & 0x3F
+        rbsp = _nal.unescape(unit[2:])
+        if ntype == P.NAL_SPS:
+            s = P.parse_sps(rbsp)
+            self.sps[s.sps_id] = s
+        elif ntype == P.NAL_PPS:
+            p = P.parse_pps(rbsp)
+            self.pps[p.pps_id] = p
+        elif P.is_slice(ntype):
+            return self._decode_slice(rbsp, ntype, pkt)
+        return None
+
+    def _decode_slice(self, rbsp: bytes, ntype: int, pkt):
+        # slice_pic_parameter_set_id follows first_slice(+irap flag)
+        from ..h264.bits import Bits
+        probe = Bits(rbsp)
+        probe.get1()
+        if P.is_irap(ntype):
+            probe.get1()
+        pps = self.pps.get(probe.ue())
+        if pps is None:
+            raise InvalidData("hevc: unknown PPS")
+        sps = self.sps.get(pps.sps_id)
+        if sps is None:
+            raise InvalidData("hevc: unknown SPS")
+        sh = P.parse_slice_header(rbsp, ntype, sps, self.pps)
+        dec = FrameDec(sps, pps, sh)
+        core = CabacDecoder(rbsp[sh.data_bit_pos // 8:])
+        CtuCoder(dec, core).code_slice_data()
+        if not sh.deblocking_disabled:
+            from .filter import deblock_frame
+            deblock_frame(dec)
+        if sps.sao_enabled and (sh.sao_luma or sh.sao_chroma):
+            raise InvalidData("hevc: SAO not yet implemented")
+        f = Frame.video(sps.width, sps.height, "yuv420p",
+                        planes=[dec.y.copy(), dec.u.copy(),
+                                dec.v.copy()],
+                        pts=pkt.pts if pkt else 0,
+                        time_base=(pkt.time_base if pkt else None)
+                        or Rational(1, 25))
+        f.key_frame = True
+        return f
+
+    def decode(self, pkt: Optional[Packet]) -> List[Frame]:
+        if pkt is None or not pkt.data:
+            return []
+        frames = []
+        if self.nal_size:
+            data = pkt.data
+            pos = 0
+            units = []
+            while pos + self.nal_size <= len(data):
+                ln = int.from_bytes(data[pos:pos + self.nal_size], "big")
+                pos += self.nal_size
+                units.append(data[pos:pos + ln])
+                pos += ln
+        else:
+            units = _nal.split_annexb(pkt.data)
+        for u in units:
+            f = self._handle_nal(u, pkt)
+            if f is not None:
+                frames.append(f)
+        return frames
+

@@ -1,0 +1,781 @@
+"""HEVC I-slice CTU coding: one syntax walker serving decode (with a
+CabacDecoder) and encode (with a CabacEncoder + a Plan supplying CU
+intents) — the crafted-stream test strategy proven on H.264.
+
+Reconstruction is interleaved with parsing in TU z-order, as intra
+prediction reads reconstructed neighbours (reference:
+libavcodec/hevc/hevcdec.c hls_coding_quadtree → hls_transform_unit,
+cabac.c ff_hevc_hls_residual_coding)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ...utils.error import InvalidData
+from ..h264.cabac import init_contexts
+from . import recon
+from . import tables as T
+
+_O = T.CTX_OFF
+
+SCAN_DIAG, SCAN_HORIZ, SCAN_VERT = 0, 1, 2
+
+
+class _IO:
+    def __init__(self, core, encode: bool):
+        self.core = core
+        self.encode = encode
+
+    def dec(self, ctx, v=None):
+        if self.encode:
+            self.core.decision(ctx, v)
+            return v
+        return self.core.decision(ctx)
+
+    def byp(self, v=None):
+        if self.encode:
+            self.core.bypass(v)
+            return v
+        return self.core.bypass()
+
+    def term(self, v=None):
+        if self.encode:
+            self.core.terminate(v)
+            return v
+        return self.core.terminate()
+
+
+def _morton(x, y, bits):
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+class FrameDec:
+    """Per-picture state for one I frame."""
+
+    def __init__(self, sps, pps, sh):
+        self.sps, self.pps, self.sh = sps, pps, sh
+        W, H = sps.width, sps.height
+        self.y = np.zeros((H, W), np.uint8)
+        self.u = np.zeros((H // 2, W // 2), np.uint8)
+        self.v = np.zeros((H // 2, W // 2), np.uint8)
+        # per-4x4 (min PU/TB) intra mode map, default DC (=1)
+        self.ipm = np.ones(((H + 3) // 4, (W + 3) // 4), np.int32)
+        ncb = 1 << (sps.log2_ctb - sps.log2_min_cb)
+        self.ct_depth = np.zeros((sps.ctb_height * ncb + 1,
+                                  sps.ctb_width * ncb + 1), np.int32)
+        self.qp = sh.qp
+        # per-min-TB z-scan address (CTB raster major, morton minor)
+        d = sps.log2_ctb - 2
+        n4x = sps.ctb_width << d
+        n4y = sps.ctb_height << d
+        xs = np.arange(n4x)
+        ys = np.arange(n4y)
+        ctb = (ys[:, None] >> d) * sps.ctb_width + (xs[None, :] >> d)
+        m = np.zeros((1 << d, 1 << d), np.int64)
+        for yy in range(1 << d):
+            for xx in range(1 << d):
+                m[yy, xx] = _morton(xx, yy, d)
+        self.zs = (ctb << (2 * d)) + m[ys[:, None] & ((1 << d) - 1),
+                                       xs[None, :] & ((1 << d) - 1)]
+        self.cbf_luma_map = np.zeros((n4y, n4x), np.uint8)
+
+
+class CtuCoder:
+    def __init__(self, dec: FrameDec, core, encode=False, plan=None):
+        self.dec = dec
+        self.io = _IO(core, encode)
+        self.plan = plan
+        self.ctx = init_contexts(T.init_mn(0), max(0, min(51, dec.qp)))
+
+    # ------------------------------------------------------------------
+    def code_slice_data(self):
+        dec = self.dec
+        sps = dec.sps
+        n = sps.ctb_width * sps.ctb_height
+        for addr in range(n):
+            ctb_x = (addr % sps.ctb_width) << sps.log2_ctb
+            ctb_y = (addr // sps.ctb_width) << sps.log2_ctb
+            self.coding_quadtree(ctb_x, ctb_y, sps.log2_ctb, 0)
+            last = addr == n - 1
+            if self.io.term(1 if last else 0) and not last:
+                raise InvalidData("hevc: early end_of_slice")
+
+    # ------------------------------------------------------------------
+    def coding_quadtree(self, x0, y0, log2, depth):
+        dec = self.dec
+        sps = dec.sps
+        size = 1 << log2
+        inside = x0 + size <= sps.width and y0 + size <= sps.height
+        if inside and log2 > sps.log2_min_cb:
+            split = self._split_cu_flag(x0, y0, depth)
+        else:
+            split = log2 > sps.log2_min_cb
+        if split:
+            h = size >> 1
+            x1, y1 = x0 + h, y0 + h
+            self.coding_quadtree(x0, y0, log2 - 1, depth + 1)
+            if x1 < sps.width:
+                self.coding_quadtree(x1, y0, log2 - 1, depth + 1)
+            if y1 < sps.height:
+                self.coding_quadtree(x0, y1, log2 - 1, depth + 1)
+            if x1 < sps.width and y1 < sps.height:
+                self.coding_quadtree(x1, y1, log2 - 1, depth + 1)
+            return
+        self._set_ct_depth(x0, y0, log2, depth)
+        self.coding_unit(x0, y0, log2)
+
+    def _split_cu_flag(self, x0, y0, depth):
+        dec = self.dec
+        sps = dec.sps
+        xcb, ycb = x0 >> sps.log2_min_cb, y0 >> sps.log2_min_cb
+        inc = 0
+        x0b = x0 & ((1 << sps.log2_ctb) - 1)
+        y0b = y0 & ((1 << sps.log2_ctb) - 1)
+        if x0b or x0 > 0:
+            inc += int(dec.ct_depth[ycb, xcb - 1] > depth)
+        if y0b or y0 > 0:
+            inc += int(dec.ct_depth[ycb - 1, xcb] > depth)
+        v = None
+        if self.io.encode:
+            v = 1 if self.plan.split(x0, y0,
+                                     sps.log2_ctb - depth) else 0
+        return bool(self.io.dec(self.ctx[_O["split_cu_flag"] + inc], v))
+
+    def _set_ct_depth(self, x0, y0, log2, depth):
+        sps = self.dec.sps
+        n = 1 << (log2 - sps.log2_min_cb)
+        xcb, ycb = x0 >> sps.log2_min_cb, y0 >> sps.log2_min_cb
+        self.dec.ct_depth[ycb:ycb + n, xcb:xcb + n] = depth
+
+    # ------------------------------------------------------------------
+    def coding_unit(self, x0, y0, log2):
+        dec = self.dec
+        sps = dec.sps
+        size = 1 << log2
+        part_nxn = False
+        if log2 == sps.log2_min_cb:
+            v = None
+            if self.io.encode:
+                v = 0 if self.plan.part_nxn(x0, y0, log2) else 1
+            bit = self.io.dec(self.ctx[_O["part_mode"]], v)
+            part_nxn = bit == 0
+        side = 2 if part_nxn else 1
+        pb = size >> (1 if part_nxn else 0)
+        nparts = side * side
+        # all prev_intra flags first, then per-part mpm/rem. MPM
+        # candidates of parts 1..3 see the earlier parts' modes, so the
+        # encoder pre-writes the intended modes into the mode map
+        # before deriving them (the decoder derives them in the second
+        # loop as it stores each decoded mode).
+        want = [None] * nparts
+        cands_enc = [None] * nparts
+        if self.io.encode:
+            for i in range(nparts):
+                px = x0 + pb * (i & 1)
+                py = y0 + pb * (i >> 1)
+                want[i] = self.plan.luma_mode(px, py, log2, i)
+                cands_enc[i] = self._mpm_candidates(px, py)
+                npu = max(1, pb >> 2)
+                dec.ipm[py >> 2:(py >> 2) + npu,
+                        px >> 2:(px >> 2) + npu] = want[i]
+        prev = []
+        for i in range(nparts):
+            pv = None
+            if self.io.encode:
+                pv = 1 if want[i] in cands_enc[i] else 0
+            prev.append(self.io.dec(
+                self.ctx[_O["prev_intra_luma_pred"]], pv))
+        modes = []
+        for i in range(nparts):
+            if self.io.encode:
+                cand = cands_enc[i]
+            else:
+                cand = self._mpm_candidates(x0 + pb * (i & 1),
+                                            y0 + pb * (i >> 1))
+            if prev[i]:
+                mv = None
+                if self.io.encode:
+                    mv = cand.index(want[i])
+                idx = 0
+                while idx < 2 and self.io.byp(
+                        None if mv is None else (1 if mv > idx else 0)):
+                    idx += 1
+                mode = cand[idx]
+            else:
+                scand = sorted(cand)
+                rv = None
+                if self.io.encode:
+                    rv = want[i]
+                    for c in reversed(scand):
+                        if rv > c:
+                            rv -= 1
+                bits = []
+                for k in range(4, -1, -1):
+                    bits.append(self.io.byp(
+                        None if rv is None else (rv >> k) & 1))
+                mode = 0
+                for bbit in bits:
+                    mode = (mode << 1) | bbit
+                for c in scand:
+                    if mode >= c:
+                        mode += 1
+            modes.append(mode)
+            px = x0 + pb * (i & 1)
+            py = y0 + pb * (i >> 1)
+            npu = max(1, pb >> 2)
+            dec.ipm[py >> 2:(py >> 2) + npu,
+                    px >> 2:(px >> 2) + npu] = mode
+        # chroma mode (one for 4:2:0)
+        table = [0, 26, 10, 1]
+        cv = None
+        if self.io.encode:
+            cv = self.plan.chroma_mode(x0, y0, log2, modes[0])
+        first = self.io.dec(self.ctx[_O["intra_chroma_pred_mode"]],
+                            None if cv is None else (0 if cv == 4 else 1))
+        if not first:
+            chroma_idx = 4
+        else:
+            b1 = self.io.byp(None if cv is None else (cv >> 1) & 1)
+            b0 = self.io.byp(None if cv is None else cv & 1)
+            chroma_idx = (b1 << 1) | b0
+        if chroma_idx == 4:
+            mode_c = modes[0]
+        elif table[chroma_idx] == modes[0]:
+            mode_c = 34
+        else:
+            mode_c = table[chroma_idx]
+        # transform tree
+        self._intra_split = part_nxn
+        self._max_td = self.dec.sps.max_trafo_depth_intra + \
+            (1 if part_nxn else 0)
+        self._pu_modes = modes
+        self._mode_c = mode_c
+        self.transform_tree(x0, y0, x0, y0, log2, 0, 0, 1, 1,
+                            modes[0])
+
+    def _mpm_candidates(self, x0, y0):
+        dec = self.dec
+        sps = dec.sps
+        x0b = x0 & ((1 << sps.log2_ctb) - 1)
+        y0b = y0 & ((1 << sps.log2_ctb) - 1)
+        cand_up = 1
+        if y0b:                      # never crosses the CTB top edge
+            cand_up = int(dec.ipm[(y0 - 1) >> 2, x0 >> 2])
+        cand_left = 1
+        if x0b or x0 > 0:
+            cand_left = int(dec.ipm[y0 >> 2, (x0 - 1) >> 2])
+        if cand_left == cand_up:
+            if cand_left < 2:
+                return [0, 1, 26]
+            return [cand_left,
+                    2 + ((cand_left - 2 - 1 + 32) & 31),
+                    2 + ((cand_left - 2 + 1) & 31)]
+        c2 = 0 if (cand_left != 0 and cand_up != 0) else \
+            (1 if (cand_left != 1 and cand_up != 1) else 26)
+        return [cand_left, cand_up, c2]
+
+    # ------------------------------------------------------------------
+    def transform_tree(self, x0, y0, xBase, yBase, log2, depth, blk_idx,
+                       pcb, pcr, cur_mode):
+        dec = self.dec
+        sps = dec.sps
+        if self._intra_split and depth == 1:
+            cur_mode = self._pu_modes[blk_idx]
+        if log2 <= sps.log2_max_tb and log2 > sps.log2_min_tb and \
+                depth < self._max_td and \
+                not (self._intra_split and depth == 0):
+            v = None
+            if self.io.encode:
+                v = 1 if self.plan.split_tt(x0, y0, log2, depth) else 0
+            split = bool(self.io.dec(
+                self.ctx[_O["split_transform_flag"] + 5 - log2], v))
+        else:
+            split = log2 > sps.log2_max_tb or \
+                (self._intra_split and depth == 0)
+        cbf_cb, cbf_cr = pcb, pcr
+        if log2 > 2:
+            if depth == 0 or pcb:
+                v = None
+                if self.io.encode:
+                    v = 1 if self.plan.cbf_cb(x0, y0, log2, depth,
+                                              split) else 0
+                cbf_cb = self.io.dec(self.ctx[_O["cbf_cb_cr"] + depth], v)
+            if depth == 0 or pcr:
+                v = None
+                if self.io.encode:
+                    v = 1 if self.plan.cbf_cr(x0, y0, log2, depth,
+                                              split) else 0
+                cbf_cr = self.io.dec(self.ctx[_O["cbf_cb_cr"] + depth], v)
+        if split:
+            h = 1 << (log2 - 1)
+            self.transform_tree(x0, y0, x0, y0, log2 - 1, depth + 1, 0,
+                                cbf_cb, cbf_cr, cur_mode)
+            self.transform_tree(x0 + h, y0, x0, y0, log2 - 1, depth + 1,
+                                1, cbf_cb, cbf_cr, cur_mode)
+            self.transform_tree(x0, y0 + h, x0, y0, log2 - 1, depth + 1,
+                                2, cbf_cb, cbf_cr, cur_mode)
+            self.transform_tree(x0 + h, y0 + h, x0, y0, log2 - 1,
+                                depth + 1, 3, cbf_cb, cbf_cr, cur_mode)
+            return
+        # leaf: cbf_luma (always coded for intra)
+        v = None
+        if self.io.encode:
+            v = 1 if self.plan.cbf_luma(x0, y0, log2, depth) else 0
+        cbf_luma = self.io.dec(
+            self.ctx[_O["cbf_luma"] + (1 if depth == 0 else 0)], v)
+        self.transform_unit(x0, y0, xBase, yBase, log2, blk_idx,
+                            cbf_luma, cbf_cb, cbf_cr, cur_mode)
+
+    # ------------------------------------------------------------------
+    def _avail(self, x0, y0, size):
+        """Neighbour availability for intra refs (mvs.c
+        set_neighbour_available + pred_template z-scan conditions).
+        Returns (l, bl, t, tr, tl)."""
+        dec = self.dec
+        sps = dec.sps
+        ctb_size = 1 << sps.log2_ctb
+        x0b = x0 & (ctb_size - 1)
+        y0b = y0 & (ctb_size - 1)
+        ctb_x, ctb_y = x0 >> sps.log2_ctb, y0 >> sps.log2_ctb
+        ctb_left = ctb_x > 0
+        ctb_up = ctb_y > 0
+        ctb_up_left = ctb_left and ctb_up
+        ctb_up_right = ctb_up and (ctb_x + 1) < sps.ctb_width
+        cand_up = bool(ctb_up or y0b)
+        cand_left = bool(ctb_left or x0b)
+        if x0b or y0b:
+            cand_up_left = cand_left and cand_up
+        else:
+            cand_up_left = ctb_up_left
+        if x0b + size == ctb_size:
+            sap = ctb_up_right and not y0b
+        else:
+            sap = cand_up
+        cand_tr = sap and (x0 + size) < sps.width
+        cand_bl = cand_left and (y0 + size) < sps.height
+        cur = int(dec.zs[y0 >> 2, x0 >> 2])
+        if cand_tr:
+            cand_tr = cur > int(dec.zs[(y0 - 1) >> 2, (x0 + size) >> 2])
+        if cand_bl:
+            cand_bl = cur > int(dec.zs[(y0 + size) >> 2, (x0 - 1) >> 2])
+        return cand_left, cand_bl, cand_up, cand_tr, cand_up_left
+
+    def _intra_pred(self, plane, x, y, size, mode, c_idx, avail):
+        l, bl, t, tr, tl = avail
+        pic_h, pic_w = plane.shape
+        left, top = recon.build_refs(plane, x, y, size, l, bl, t, tr,
+                                     tl, pic_w, pic_h)
+        if recon.smoothing_applies(mode, size, c_idx):
+            strong = self.dec.sps.strong_intra_smoothing and \
+                c_idx == 0 and size == 32
+            left, top = recon.filter_refs(left, top, size, strong)
+        return recon.pred_intra(left, top, size, mode, c_idx)
+
+    def transform_unit(self, x0, y0, xBase, yBase, log2, blk_idx,
+                       cbf_luma, cbf_cb, cbf_cr, mode):
+        dec = self.dec
+        size = 1 << log2
+        mode_c = self._mode_c
+        # luma: predict, then residual
+        if not self.io.encode:
+            avail = self._avail(x0, y0, size)
+            pred = self._intra_pred(dec.y, x0, y0, size, mode, 0, avail)
+            dec.y[y0:y0 + size, x0:x0 + size] = np.clip(pred, 0, 255)
+        scan = SCAN_DIAG
+        scan_c = SCAN_DIAG
+        if log2 < 4:
+            if 6 <= mode <= 14:
+                scan = SCAN_VERT
+            elif 22 <= mode <= 30:
+                scan = SCAN_HORIZ
+            if 6 <= mode_c <= 14:
+                scan_c = SCAN_VERT
+            elif 22 <= mode_c <= 30:
+                scan_c = SCAN_HORIZ
+        if cbf_luma:
+            self.residual(x0, y0, log2, scan, 0)
+        if log2 > 2:
+            self._chroma_part(x0 >> 1, y0 >> 1, log2 - 1, scan_c,
+                              cbf_cb, cbf_cr, mode_c)
+        elif blk_idx == 3:
+            self._chroma_part(xBase >> 1, yBase >> 1, 2, scan_c,
+                              cbf_cb, cbf_cr, mode_c)
+
+    def _chroma_part(self, xc, yc, log2c, scan_c, cbf_cb, cbf_cr,
+                     mode_c):
+        dec = self.dec
+        sizec = 1 << log2c
+        for c_idx, (pl, cbf) in enumerate(((dec.u, cbf_cb),
+                                           (dec.v, cbf_cr)), start=1):
+            if not self.io.encode:
+                avail = self._avail(xc * 2, yc * 2, sizec * 2)
+                pred = self._intra_pred(pl, xc, yc, sizec, mode_c,
+                                        c_idx, avail)
+                pl[yc:yc + sizec, xc:xc + sizec] = np.clip(pred, 0, 255)
+            if cbf:
+                self.residual(xc, yc, log2c, scan_c, c_idx)
+
+    # ------------------------------------------------------------------
+    def residual(self, x0, y0, log2, scan_idx, c_idx):
+        """residual_coding() (spec 7.3.8.11 / hevc/cabac.c). In encode
+        mode levels come from plan.levels(...) as a raster (n, n)
+        array; in decode mode the block is dequantized, inverse
+        transformed and added to the plane."""
+        io = self.io
+        dec = self.dec
+        n = 1 << log2
+        levels = None
+        if io.encode:
+            levels = np.asarray(
+                self.plan.levels(x0, y0, log2, c_idx), np.int64)
+            assert levels.any(), "coded block must have a coefficient"
+
+        # scan tables
+        if scan_idx == SCAN_DIAG:
+            sxo, syo = T.DIAG4_X, T.DIAG4_Y
+            cg = {4: (T.DIAG2_X[:1], T.DIAG2_Y[:1]),
+                  8: (T.DIAG2_X, T.DIAG2_Y),
+                  16: (T.DIAG4_X, T.DIAG4_Y),
+                  32: (T.DIAG8_X, T.DIAG8_Y)}[n]
+            sxc, syc = cg
+        elif scan_idx == SCAN_HORIZ:
+            sxo, syo = T.HOR4_X, T.HOR4_Y
+            sxc, syc = T.HOR2_X, T.HOR2_Y
+        else:
+            sxo, syo = T.HOR4_Y, T.HOR4_X
+            sxc, syc = T.HOR2_Y, T.HOR2_X
+
+        def scan_pos(k):
+            ci, off = k >> 4, k & 15
+            return ((sxc[ci] << 2) + sxo[off],
+                    (syc[ci] << 2) + syo[off])
+
+        if io.encode:
+            # locate the last significant coefficient in scan order
+            num_coeff = 0
+            for k in range(n * n):
+                xx, yy = scan_pos(k)
+                if levels[yy, xx]:
+                    num_coeff = k + 1
+            last_k = num_coeff - 1
+            last_x, last_y = scan_pos(last_k)
+            ex, ey = (last_y, last_x) if scan_idx == SCAN_VERT \
+                else (last_x, last_y)
+            self._last_prefix_suffix(ex, ey, log2, c_idx)
+        else:
+            last_x, last_y = self._last_decode(log2, c_idx)
+            if scan_idx == SCAN_VERT:
+                last_x, last_y = last_y, last_x
+        # (decode recomputes num_coeff from coords)
+        x_cg_last, y_cg_last = None, None
+        if not io.encode:
+            x_cg_last, y_cg_last = last_x >> 2, last_y >> 2
+            if scan_idx == SCAN_DIAG:
+                inner = int(T.DIAG4_INV[last_y & 3, last_x & 3])
+                cg_inv = {4: 0, 8: T.DIAG2_INV, 16: T.DIAG4_INV,
+                          32: T.DIAG8_INV}[n]
+                outer = 0 if n == 4 else int(cg_inv[y_cg_last,
+                                                    x_cg_last])
+            else:
+                ex, ey = (last_y, last_x) if scan_idx == SCAN_VERT \
+                    else (last_x, last_y)
+                inner = (ey & 3) * 4 + (ex & 3)
+                outer = (ey >> 2) * (n >> 2) + (ex >> 2)
+            num_coeff = (outer << 4) + inner + 1
+        else:
+            x_cg_last, y_cg_last = last_x >> 2, last_y >> 2
+
+        num_last_subset = (num_coeff - 1) >> 4
+        ncg = n >> 2
+        cg_flags = np.zeros((ncg, ncg), np.int32)
+        out = np.zeros((n, n), np.int64)
+        greater1_ctx = 1
+
+        for i in range(num_last_subset, -1, -1):
+            x_cg, y_cg = sxc[i], syc[i]
+            implicit = 0
+            if i < num_last_subset and i > 0:
+                ctx_cg = 0
+                if x_cg < ncg - 1:
+                    ctx_cg += int(cg_flags[y_cg, x_cg + 1])
+                if y_cg < ncg - 1:
+                    ctx_cg += int(cg_flags[y_cg + 1, x_cg])
+                inc = min(ctx_cg, 1) + (2 if c_idx else 0)
+                v = None
+                if io.encode:
+                    v = 1 if levels[y_cg * 4:y_cg * 4 + 4,
+                                    x_cg * 4:x_cg * 4 + 4].any() else 0
+                f = io.dec(self.ctx[_O["sig_cg_flag"] + inc], v)
+                cg_flags[y_cg, x_cg] = f
+                implicit = 1
+            else:
+                cg_flags[y_cg, x_cg] = int(
+                    (x_cg == x_cg_last and y_cg == y_cg_last) or
+                    (x_cg == 0 and y_cg == 0))
+            offset = i << 4
+            last_scan_pos = num_coeff - offset - 1
+            sig_idx = []
+            if i == num_last_subset:
+                sig_idx.append(last_scan_pos)
+                n_end = last_scan_pos - 1
+            else:
+                n_end = 15
+            prev_sig = 0
+            if x_cg < ((n - 1) >> 2):
+                prev_sig = int(cg_flags[y_cg, x_cg + 1] != 0)
+            if y_cg < ((n - 1) >> 2):
+                prev_sig += int(cg_flags[y_cg + 1, x_cg] != 0) << 1
+
+            if cg_flags[y_cg, x_cg] and n_end >= 0:
+                scf_offset = 27 if c_idx else 0
+                if log2 == 2:
+                    ctx_map = T.CTX_IDX_MAP[scan_idx][0:16]
+                else:
+                    ctx_map = T.CTX_IDX_MAP[scan_idx][
+                        (prev_sig + 1) * 16:(prev_sig + 2) * 16]
+                    if c_idx == 0:
+                        if x_cg > 0 or y_cg > 0:
+                            scf_offset += 3
+                        scf_offset += (9 if scan_idx == SCAN_DIAG
+                                       else 15) if log2 == 3 else 21
+                    else:
+                        scf_offset += 9 if log2 == 3 else 12
+                nb0 = len(sig_idx)
+                for k in range(n_end, 0, -1):
+                    v = None
+                    if io.encode:
+                        xx, yy = scan_pos(offset + k)
+                        v = 1 if levels[yy, xx] else 0
+                    sig = io.dec(self.ctx[_O["sig_flag"] + ctx_map[k]
+                                          + scf_offset], v)
+                    if sig:
+                        sig_idx.append(k)
+                if len(sig_idx) != nb0:
+                    implicit = 0
+                if implicit == 0:
+                    if i == 0:
+                        scf0 = 27 if c_idx else 0
+                    else:
+                        scf0 = 2 + scf_offset
+                    v = None
+                    if io.encode:
+                        xx, yy = scan_pos(offset)
+                        v = 1 if levels[yy, xx] else 0
+                    if io.dec(self.ctx[_O["sig_flag"] + scf0], v):
+                        sig_idx.append(0)
+                else:
+                    sig_idx.append(0)
+
+            n_sig = len(sig_idx)
+            if not n_sig:
+                continue
+            # greater1 (first 8 in reverse scan order), greater2, signs,
+            # remaining
+            ctx_set = 2 if (i > 0 and c_idx == 0) else 0
+            if i != num_last_subset and greater1_ctx == 0:
+                ctx_set += 1
+            greater1_ctx = 1
+            g1 = []
+            abs_lv = {}
+            if io.encode:
+                for k in sig_idx:
+                    xx, yy = scan_pos(offset + k)
+                    abs_lv[k] = int(abs(levels[yy, xx]))
+            first_g1_idx = -1
+            for m in range(min(8, n_sig)):
+                inc = (ctx_set << 2) + greater1_ctx
+                if c_idx:
+                    inc += 16
+                v = None
+                if io.encode:
+                    v = 1 if abs_lv[sig_idx[m]] > 1 else 0
+                flag = io.dec(self.ctx[_O["greater1"] + inc], v)
+                g1.append(flag)
+                if flag and first_g1_idx == -1:
+                    first_g1_idx = m
+                if flag:
+                    greater1_ctx = 0
+                elif 1 <= greater1_ctx < 3:
+                    greater1_ctx += 1
+            if first_g1_idx != -1:
+                inc = ctx_set + (4 if c_idx else 0)
+                v = None
+                if io.encode:
+                    v = 1 if abs_lv[sig_idx[first_g1_idx]] > 2 else 0
+                g1[first_g1_idx] += io.dec(
+                    self.ctx[_O["greater2"] + inc], v)
+            # sign bits precede the remaining levels; with sign data
+            # hiding the lowest-scan-position sign is parity-inferred
+            sign_hidden = (not io.encode) and \
+                dec.pps.sign_data_hiding and \
+                (sig_idx[0] - sig_idx[-1] >= 4)
+            n_signs = n_sig - 1 if sign_hidden else n_sig
+            signs = []
+            for m in range(n_signs):
+                v = None
+                if io.encode:
+                    xx, yy = scan_pos(offset + sig_idx[m])
+                    v = 1 if levels[yy, xx] < 0 else 0
+                signs.append(io.byp(v))
+            c_rice = 0
+            sum_abs = 0
+            for m in range(n_sig):
+                k = sig_idx[m]
+                xx, yy = scan_pos(offset + k)
+                if m < 8:
+                    base = 1 + g1[m]
+                    needs_rem = base == (3 if m == first_g1_idx else 2)
+                else:
+                    base = 1
+                    needs_rem = True
+                lvl = base
+                if needs_rem:
+                    v = None
+                    if io.encode:
+                        v = abs_lv[k] - base
+                    rem = self._abs_remaining(c_rice, v)
+                    lvl = base + rem
+                    if lvl > (3 << c_rice):
+                        c_rice = min(c_rice + 1, 4)
+                sum_abs += lvl
+                if m < n_signs:
+                    neg = signs[m]
+                else:
+                    neg = sum_abs & 1      # hidden sign
+                out[yy, xx] = -lvl if neg else lvl
+
+        if io.encode:
+            return None
+        # dequant + inverse transform + add
+        if c_idx == 0:
+            qp = dec.qp
+        else:
+            off = (dec.pps.cb_qp_offset + dec.sh.cb_qp_offset) \
+                if c_idx == 1 else \
+                (dec.pps.cr_qp_offset + dec.sh.cr_qp_offset)
+            qp = recon.chroma_qp(dec.qp, off)
+        scale, shift, add = recon.dequant_factors(qp, log2)
+        coef = np.clip((out * scale * 16 + add) >> shift,
+                       -32768, 32767)
+        if c_idx == 0 and log2 == 2:
+            res = recon.idst4(coef)
+        else:
+            res = recon.idct(coef)
+        pl = (dec.y, dec.u, dec.v)[c_idx]
+        blk = pl[y0:y0 + n, x0:x0 + n].astype(np.int64)
+        pl[y0:y0 + n, x0:x0 + n] = np.clip(blk + res, 0, 255)
+
+    # ------------------------------------------------------------------
+    def _last_prefix_suffix(self, lx, ly, log2, c_idx):
+        # bin order: x prefix, y prefix, THEN x suffix, y suffix
+        prefixes = []
+        for val in (lx, ly):
+            prefix = val
+            if val > 3:
+                # prefix p >= 4: val in [base(p), base(p+1)) with
+                # base(p) = (1 << ((p >> 1) - 1)) * (2 + (p & 1))
+                p = 4
+                while (1 << ((p + 1 >> 1) - 1)) * (2 + (p + 1 & 1)) \
+                        <= val:
+                    p += 1
+                prefix = p
+            prefixes.append(prefix)
+        for comp, prefix in enumerate(prefixes):
+            self._last_prefix_code(comp, prefix, log2, c_idx)
+        for val, prefix in zip((lx, ly), prefixes):
+            if prefix > 3:
+                length = (prefix >> 1) - 1
+                base = (1 << ((prefix >> 1) - 1)) * (2 + (prefix & 1))
+                suffix = val - base
+                for k in range(length - 1, -1, -1):
+                    self.io.byp((suffix >> k) & 1)
+
+    def _last_prefix_code(self, comp, prefix, log2, c_idx):
+        mx = (log2 << 1) - 1
+        off, sh = self._last_ctx(log2, c_idx)
+        base = _O["last_sig_x_prefix" if comp == 0 else
+                  "last_sig_y_prefix"]
+        i = 0
+        while i < mx:
+            bit = 1 if i < prefix else 0
+            self.io.dec(self.ctx[base + (i >> sh) + off], bit)
+            if not bit:
+                break
+            i += 1
+
+    @staticmethod
+    def _last_ctx(log2, c_idx):
+        if c_idx == 0:
+            return 3 * (log2 - 2) + ((log2 - 1) >> 2), (log2 + 1) >> 2
+        return 15, log2 - 2
+
+    def _last_decode(self, log2, c_idx):
+        """→ (last_x, last_y): both prefixes, then both suffixes."""
+        mx = (log2 << 1) - 1
+        off, sh = self._last_ctx(log2, c_idx)
+        prefixes = []
+        for comp in range(2):
+            base = _O["last_sig_x_prefix" if comp == 0 else
+                      "last_sig_y_prefix"]
+            i = 0
+            while i < mx and \
+                    self.io.dec(self.ctx[base + (i >> sh) + off]):
+                i += 1
+            prefixes.append(i)
+        vals = []
+        for prefix in prefixes:
+            if prefix > 3:
+                length = (prefix >> 1) - 1
+                suffix = 0
+                for _ in range(length):
+                    suffix = (suffix << 1) | self.io.byp()
+                vals.append((1 << ((prefix >> 1) - 1))
+                            * (2 + (prefix & 1)) + suffix)
+            else:
+                vals.append(prefix)
+        return vals[0], vals[1]
+
+    def _abs_remaining(self, rice, v=None):
+        """coeff_abs_level_remaining: Golomb-Rice with exp-Golomb
+        escape (spec 9.3.3.13)."""
+        io = self.io
+        if io.encode:
+            if v < (3 << rice):
+                prefix = v >> rice
+                for _ in range(prefix):
+                    io.byp(1)
+                io.byp(0)
+                for k in range(rice - 1, -1, -1):
+                    io.byp((v >> k) & 1)
+                return v
+            # escape: prefix = 3 + e where base(e) = ((1<<e)+2) << rice
+            e = 0
+            while (((1 << (e + 1)) + 2) << rice) <= v:
+                e += 1
+            base = ((1 << e) + 2) << rice
+            for _ in range(3 + e):
+                io.byp(1)
+            io.byp(0)
+            suffix = v - base
+            for k in range(e + rice - 1, -1, -1):
+                io.byp((suffix >> k) & 1)
+            return v
+        prefix = 0
+        while prefix < 32 and io.byp():
+            prefix += 1
+        if prefix < 3:
+            suffix = 0
+            for _ in range(rice):
+                suffix = (suffix << 1) | io.byp()
+            return (prefix << rice) + suffix
+        k = prefix - 3 + rice
+        suffix = 0
+        for _ in range(k):
+            suffix = (suffix << 1) | io.byp()
+        return ((((1 << (prefix - 3)) + 3 - 1) << rice)) + suffix

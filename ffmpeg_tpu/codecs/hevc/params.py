@@ -1,0 +1,263 @@
+"""HEVC parameter sets + slice header (ITU-T H.265 7.3.2/7.3.6;
+reference: libavcodec/hevc/ps.c, hevcdec.c hls_slice_header).
+
+Scope: Main profile, 8-bit 4:2:0, frame pictures, no tiles/WPP.
+The NAL escape format is identical to H.264 (emulation prevention)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ...utils.error import InvalidData, NotSupported
+from ..h264.bits import Bits
+
+# NAL unit types (spec Table 7-1)
+NAL_TRAIL_N, NAL_TRAIL_R = 0, 1
+NAL_BLA_W_LP = 16
+NAL_IDR_W_RADL, NAL_IDR_N_LP, NAL_CRA = 19, 20, 21
+NAL_VPS, NAL_SPS, NAL_PPS = 32, 33, 34
+NAL_AUD, NAL_EOS, NAL_EOB, NAL_FD = 35, 36, 37, 38
+NAL_SEI_PREFIX, NAL_SEI_SUFFIX = 39, 40
+
+
+def is_irap(t):
+    return 16 <= t <= 23
+
+
+def is_slice(t):
+    return t <= 21
+
+
+def _profile_tier_level(b: Bits, max_sub_layers: int):
+    b.get(2)               # profile_space
+    b.get1()               # tier
+    profile_idc = b.get(5)
+    for _ in range(32):
+        b.get1()           # compatibility flags
+    for _ in range(48):
+        b.get1()           # progressive/interlaced/... + reserved
+    level_idc = b.get(8)
+    sub_flags = []
+    for _ in range(max_sub_layers - 1):
+        sub_flags.append((b.get1(), b.get1()))
+    if max_sub_layers > 1:
+        for _ in range(8 - (max_sub_layers - 1)):
+            b.get(2)       # reserved
+    for pf, lf in sub_flags:
+        if pf:
+            raise NotSupported("hevc: sub-layer PTL")
+        if lf:
+            b.get(8)
+    return profile_idc, level_idc
+
+
+@dataclass
+class HevcSPS:
+    sps_id: int = 0
+    chroma_format_idc: int = 1
+    width: int = 0
+    height: int = 0
+    bit_depth: int = 8
+    log2_max_poc_lsb: int = 8
+    log2_min_cb: int = 3
+    log2_ctb: int = 6
+    log2_min_tb: int = 2
+    log2_max_tb: int = 5
+    max_trafo_depth_inter: int = 0
+    max_trafo_depth_intra: int = 0
+    scaling_list_enabled: bool = False
+    amp_enabled: bool = False
+    sao_enabled: bool = False
+    pcm_enabled: bool = False
+    strong_intra_smoothing: bool = False
+
+    @property
+    def ctb_width(self):
+        return (self.width + (1 << self.log2_ctb) - 1) >> self.log2_ctb
+
+    @property
+    def ctb_height(self):
+        return (self.height + (1 << self.log2_ctb) - 1) >> self.log2_ctb
+
+
+def parse_sps(rbsp: bytes) -> HevcSPS:
+    b = Bits(rbsp)
+    s = HevcSPS()
+    b.get(4)                              # sps_video_parameter_set_id
+    max_sub = b.get(3) + 1
+    b.get1()                              # temporal_id_nesting
+    _profile_tier_level(b, max_sub)
+    s.sps_id = b.ue()
+    s.chroma_format_idc = b.ue()
+    if s.chroma_format_idc == 3:
+        b.get1()
+    if s.chroma_format_idc != 1:
+        raise NotSupported("hevc: only 4:2:0")
+    s.width = b.ue()
+    s.height = b.ue()
+    if b.get1():                          # conformance_window
+        b.ue(), b.ue(), b.ue(), b.ue()
+        raise NotSupported("hevc: conformance window cropping")
+    s.bit_depth = b.ue() + 8
+    if b.ue() + 8 != s.bit_depth or s.bit_depth != 8:
+        raise NotSupported("hevc: only 8-bit")
+    s.log2_max_poc_lsb = b.ue() + 4
+    sub_ordering = b.get1()
+    for _ in range(max_sub if sub_ordering else 1):
+        b.ue(), b.ue(), b.ue()            # dpb size / reorder / latency
+    s.log2_min_cb = b.ue() + 3
+    s.log2_ctb = s.log2_min_cb + b.ue()
+    s.log2_min_tb = b.ue() + 2
+    s.log2_max_tb = s.log2_min_tb + b.ue()
+    s.max_trafo_depth_inter = b.ue()
+    s.max_trafo_depth_intra = b.ue()
+    s.scaling_list_enabled = bool(b.get1())
+    if s.scaling_list_enabled:
+        raise NotSupported("hevc: scaling lists")
+    s.amp_enabled = bool(b.get1())
+    s.sao_enabled = bool(b.get1())
+    s.pcm_enabled = bool(b.get1())
+    if s.pcm_enabled:
+        raise NotSupported("hevc: PCM")
+    num_st_rps = b.ue()
+    if num_st_rps:
+        raise NotSupported("hevc: short-term RPS in SPS")
+    if b.get1():                          # long_term_ref_pics_present
+        raise NotSupported("hevc: long-term refs")
+    b.get1()                              # temporal_mvp
+    s.strong_intra_smoothing = bool(b.get1())
+    # vui / extensions ignored
+    return s
+
+
+@dataclass
+class HevcPPS:
+    pps_id: int = 0
+    sps_id: int = 0
+    sign_data_hiding: bool = False
+    cabac_init_present: bool = False
+    init_qp: int = 26
+    constrained_intra_pred: bool = False
+    transform_skip: bool = False
+    cu_qp_delta_enabled: bool = False
+    diff_cu_qp_delta_depth: int = 0
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+    slice_chroma_qp_offsets_present: bool = False
+    deblocking_override_enabled: bool = False
+    deblocking_disabled: bool = False
+    beta_offset: int = 0
+    tc_offset: int = 0
+    loop_filter_across_slices: bool = True
+
+
+def parse_pps(rbsp: bytes) -> HevcPPS:
+    b = Bits(rbsp)
+    p = HevcPPS()
+    p.pps_id = b.ue()
+    p.sps_id = b.ue()
+    if b.get1():                          # dependent_slice_segments
+        raise NotSupported("hevc: dependent slice segments")
+    b.get1()                              # output_flag_present
+    if b.get(3):                          # num_extra_slice_header_bits
+        raise NotSupported("hevc: extra slice header bits")
+    p.sign_data_hiding = bool(b.get1())
+    p.cabac_init_present = bool(b.get1())
+    b.ue(), b.ue()                        # num_ref_idx_lX_default
+    p.init_qp = b.se() + 26
+    p.constrained_intra_pred = bool(b.get1())
+    if p.constrained_intra_pred:
+        raise NotSupported("hevc: constrained intra pred")
+    p.transform_skip = bool(b.get1())
+    if p.transform_skip:
+        raise NotSupported("hevc: transform skip")
+    p.cu_qp_delta_enabled = bool(b.get1())
+    if p.cu_qp_delta_enabled:
+        p.diff_cu_qp_delta_depth = b.ue()
+    p.cb_qp_offset = b.se()
+    p.cr_qp_offset = b.se()
+    p.slice_chroma_qp_offsets_present = bool(b.get1())
+    if b.get1() or b.get1():              # weighted pred / bipred
+        pass
+    if b.get1():                          # transquant_bypass
+        raise NotSupported("hevc: transquant bypass")
+    if b.get1():                          # tiles_enabled
+        raise NotSupported("hevc: tiles")
+    if b.get1():                          # entropy_coding_sync (WPP)
+        raise NotSupported("hevc: WPP")
+    p.loop_filter_across_slices = bool(b.get1())
+    if b.get1():                          # deblocking_filter_control
+        p.deblocking_override_enabled = bool(b.get1())
+        p.deblocking_disabled = bool(b.get1())
+        if not p.deblocking_disabled:
+            p.beta_offset = b.se() * 2
+            p.tc_offset = b.se() * 2
+    if b.get1():                          # pps_scaling_list_data
+        raise NotSupported("hevc: PPS scaling lists")
+    b.get1()                              # lists_modification_present
+    b.ue()                                # log2_parallel_merge_level
+    b.get1()                              # slice_header_extension
+    return p
+
+
+@dataclass
+class HevcSliceHeader:
+    first_slice: bool = True
+    pps_id: int = 0
+    slice_type: int = 2                   # 0 B, 1 P, 2 I
+    poc_lsb: int = 0
+    sao_luma: bool = False
+    sao_chroma: bool = False
+    qp: int = 26
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+    deblocking_disabled: bool = False
+    beta_offset: int = 0
+    tc_offset: int = 0
+    data_bit_pos: int = 0                 # first bit after alignment
+
+
+def parse_slice_header(rbsp: bytes, nal_type: int, sps: HevcSPS,
+                       pps_map: dict) -> HevcSliceHeader:
+    b = Bits(rbsp)
+    sh = HevcSliceHeader()
+    sh.first_slice = bool(b.get1())
+    if not sh.first_slice:
+        raise NotSupported("hevc: multi-slice pictures")
+    if is_irap(nal_type):
+        b.get1()                          # no_output_of_prior_pics
+    sh.pps_id = b.ue()
+    pps = pps_map.get(sh.pps_id)
+    if pps is None:
+        raise InvalidData("hevc: unknown PPS")
+    sh.slice_type = b.ue()
+    if sh.slice_type != 2:
+        raise NotSupported("hevc: only I slices")
+    if nal_type not in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
+        sh.poc_lsb = b.get(sps.log2_max_poc_lsb)
+        if b.ue() != 0:                   # short_term_rps_sps_flag...
+            raise NotSupported("hevc: non-IDR RPS")
+        raise NotSupported("hevc: non-IDR slices")
+    if sps.sao_enabled:
+        sh.sao_luma = bool(b.get1())
+        sh.sao_chroma = bool(b.get1())
+    sh.qp = pps.init_qp + b.se()
+    if pps.slice_chroma_qp_offsets_present:
+        sh.cb_qp_offset = b.se()
+        sh.cr_qp_offset = b.se()
+    sh.deblocking_disabled = pps.deblocking_disabled
+    sh.beta_offset = pps.beta_offset
+    sh.tc_offset = pps.tc_offset
+    if pps.deblocking_override_enabled and b.get1():
+        sh.deblocking_disabled = bool(b.get1())
+        if not sh.deblocking_disabled:
+            sh.beta_offset = b.se() * 2
+            sh.tc_offset = b.se() * 2
+    if pps.loop_filter_across_slices and \
+            (sh.sao_luma or sh.sao_chroma or not sh.deblocking_disabled):
+        b.get1()                          # slice_loop_filter_across_slices
+    # byte_alignment(): one '1' bit then zeros to the boundary
+    if b.get1() != 1:
+        raise InvalidData("hevc: bad slice header alignment")
+    sh.data_bit_pos = (b.pos + 7) & ~7
+    return sh

@@ -104,3 +104,100 @@ class H264RawDemuxer(Demuxer):
                      time_base=Rational(1, 25))
         self._pts += 1
         return pkt
+
+
+@register_demuxer
+class HevcRawDemuxer(Demuxer):
+    """Raw Annex-B HEVC (reference: libavformat/hevcdec.c). AU split:
+    a new AU starts at a VCL NAL whose first_slice_segment_in_pic_flag
+    (first bit after the 2-byte header) is set."""
+
+    name = "hevc"
+    long_name = "raw HEVC video (Annex B)"
+    extensions = ("hevc", "h265", "265")
+
+    @classmethod
+    def probe(cls, head: bytes, filename: str = "") -> int:
+        i = 0
+        vps = sps = pps = irap = 0
+        while True:
+            j = head.find(b"\x00\x00\x01", i)
+            if j < 0 or j + 5 > len(head):
+                break
+            b0 = head[j + 3]
+            t = (b0 >> 1) & 0x3F
+            if b0 & 0x81 or (head[j + 4] & 0xF8) != 0:
+                i = j + 3
+                continue
+            if t == 32:
+                vps += 1
+            elif t == 33:
+                sps += 1
+            elif t == 34:
+                pps += 1
+            elif 16 <= t <= 23:
+                irap += 1
+            i = j + 3
+        return 52 if (sps and pps and irap) else 0
+
+    def read_header(self) -> None:
+        chunks = []
+        while not self.r.at_eof():
+            b = self.r.read(1 << 20)
+            if not b:
+                break
+            chunks.append(b)
+        self._buf = b"".join(chunks)
+        if b"\x00\x00\x01" not in self._buf:
+            raise InvalidData("hevc: no start code")
+        par = CodecParameters(codec_type=MediaType.VIDEO,
+                              codec_id="hevc")
+        self.add_stream(codecpar=par, time_base=Rational(1, 25))
+        self._pos = 0
+        self._pts = 0
+
+    def _next_nal(self, pos):
+        j = self._buf.find(b"\x00\x00\x01", pos)
+        if j < 0:
+            return None, len(self._buf)
+        start = j + 3
+        k = self._buf.find(b"\x00\x00\x01", start)
+        end = len(self._buf) if k < 0 else \
+            (k - 1 if k > 0 and self._buf[k - 1] == 0 else k)
+        return (j, start, end), end
+
+    def read_packet(self) -> Packet:
+        if self._pos >= len(self._buf):
+            raise EndOfStream()
+        au_start = None
+        seen_vcl = False
+        pos = self._pos
+        while True:
+            span, nxt = self._next_nal(pos)
+            if span is None:
+                if au_start is None:
+                    raise EndOfStream()
+                end = len(self._buf)
+                break
+            scode, start, end_nal = span
+            nal = self._buf[start:end_nal]
+            t = (nal[0] >> 1) & 0x3F if nal else 63
+            first_slice = len(nal) > 2 and bool(nal[2] & 0x80)
+            if au_start is None:
+                au_start = scode
+            if t <= 21:                        # VCL
+                if seen_vcl and first_slice:
+                    end = scode
+                    break
+                seen_vcl = True
+            elif seen_vcl and t in (32, 33, 34, 35, 39):
+                end = scode
+                break
+            pos = end_nal
+        data = self._buf[au_start:end]
+        self._pos = end
+        pkt = Packet(data=data, pts=self._pts, dts=self._pts, duration=1,
+                     stream_index=0, flags=PKT_FLAG_KEY,
+                     time_base=Rational(1, 25))
+        self._pts += 1
+        return pkt

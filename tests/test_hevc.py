@@ -1,0 +1,308 @@
+"""HEVC I-slice decoder tests: crafted streams (our CABAC encoder
+driving the same syntax walker) cross-checked against the reference
+decoder, mirroring the H.264 test strategy."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+import refutil
+from conftest import requires_ref
+
+from test_h264 import BW
+
+from ffmpeg_tpu.codecs import CodecContext
+from ffmpeg_tpu.codecs.h264.cabac import CabacEncoder
+from ffmpeg_tpu.codecs.hevc import params as HP
+from ffmpeg_tpu.codecs.hevc.ctu import CtuCoder, FrameDec
+from ffmpeg_tpu.core.packet import Packet
+from ffmpeg_tpu.io.stream import CodecParameters, MediaType
+from ffmpeg_tpu.utils.rational import Rational
+
+W, H = 64, 64
+
+
+def _escape(rbsp: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def hnal(ntype: int, rbsp: bytes) -> bytes:
+    return b"\x00\x00\x00\x01" + bytes([(ntype << 1) & 0x7E, 1]) \
+        + _escape(rbsp)
+
+
+def _ptl(w):
+    w.u(0, 2)            # profile_space
+    w.u(0, 1)            # tier
+    w.u(1, 5)            # Main profile
+    for _ in range(32):
+        w.u(0, 1)   # profile compatibility flags
+    w.u(1, 1)            # progressive_source
+    w.u(0, 1)            # interlaced
+    w.u(0, 1)            # non_packed
+    w.u(1, 1)            # frame_only
+    for _ in range(44):
+        w.u(0, 1)        # reserved_zero_44bits
+    w.u(120, 8)          # level 4.0
+
+
+def make_vps():
+    w = BW()
+    w.u(0, 4)            # vps_id
+    w.u(1, 1)            # base_layer_internal
+    w.u(1, 1)            # base_layer_available
+    w.u(0, 6)            # max_layers - 1
+    w.u(0, 3)            # max_sub_layers - 1
+    w.u(1, 1)            # temporal_id_nesting
+    w.u(0xFFFF, 16)      # reserved
+    _ptl(w)
+    w.u(0, 1)            # sub_layer_ordering_info_present
+    w.ue(1)              # max_dec_pic_buffering - 1
+    w.ue(0)              # num_reorder_pics
+    w.ue(0)              # max_latency_increase + 1
+    w.u(0, 6)            # max_layer_id
+    w.ue(0)              # num_layer_sets - 1
+    w.u(0, 1)            # timing_info_present
+    w.u(0, 1)            # extension
+    return hnal(HP.NAL_VPS, w.rbsp())
+
+
+def make_sps(width=W, height=H, log2_ctb=5, log2_min_cb=3,
+             log2_min_tb=2, log2_max_tb=5, max_td_intra=0,
+             strong_smoothing=False):
+    w = BW()
+    w.u(0, 4)            # vps_id
+    w.u(0, 3)            # max_sub_layers - 1
+    w.u(1, 1)            # temporal_id_nesting
+    _ptl(w)
+    w.ue(0)              # sps_id
+    w.ue(1)              # chroma_format_idc
+    w.ue(width)
+    w.ue(height)
+    w.u(0, 1)            # conformance_window
+    w.ue(0)              # bit_depth_luma - 8
+    w.ue(0)              # bit_depth_chroma - 8
+    w.ue(4)              # log2_max_poc_lsb - 4
+    w.u(1, 1)            # sub_layer_ordering_info_present
+    w.ue(1)              # max_dec_pic_buffering - 1
+    w.ue(0)              # num_reorder
+    w.ue(0)              # max_latency
+    w.ue(log2_min_cb - 3)
+    w.ue(log2_ctb - log2_min_cb)
+    w.ue(log2_min_tb - 2)
+    w.ue(log2_max_tb - log2_min_tb)
+    w.ue(0)              # max_transform_hierarchy_depth_inter
+    w.ue(max_td_intra)   # max_transform_hierarchy_depth_intra
+    w.u(0, 1)            # scaling_list_enabled
+    w.u(0, 1)            # amp_enabled
+    w.u(0, 1)            # sample_adaptive_offset_enabled
+    w.u(0, 1)            # pcm_enabled
+    w.ue(0)              # num_short_term_ref_pic_sets
+    w.u(0, 1)            # long_term_ref_pics_present
+    w.u(0, 1)            # temporal_mvp
+    w.u(1 if strong_smoothing else 0, 1)
+    w.u(0, 1)            # vui
+    w.u(0, 1)            # extension
+    return hnal(HP.NAL_SPS, w.rbsp())
+
+
+def make_pps():
+    w = BW()
+    w.ue(0)              # pps_id
+    w.ue(0)              # sps_id
+    w.u(0, 1)            # dependent_slice_segments
+    w.u(0, 1)            # output_flag_present
+    w.u(0, 3)            # num_extra_slice_header_bits
+    w.u(0, 1)            # sign_data_hiding
+    w.u(0, 1)            # cabac_init_present
+    w.ue(0)              # num_ref_idx_l0_default - 1
+    w.ue(0)              # num_ref_idx_l1_default - 1
+    w.se(0)              # init_qp - 26
+    w.u(0, 1)            # constrained_intra_pred
+    w.u(0, 1)            # transform_skip
+    w.u(0, 1)            # cu_qp_delta_enabled
+    w.se(0)              # cb_qp_offset
+    w.se(0)              # cr_qp_offset
+    w.u(0, 1)            # slice_chroma_qp_offsets_present
+    w.u(0, 1)            # weighted_pred
+    w.u(0, 1)            # weighted_bipred
+    w.u(0, 1)            # transquant_bypass
+    w.u(0, 1)            # tiles_enabled
+    w.u(0, 1)            # entropy_coding_sync
+    w.u(1, 1)            # loop_filter_across_slices
+    w.u(1, 1)            # deblocking_filter_control_present
+    w.u(0, 1)            # deblocking_filter_override_enabled
+    w.u(1, 1)            # pps_deblocking_filter_disabled
+    w.u(0, 1)            # pps_scaling_list_data_present
+    w.u(0, 1)            # lists_modification_present
+    w.ue(0)              # log2_parallel_merge_level - 2
+    w.u(0, 1)            # slice_segment_header_extension
+    w.u(0, 1)            # pps_extension
+    return hnal(HP.NAL_PPS, w.rbsp())
+
+
+def slice_header_bits(qp_delta=0):
+    w = BW()
+    w.u(1, 1)            # first_slice_segment_in_pic
+    w.u(0, 1)            # no_output_of_prior_pics
+    w.ue(0)              # pps_id
+    w.ue(2)              # slice_type I
+    w.se(qp_delta)       # slice_qp_delta
+    w.u(1, 1)            # byte_alignment: alignment_bit_equal_to_one
+    while len(w.bits) % 8:
+        w.u(0, 1)
+    return w
+
+
+class Plan:
+    """CU intents for the encode-direction walker."""
+
+    def __init__(self, rng, split_p=0.5, nxn_p=0.5, tt_split_p=0.3,
+                 cbf_p=0.7, maxn=4, amp=8, mode_pool=None):
+        self.rng = rng
+        self.split_p = split_p
+        self.nxn_p = nxn_p
+        self.tt_split_p = tt_split_p
+        self.cbf_p = cbf_p
+        self.maxn = maxn
+        self.amp = amp
+        self.mode_pool = mode_pool or list(range(35))
+
+    def split(self, x0, y0, log2):
+        return self.rng.random() < self.split_p
+
+    def part_nxn(self, x0, y0, log2):
+        return self.rng.random() < self.nxn_p
+
+    def luma_mode(self, x0, y0, log2, i):
+        return int(self.rng.choice(self.mode_pool))
+
+    def chroma_mode(self, x0, y0, log2, luma_mode):
+        return int(self.rng.integers(0, 5))
+
+    def split_tt(self, x0, y0, log2, depth):
+        return self.rng.random() < self.tt_split_p
+
+    def cbf_cb(self, x0, y0, log2, depth, split):
+        return self.rng.random() < self.cbf_p
+
+    def cbf_cr(self, x0, y0, log2, depth, split):
+        return self.rng.random() < self.cbf_p
+
+    def cbf_luma(self, x0, y0, log2, depth):
+        return self.rng.random() < self.cbf_p
+
+    def levels(self, x0, y0, log2, c_idx):
+        n = 1 << log2
+        lv = np.zeros((n, n), np.int64)
+        k = int(self.rng.integers(1, self.maxn + 1))
+        for _ in range(k):
+            yy = int(self.rng.integers(0, n))
+            xx = int(self.rng.integers(0, n))
+            lv[yy, xx] = int(self.rng.integers(-self.amp,
+                                               self.amp + 1)) or 1
+        return lv
+
+
+def craft_frame(plan, qp_delta=0, width=W, height=H, **sps_kw):
+    sps_kw = dict(sps_kw, width=width, height=height)
+    sps_nal = make_vps() + make_sps(**sps_kw)
+    pps_nal = make_pps()
+    from ffmpeg_tpu.codecs.h264 import nal as N
+    sps = HP.parse_sps(N.unescape(make_sps(**sps_kw)[6:]))
+    pps = HP.parse_pps(N.unescape(pps_nal[6:]))
+    hw = slice_header_bits(qp_delta)
+    sh = HP.HevcSliceHeader(qp=26 + qp_delta)
+    dec = FrameDec(sps, pps, sh)
+    enc = CabacEncoder()
+    cc = CtuCoder(dec, enc, encode=True, plan=plan)
+    cc.code_slice_data()
+    from test_h264_cabac import _bits_to_bytes
+    payload = _bits_to_bytes(hw.bits) + _bits_to_bytes(enc.bitstring())
+    return sps_nal + pps_nal + hnal(HP.NAL_IDR_W_RADL, payload)
+
+
+def _decode_vs_ref(stream, tmp_path, width=W, height=H):
+    p = tmp_path / "s.h265"
+    p.write_bytes(stream)
+    raw = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "hevc", "-i", str(p),
+         "-f", "rawvideo", "-"], check=True, capture_output=True).stdout
+    sz = width * height * 3 // 2
+    assert len(raw) == sz, f"reference produced {len(raw)} bytes"
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="hevc")
+    dec = CodecContext.open_decoder(par)
+    frames = dec.decode_all([Packet(data=stream, pts=0,
+                                    time_base=Rational(1, 25))])
+    assert len(frames) == 1
+    got = np.concatenate([np.asarray(pl).ravel()
+                          for pl in frames[0].planes])
+    want = np.frombuffer(raw, np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
+@requires_ref
+@pytest.mark.parametrize("seed", [0, 3, 8])
+def test_hevc_i_exact(tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    _decode_vs_ref(craft_frame(Plan(rng)), tmp_path)
+
+
+@requires_ref
+def test_hevc_i_pred_only(tmp_path):
+    rng = np.random.default_rng(1)
+    _decode_vs_ref(craft_frame(Plan(rng, cbf_p=0.0)), tmp_path)
+
+
+@requires_ref
+def test_hevc_i_tt_depth(tmp_path):
+    """Deeper transform trees (max_transform_hierarchy_depth_intra=2)."""
+    rng = np.random.default_rng(5)
+    _decode_vs_ref(craft_frame(Plan(rng, tt_split_p=0.6),
+                               max_td_intra=2), tmp_path)
+
+
+@requires_ref
+def test_hevc_i_ctb64(tmp_path):
+    """64x64 CTBs with 32x32 max TBs (forced transform split)."""
+    rng = np.random.default_rng(7)
+    _decode_vs_ref(craft_frame(Plan(rng, split_p=0.4), log2_ctb=6),
+                   tmp_path)
+
+
+@requires_ref
+def test_hevc_i_dense_residual(tmp_path):
+    """Many coefficients: exercises greater1/2, remaining, rice."""
+    rng = np.random.default_rng(9)
+    _decode_vs_ref(craft_frame(Plan(rng, maxn=40, amp=60)), tmp_path)
+
+
+@requires_ref
+def test_hevc_i_partial_ctbs(tmp_path):
+    """Frame not a CTB multiple: implicit quadtree splits at edges."""
+    rng = np.random.default_rng(11)
+    _decode_vs_ref(craft_frame(Plan(rng), width=72, height=56),
+                   tmp_path, width=72, height=56)
+
+
+@requires_ref
+@pytest.mark.parametrize("qpd", [-16, 10, 20])
+def test_hevc_i_qp(tmp_path, qpd):
+    rng = np.random.default_rng(13)
+    _decode_vs_ref(craft_frame(Plan(rng), qp_delta=qpd), tmp_path)
+
+
+@requires_ref
+def test_hevc_i_ctb16(tmp_path):
+    rng = np.random.default_rng(17)
+    _decode_vs_ref(craft_frame(Plan(rng, split_p=0.3), log2_ctb=4,
+                               log2_max_tb=4), tmp_path)
