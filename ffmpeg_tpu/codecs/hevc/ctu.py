@@ -84,6 +84,11 @@ class FrameDec:
         self.zs = (ctb << (2 * d)) + m[ys[:, None] & ((1 << d) - 1),
                                        xs[None, :] & ((1 << d) - 1)]
         self.cbf_luma_map = np.zeros((n4y, n4x), np.uint8)
+        # TU/PU boundary maps at 4x4 granularity for the deblocker
+        # (filter.c analog); True where a block edge starts at that
+        # 4x4's left (vedge) / top (hedge) border.
+        self.vedge = np.zeros((H // 4, W // 4), bool)
+        self.hedge = np.zeros((H // 4, W // 4), bool)
 
 
 class CtuCoder:
@@ -382,6 +387,13 @@ class CtuCoder:
         dec = self.dec
         size = 1 << log2
         mode_c = self._mode_c
+        # record TU boundaries for the deblocker (covers CU and intra
+        # NxN PU edges too: TU leaves tile each CU, and intra NxN
+        # forces a depth-0 transform split)
+        yl = min(y0 + size, dec.sps.height) >> 2
+        xl = min(x0 + size, dec.sps.width) >> 2
+        dec.vedge[y0 >> 2:yl, x0 >> 2] = True
+        dec.hedge[y0 >> 2, x0 >> 2:xl] = True
         # luma: predict, then residual
         if not self.io.encode:
             avail = self._avail(x0, y0, size)

@@ -1,9 +1,214 @@
-"""HEVC in-loop filters (deblocking + SAO; reference:
-libavcodec/hevc/filter.c). Deblocking lands with the next milestone;
-crafted test streams disable it until then."""
+"""HEVC in-loop deblocking filter, exact integer math (spec 8.7.2;
+reference: libavcodec/hevc/filter.c hevc_loop_filter_luma/chroma).
 
-from ...utils.error import NotSupported
+Host numpy implementation operating on the whole picture: all vertical
+edges first, then all horizontal edges (the spec's two-pass order,
+which libavcodec reproduces CTB-by-CTB with lag). Edge positions come
+from the per-4x4 TU/PU boundary maps FrameDec collects during CTU
+parsing; for intra pictures every marked edge has bS = 2."""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Table 8-12 (H.265): beta' indexed by Q in 0..51, tc' by Q in 0..53
+BETATABLE = np.array(
+    [0] * 16 +
+    [6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18] +
+    list(range(20, 66, 2)), np.int32)
+TCTABLE = np.array(
+    [0] * 18 +
+    [1] * 9 +
+    [2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 5, 5, 6, 6, 7, 8, 9, 10, 11,
+     13, 14, 16, 18, 20, 22, 24], np.int32)
+
+assert len(BETATABLE) == 52 and len(TCTABLE) == 54
+
+
+def _clip255(v):
+    return max(0, min(255, v))
+
+
+def _clip3(lo, hi, v):
+    return max(lo, min(hi, v))
+
+
+def _luma_edge(get, put, tc, beta, no_p=False, no_q=False):
+    """Filter one 4-line luma edge segment. get(i, k) returns sample k
+    of line i where k in -4..3 maps p3 p2 p1 p0 q0 q1 q2 q3; put(i, k,
+    v) stores. Exact per spec 8.7.2.5.3/8.7.2.5.7."""
+    p = [[get(i, -1 - j) for j in range(4)] for i in range(4)]  # p0..p3
+    q = [[get(i, j) for j in range(4)] for i in range(4)]
+    dp0 = abs(p[0][2] - 2 * p[0][1] + p[0][0])
+    dp3 = abs(p[3][2] - 2 * p[3][1] + p[3][0])
+    dq0 = abs(q[0][2] - 2 * q[0][1] + q[0][0])
+    dq3 = abs(q[3][2] - 2 * q[3][1] + q[3][0])
+    d0, d3 = dp0 + dq0, dp3 + dq3
+    if d0 + d3 >= beta:
+        return
+    def dsam(i, d):
+        return (2 * d < (beta >> 2)
+                and abs(p[i][3] - p[i][0]) + abs(q[i][0] - q[i][3])
+                < (beta >> 3)
+                and abs(p[i][0] - q[i][0]) < ((5 * tc + 1) >> 1))
+    if dsam(0, d0) and dsam(3, d3):
+        tc2 = 2 * tc
+        for i in range(4):
+            P, Q = p[i], q[i]
+            if not no_p:
+                put(i, -1, _clip3(P[0] - tc2, P[0] + tc2,
+                    (P[2] + 2 * P[1] + 2 * P[0] + 2 * Q[0] + Q[1] + 4)
+                    >> 3))
+                put(i, -2, _clip3(P[1] - tc2, P[1] + tc2,
+                    (P[2] + P[1] + P[0] + Q[0] + 2) >> 2))
+                put(i, -3, _clip3(P[2] - tc2, P[2] + tc2,
+                    (2 * P[3] + 3 * P[2] + P[1] + P[0] + Q[0] + 4) >> 3))
+            if not no_q:
+                put(i, 0, _clip3(Q[0] - tc2, Q[0] + tc2,
+                    (P[1] + 2 * P[0] + 2 * Q[0] + 2 * Q[1] + Q[2] + 4)
+                    >> 3))
+                put(i, 1, _clip3(Q[1] - tc2, Q[1] + tc2,
+                    (P[0] + Q[0] + Q[1] + Q[2] + 2) >> 2))
+                put(i, 2, _clip3(Q[2] - tc2, Q[2] + tc2,
+                    (P[0] + Q[0] + Q[1] + 3 * Q[2] + 2 * Q[3] + 4) >> 3))
+        return
+    # weak filter
+    side_thresh = (beta + (beta >> 1)) >> 3
+    filt_p = dp0 + dp3 < side_thresh
+    filt_q = dq0 + dq3 < side_thresh
+    for i in range(4):
+        P, Q = p[i], q[i]
+        delta = (9 * (Q[0] - P[0]) - 3 * (Q[1] - P[1]) + 8) >> 4
+        if abs(delta) >= tc * 10:
+            continue
+        delta = _clip3(-tc, tc, delta)
+        if not no_p:
+            put(i, -1, _clip255(P[0] + delta))
+            if filt_p:
+                dp = _clip3(-(tc >> 1), tc >> 1,
+                            (((P[2] + P[0] + 1) >> 1) - P[1] + delta)
+                            >> 1)
+                put(i, -2, _clip255(P[1] + dp))
+        if not no_q:
+            put(i, 0, _clip255(Q[0] - delta))
+            if filt_q:
+                dq = _clip3(-(tc >> 1), tc >> 1,
+                            (((Q[2] + Q[0] + 1) >> 1) - Q[1] - delta)
+                            >> 1)
+                put(i, 1, _clip255(Q[1] + dq))
+
+
+def _chroma_edge(get, put, tc, no_p=False, no_q=False):
+    """One 4-line chroma edge segment (spec 8.7.2.5.5)."""
+    for i in range(4):
+        p1, p0 = get(i, -2), get(i, -1)
+        q0, q1 = get(i, 0), get(i, 1)
+        delta = _clip3(-tc, tc, ((((q0 - p0) * 4) + p1 - q1 + 4) >> 3))
+        if not no_p:
+            put(i, -1, _clip255(p0 + delta))
+        if not no_q:
+            put(i, 0, _clip255(q0 - delta))
 
 
 def deblock_frame(dec):
-    raise NotSupported("hevc: deblocking not yet implemented")
+    """Deblock dec.y/u/v in place. Uses dec.vedge/hedge 4x4-granular
+    TU/PU boundary maps and per-4x4 bS in dec.bs_v/bs_h when present
+    (inter); intra pictures default every boundary to bS = 2."""
+    sh, sps = dec.sh, dec.sps
+    if sh.deblocking_disabled:
+        return
+    W, H = sps.width, sps.height
+    qp = dec.qp
+    from .recon import chroma_qp
+
+    def luma_params(bs):
+        idxb = _clip3(0, 51, qp + sh.beta_offset)
+        beta = int(BETATABLE[idxb])
+        idxt = _clip3(0, 53, qp + 2 * (bs - 1) + sh.tc_offset)
+        return beta, int(TCTABLE[idxt])
+
+    y = dec.y.astype(np.int32)
+    bs_v = getattr(dec, "bs_v", None)
+    bs_h = getattr(dec, "bs_h", None)
+
+    def bs_at(vert, x4, y4):
+        m = bs_v if vert else bs_h
+        if m is None:
+            return 2
+        return int(m[y4, x4])
+
+    # --- luma vertical edges (x multiple of 8), 4-row segments
+    for x in range(8, W, 8):
+        if not dec.vedge[:, x >> 2].any():
+            continue
+        for y0 in range(0, H, 4):
+            if not dec.vedge[y0 >> 2, x >> 2]:
+                continue
+            bs = bs_at(True, x >> 2, y0 >> 2)
+            if not bs:
+                continue
+            beta, tc = luma_params(bs)
+            if not tc:
+                continue
+            _luma_edge(lambda i, k: int(y[y0 + i, x + k]),
+                       lambda i, k, v: y.__setitem__((y0 + i, x + k),
+                                                     v),
+                       tc, beta)
+    # --- luma horizontal edges (y multiple of 8), 4-col segments
+    for yy in range(8, H, 8):
+        if not dec.hedge[yy >> 2, :].any():
+            continue
+        for x0 in range(0, W, 4):
+            if not dec.hedge[yy >> 2, x0 >> 2]:
+                continue
+            bs = bs_at(False, x0 >> 2, yy >> 2)
+            if not bs:
+                continue
+            beta, tc = luma_params(bs)
+            if not tc:
+                continue
+            _luma_edge(lambda i, k: int(y[yy + k, x0 + i]),
+                       lambda i, k, v: y.__setitem__((yy + k, x0 + i),
+                                                     v),
+                       tc, beta)
+    dec.y[:] = y.astype(np.uint8)
+
+    # --- chroma (4:2:0): edges on 16-luma grid, bS == 2 only
+    for c_idx, pl in ((1, dec.u), (2, dec.v)):
+        off = (dec.pps.cb_qp_offset if c_idx == 1
+               else dec.pps.cr_qp_offset)
+        off += (dec.sh.cb_qp_offset if c_idx == 1
+                else dec.sh.cr_qp_offset)
+        qpc = chroma_qp(qp, off)
+        tc = int(TCTABLE[_clip3(0, 53, qpc + 2 + sh.tc_offset)])
+        if not tc:
+            continue
+        c = pl.astype(np.int32)
+        cH, cW = c.shape
+        for x in range(16, W, 16):          # luma coords
+            xc = x >> 1
+            for y0 in range(0, H, 8):       # 4 chroma rows per segment
+                if (y0 >> 1) + 4 > cH:
+                    break
+                if not dec.vedge[y0 >> 2, x >> 2]:
+                    continue
+                if bs_at(True, x >> 2, y0 >> 2) != 2:
+                    continue
+                _chroma_edge(
+                    lambda i, k: int(c[(y0 >> 1) + i, xc + k]),
+                    lambda i, k, v: c.__setitem__(
+                        ((y0 >> 1) + i, xc + k), v), tc)
+        for yy in range(16, H, 16):
+            yc = yy >> 1
+            for x0 in range(0, W, 8):
+                if (x0 >> 1) + 4 > cW:
+                    break
+                if not dec.hedge[yy >> 2, x0 >> 2]:
+                    continue
+                if bs_at(False, x0 >> 2, yy >> 2) != 2:
+                    continue
+                _chroma_edge(
+                    lambda i, k: int(c[yc + k, (x0 >> 1) + i]),
+                    lambda i, k, v: c.__setitem__(
+                        (yc + k, (x0 >> 1) + i), v), tc)
+        pl[:] = c.astype(np.uint8)

@@ -115,14 +115,15 @@ def make_sps(width=W, height=H, log2_ctb=5, log2_min_cb=3,
     return hnal(HP.NAL_SPS, w.rbsp())
 
 
-def make_pps():
+def make_pps(deblock=False, beta_offset=0, tc_offset=0,
+             cb_qp_offset=0, cr_qp_offset=0, sign_hiding=False):
     w = BW()
     w.ue(0)              # pps_id
     w.ue(0)              # sps_id
     w.u(0, 1)            # dependent_slice_segments
     w.u(0, 1)            # output_flag_present
     w.u(0, 3)            # num_extra_slice_header_bits
-    w.u(0, 1)            # sign_data_hiding
+    w.u(1 if sign_hiding else 0, 1)   # sign_data_hiding
     w.u(0, 1)            # cabac_init_present
     w.ue(0)              # num_ref_idx_l0_default - 1
     w.ue(0)              # num_ref_idx_l1_default - 1
@@ -130,8 +131,8 @@ def make_pps():
     w.u(0, 1)            # constrained_intra_pred
     w.u(0, 1)            # transform_skip
     w.u(0, 1)            # cu_qp_delta_enabled
-    w.se(0)              # cb_qp_offset
-    w.se(0)              # cr_qp_offset
+    w.se(cb_qp_offset)   # cb_qp_offset
+    w.se(cr_qp_offset)   # cr_qp_offset
     w.u(0, 1)            # slice_chroma_qp_offsets_present
     w.u(0, 1)            # weighted_pred
     w.u(0, 1)            # weighted_bipred
@@ -141,7 +142,10 @@ def make_pps():
     w.u(1, 1)            # loop_filter_across_slices
     w.u(1, 1)            # deblocking_filter_control_present
     w.u(0, 1)            # deblocking_filter_override_enabled
-    w.u(1, 1)            # pps_deblocking_filter_disabled
+    w.u(0 if deblock else 1, 1)       # pps_deblocking_filter_disabled
+    if deblock:
+        w.se(beta_offset // 2)        # pps_beta_offset_div2
+        w.se(tc_offset // 2)          # pps_tc_offset_div2
     w.u(0, 1)            # pps_scaling_list_data_present
     w.u(0, 1)            # lists_modification_present
     w.ue(0)              # log2_parallel_merge_level - 2
@@ -150,13 +154,15 @@ def make_pps():
     return hnal(HP.NAL_PPS, w.rbsp())
 
 
-def slice_header_bits(qp_delta=0):
+def slice_header_bits(qp_delta=0, deblock=False):
     w = BW()
     w.u(1, 1)            # first_slice_segment_in_pic
     w.u(0, 1)            # no_output_of_prior_pics
     w.ue(0)              # pps_id
     w.ue(2)              # slice_type I
     w.se(qp_delta)       # slice_qp_delta
+    if deblock:
+        w.u(1, 1)        # slice_loop_filter_across_slices_enabled
     w.u(1, 1)            # byte_alignment: alignment_bit_equal_to_one
     while len(w.bits) % 8:
         w.u(0, 1)
@@ -213,14 +219,17 @@ class Plan:
         return lv
 
 
-def craft_frame(plan, qp_delta=0, width=W, height=H, **sps_kw):
+def craft_frame(plan, qp_delta=0, width=W, height=H, pps_kw=None,
+                **sps_kw):
     sps_kw = dict(sps_kw, width=width, height=height)
+    pps_kw = pps_kw or {}
     sps_nal = make_vps() + make_sps(**sps_kw)
-    pps_nal = make_pps()
+    pps_nal = make_pps(**pps_kw)
     from ffmpeg_tpu.codecs.h264 import nal as N
     sps = HP.parse_sps(N.unescape(make_sps(**sps_kw)[6:]))
     pps = HP.parse_pps(N.unescape(pps_nal[6:]))
-    hw = slice_header_bits(qp_delta)
+    hw = slice_header_bits(qp_delta, deblock=pps_kw.get("deblock",
+                                                        False))
     sh = HP.HevcSliceHeader(qp=26 + qp_delta)
     dec = FrameDec(sps, pps, sh)
     enc = CabacEncoder()
@@ -306,3 +315,34 @@ def test_hevc_i_ctb16(tmp_path):
     rng = np.random.default_rng(17)
     _decode_vs_ref(craft_frame(Plan(rng, split_p=0.3), log2_ctb=4,
                                log2_max_tb=4), tmp_path)
+
+
+@requires_ref
+@pytest.mark.parametrize("seed", [21, 23])
+def test_hevc_i_deblock(tmp_path, seed):
+    """In-loop deblocking enabled (strong + weak paths via dense
+    residual at default qp)."""
+    rng = np.random.default_rng(seed)
+    _decode_vs_ref(craft_frame(Plan(rng, maxn=24, amp=80),
+                               pps_kw=dict(deblock=True)), tmp_path)
+
+
+@requires_ref
+def test_hevc_i_deblock_offsets(tmp_path):
+    """Non-zero beta/tc offsets and chroma qp offsets."""
+    rng = np.random.default_rng(27)
+    _decode_vs_ref(craft_frame(
+        Plan(rng, maxn=16, amp=40), qp_delta=8,
+        pps_kw=dict(deblock=True, beta_offset=4, tc_offset=-4,
+                    cb_qp_offset=3, cr_qp_offset=-3)), tmp_path)
+
+
+@requires_ref
+def test_hevc_i_deblock_high_qp(tmp_path):
+    """High qp drives the strong-filter decision everywhere."""
+    rng = np.random.default_rng(29)
+    _decode_vs_ref(craft_frame(Plan(rng, maxn=8, amp=120),
+                               qp_delta=18,
+                               pps_kw=dict(deblock=True)), tmp_path)
+
+
