@@ -79,11 +79,11 @@ class HevcDecoder(Codec):
         dec = FrameDec(sps, pps, sh)
         core = CabacDecoder(rbsp[sh.data_bit_pos // 8:])
         CtuCoder(dec, core).code_slice_data()
+        from .filter import deblock_frame, sao_frame
         if not sh.deblocking_disabled:
-            from .filter import deblock_frame
             deblock_frame(dec)
         if sps.sao_enabled and (sh.sao_luma or sh.sao_chroma):
-            raise InvalidData("hevc: SAO not yet implemented")
+            sao_frame(dec)
         f = Frame.video(sps.width, sps.height, "yuv420p",
                         planes=[dec.y.copy(), dec.u.copy(),
                                 dec.v.copy()],

@@ -89,6 +89,13 @@ class FrameDec:
         # 4x4's left (vedge) / top (hedge) border.
         self.vedge = np.zeros((H // 4, W // 4), bool)
         self.hedge = np.zeros((H // 4, W // 4), bool)
+        # per-CTB SAO parameters (type 0 off/1 band/2 edge;
+        # offset[c][0..4] = SaoOffsetVal with [0] == 0)
+        ch, cw = sps.ctb_height, sps.ctb_width
+        self.sao_type = np.zeros((ch, cw, 3), np.int32)
+        self.sao_offset = np.zeros((ch, cw, 3, 5), np.int32)
+        self.sao_band_pos = np.zeros((ch, cw, 3), np.int32)
+        self.sao_eo_class = np.zeros((ch, cw, 3), np.int32)
 
 
 class CtuCoder:
@@ -102,14 +109,116 @@ class CtuCoder:
     def code_slice_data(self):
         dec = self.dec
         sps = dec.sps
+        sh = dec.sh
         n = sps.ctb_width * sps.ctb_height
         for addr in range(n):
-            ctb_x = (addr % sps.ctb_width) << sps.log2_ctb
-            ctb_y = (addr // sps.ctb_width) << sps.log2_ctb
+            rx = addr % sps.ctb_width
+            ry = addr // sps.ctb_width
+            ctb_x = rx << sps.log2_ctb
+            ctb_y = ry << sps.log2_ctb
+            if sps.sao_enabled and (sh.sao_luma or sh.sao_chroma):
+                self.sao(rx, ry)
             self.coding_quadtree(ctb_x, ctb_y, sps.log2_ctb, 0)
             last = addr == n - 1
             if self.io.term(1 if last else 0) and not last:
                 raise InvalidData("hevc: early end_of_slice")
+
+    # ------------------------------------------------------------------
+    def sao(self, rx, ry):
+        """sao() syntax (spec 7.3.8.3; hevc/cabac.c sao_* decoders)."""
+        dec, io = self.dec, self.io
+        sh = dec.sh
+        merge_left = merge_up = 0
+        if rx > 0:
+            v = None
+            if io.encode:
+                v = 1 if self.plan.sao_merge_left(rx, ry) else 0
+            merge_left = io.dec(self.ctx[_O["sao_merge_flag"]], v)
+        if not merge_left and ry > 0:
+            v = None
+            if io.encode:
+                v = 1 if self.plan.sao_merge_up(rx, ry) else 0
+            merge_up = io.dec(self.ctx[_O["sao_merge_flag"]], v)
+        if merge_left or merge_up:
+            sy, sx = (ry, rx - 1) if merge_left else (ry - 1, rx)
+            for arr in (dec.sao_type, dec.sao_offset,
+                        dec.sao_band_pos, dec.sao_eo_class):
+                arr[ry, rx] = arr[sy, sx]
+            return
+        for c in range(3):
+            if (c == 0 and not sh.sao_luma) or \
+                    (c > 0 and not sh.sao_chroma):
+                continue
+            if c == 2:                   # Cr shares Cb's type/class
+                t = int(dec.sao_type[ry, rx, 1])
+                eo = int(dec.sao_eo_class[ry, rx, 1])
+            else:
+                tv = None
+                if io.encode:
+                    tv = self.plan.sao_type(c, rx, ry)
+                b0 = io.dec(self.ctx[_O["sao_type_idx"]],
+                            None if tv is None else int(tv > 0))
+                if not b0:
+                    t = 0
+                else:
+                    b1 = io.byp(None if tv is None else int(tv == 2))
+                    t = 2 if b1 else 1
+                eo = -1
+            dec.sao_type[ry, rx, c] = t
+            if not t:
+                continue
+            absv = []
+            for i in range(4):
+                av = None
+                if io.encode:
+                    av = abs(self.plan.sao_offset(c, rx, ry, i))
+                absv.append(self._sao_offset_abs(av))
+            vals = np.zeros(5, np.int32)
+            if t == 1:                   # band
+                for i in range(4):
+                    sgn = 0
+                    if absv[i]:
+                        sv = None
+                        if io.encode:
+                            sv = 1 if self.plan.sao_offset(
+                                c, rx, ry, i) < 0 else 0
+                        sgn = io.byp(sv)
+                    vals[i + 1] = -absv[i] if sgn else absv[i]
+                bp = 0
+                bv = None
+                if io.encode:
+                    bv = self.plan.sao_band_position(c, rx, ry)
+                for k in range(4, -1, -1):
+                    bp = (bp << 1) | io.byp(
+                        None if bv is None else (bv >> k) & 1)
+                dec.sao_band_pos[ry, rx, c] = bp
+            else:                        # edge: signs are inferred
+                vals[1], vals[2] = absv[0], absv[1]
+                vals[3], vals[4] = -absv[2], -absv[3]
+                if c < 2:
+                    eo = 0
+                    ev = None
+                    if io.encode:
+                        ev = self.plan.sao_eo_class(c, rx, ry)
+                    for k in (1, 0):
+                        eo = (eo << 1) | io.byp(
+                            None if ev is None else (ev >> k) & 1)
+                dec.sao_eo_class[ry, rx, c] = eo
+            dec.sao_offset[ry, rx, c] = vals
+
+    def _sao_offset_abs(self, v=None):
+        """TR binarization, cMax = 7 (8-bit), all bypass."""
+        io = self.io
+        if io.encode:
+            for _ in range(v):
+                io.byp(1)
+            if v < 7:
+                io.byp(0)
+            return v
+        i = 0
+        while i < 7 and io.byp():
+            i += 1
+        return i
 
     # ------------------------------------------------------------------
     def coding_quadtree(self, x0, y0, log2, depth):

@@ -11,16 +11,11 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import tables as T
+
 # Table 8-12 (H.265): beta' indexed by Q in 0..51, tc' by Q in 0..53
-BETATABLE = np.array(
-    [0] * 16 +
-    [6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18] +
-    list(range(20, 66, 2)), np.int32)
-TCTABLE = np.array(
-    [0] * 18 +
-    [1] * 9 +
-    [2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 5, 5, 6, 6, 7, 8, 9, 10, 11,
-     13, 14, 16, 18, 20, 22, 24], np.int32)
+BETATABLE = np.asarray(T.BETA_TABLE, np.int32)
+TCTABLE = np.asarray(T.TC_TABLE, np.int32)
 
 assert len(BETATABLE) == 52 and len(TCTABLE) == 54
 
@@ -212,3 +207,71 @@ def deblock_frame(dec):
                     lambda i, k, v: c.__setitem__(
                         (yc + k, (x0 >> 1) + i), v), tc)
         pl[:] = c.astype(np.uint8)
+
+
+# EO class -> (neighbour a dy,dx ; neighbour b dy,dx)  (spec 8.7.3)
+_EO_NEIGH = ((0, -1, 0, 1), (-1, 0, 1, 0),
+             (-1, -1, 1, 1), (-1, 1, 1, -1))
+
+
+def sao_frame(dec):
+    """Sample-adaptive offset (spec 8.7.3; filter.c sao_filter_CTB).
+    Input is the deblocked picture; every CTB reads neighbours from
+    the pre-SAO copy, so the whole pass is one vectorized step per
+    (CTB, component)."""
+    sps, sh = dec.sps, dec.sh
+    if not (sh.sao_luma or sh.sao_chroma):
+        return
+    ctb = 1 << sps.log2_ctb
+    for c_idx, pl in enumerate((dec.y, dec.u, dec.v)):
+        if c_idx == 0 and not sh.sao_luma:
+            continue
+        if c_idx > 0 and not sh.sao_chroma:
+            continue
+        shift = 0 if c_idx == 0 else 1
+        src = pl.astype(np.int32)        # pre-SAO deblocked input
+        out = src.copy()
+        H, W = src.shape
+        for ry in range(sps.ctb_height):
+            for rx in range(sps.ctb_width):
+                t = int(dec.sao_type[ry, rx, c_idx])
+                if not t:
+                    continue
+                x0 = (rx << sps.log2_ctb) >> shift
+                y0 = (ry << sps.log2_ctb) >> shift
+                x1 = min(x0 + (ctb >> shift), W)
+                y1 = min(y0 + (ctb >> shift), H)
+                vals = dec.sao_offset[ry, rx, c_idx]
+                blk = src[y0:y1, x0:x1]
+                if t == 1:               # band offset
+                    band = blk >> 3      # bitdepth 8: 32 bands
+                    pos = int(dec.sao_band_pos[ry, rx, c_idx])
+                    lut = np.zeros(32, np.int32)
+                    for i in range(4):
+                        lut[(pos + i) & 31] = vals[i + 1]
+                    out[y0:y1, x0:x1] = np.clip(blk + lut[band],
+                                                0, 255)
+                    continue
+                # edge offset: neighbours from the pre-SAO picture
+                ady, adx, bdy, bdx = _EO_NEIGH[
+                    int(dec.sao_eo_class[ry, rx, c_idx])]
+                ys = np.arange(y0, y1)[:, None]
+                xs = np.arange(x0, x1)[None, :]
+                ok = ((ys + min(ady, bdy) >= 0)
+                      & (ys + max(ady, bdy) <= H - 1)
+                      & (xs + min(adx, bdx) >= 0)
+                      & (xs + max(adx, bdx) <= W - 1))
+                ya = np.clip(ys + ady, 0, H - 1)
+                xa = np.clip(xs + adx, 0, W - 1)
+                yb = np.clip(ys + bdy, 0, H - 1)
+                xb = np.clip(xs + bdx, 0, W - 1)
+                a = src[ya, xa]
+                b = src[yb, xb]
+                edge = 2 + np.sign(blk - a) + np.sign(blk - b)
+                # remap: 0->1, 1->2, 2->0, 3->3, 4->4
+                cat = np.where(edge == 2, 0,
+                               np.where(edge < 2, edge + 1, edge))
+                res = np.clip(blk + np.asarray(vals, np.int32)[cat],
+                              0, 255)
+                out[y0:y1, x0:x1] = np.where(ok, res, blk)
+        pl[:] = out.astype(np.uint8)

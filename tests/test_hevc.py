@@ -78,7 +78,7 @@ def make_vps():
 
 def make_sps(width=W, height=H, log2_ctb=5, log2_min_cb=3,
              log2_min_tb=2, log2_max_tb=5, max_td_intra=0,
-             strong_smoothing=False):
+             strong_smoothing=False, sao=False):
     w = BW()
     w.u(0, 4)            # vps_id
     w.u(0, 3)            # max_sub_layers - 1
@@ -104,7 +104,7 @@ def make_sps(width=W, height=H, log2_ctb=5, log2_min_cb=3,
     w.ue(max_td_intra)   # max_transform_hierarchy_depth_intra
     w.u(0, 1)            # scaling_list_enabled
     w.u(0, 1)            # amp_enabled
-    w.u(0, 1)            # sample_adaptive_offset_enabled
+    w.u(1 if sao else 0, 1)  # sample_adaptive_offset_enabled
     w.u(0, 1)            # pcm_enabled
     w.ue(0)              # num_short_term_ref_pic_sets
     w.u(0, 1)            # long_term_ref_pics_present
@@ -154,14 +154,17 @@ def make_pps(deblock=False, beta_offset=0, tc_offset=0,
     return hnal(HP.NAL_PPS, w.rbsp())
 
 
-def slice_header_bits(qp_delta=0, deblock=False):
+def slice_header_bits(qp_delta=0, deblock=False, sao=False):
     w = BW()
     w.u(1, 1)            # first_slice_segment_in_pic
     w.u(0, 1)            # no_output_of_prior_pics
     w.ue(0)              # pps_id
     w.ue(2)              # slice_type I
+    if sao:
+        w.u(1, 1)        # slice_sao_luma_flag
+        w.u(1, 1)        # slice_sao_chroma_flag
     w.se(qp_delta)       # slice_qp_delta
-    if deblock:
+    if deblock or sao:
         w.u(1, 1)        # slice_loop_filter_across_slices_enabled
     w.u(1, 1)            # byte_alignment: alignment_bit_equal_to_one
     while len(w.bits) % 8:
@@ -182,6 +185,7 @@ class Plan:
         self.maxn = maxn
         self.amp = amp
         self.mode_pool = mode_pool or list(range(35))
+        self._sao_cache = {}
 
     def split(self, x0, y0, log2):
         return self.rng.random() < self.split_p
@@ -218,6 +222,28 @@ class Plan:
                                                self.amp + 1)) or 1
         return lv
 
+    # ---- SAO intents ----
+    def sao_merge_left(self, rx, ry):
+        return self.rng.random() < 0.25
+
+    def sao_merge_up(self, rx, ry):
+        return self.rng.random() < 0.25
+
+    def sao_type(self, c, rx, ry):
+        return int(self.rng.integers(0, 3))
+
+    def sao_offset(self, c, rx, ry, i):
+        key = (c, rx, ry, i)
+        if key not in self._sao_cache:
+            self._sao_cache[key] = int(self.rng.integers(-7, 8))
+        return self._sao_cache[key]
+
+    def sao_band_position(self, c, rx, ry):
+        return int(self.rng.integers(0, 32))
+
+    def sao_eo_class(self, c, rx, ry):
+        return int(self.rng.integers(0, 4))
+
 
 def craft_frame(plan, qp_delta=0, width=W, height=H, pps_kw=None,
                 **sps_kw):
@@ -228,9 +254,12 @@ def craft_frame(plan, qp_delta=0, width=W, height=H, pps_kw=None,
     from ffmpeg_tpu.codecs.h264 import nal as N
     sps = HP.parse_sps(N.unescape(make_sps(**sps_kw)[6:]))
     pps = HP.parse_pps(N.unescape(pps_nal[6:]))
+    sao = sps_kw.get("sao", False)
     hw = slice_header_bits(qp_delta, deblock=pps_kw.get("deblock",
-                                                        False))
-    sh = HP.HevcSliceHeader(qp=26 + qp_delta)
+                                                        False),
+                           sao=sao)
+    sh = HP.HevcSliceHeader(qp=26 + qp_delta, sao_luma=sao,
+                            sao_chroma=sao)
     dec = FrameDec(sps, pps, sh)
     enc = CabacEncoder()
     cc = CtuCoder(dec, enc, encode=True, plan=plan)
@@ -315,6 +344,31 @@ def test_hevc_i_ctb16(tmp_path):
     rng = np.random.default_rng(17)
     _decode_vs_ref(craft_frame(Plan(rng, split_p=0.3), log2_ctb=4,
                                log2_max_tb=4), tmp_path)
+
+
+@requires_ref
+@pytest.mark.parametrize("seed", [33, 37])
+def test_hevc_i_sao(tmp_path, seed):
+    """SAO band + edge offsets with merge flags, deblock off."""
+    rng = np.random.default_rng(seed)
+    _decode_vs_ref(craft_frame(Plan(rng, maxn=16, amp=60), sao=True),
+                   tmp_path)
+
+
+@requires_ref
+def test_hevc_i_sao_and_deblock(tmp_path):
+    """Deblock then SAO, the full in-loop filter chain."""
+    rng = np.random.default_rng(41)
+    _decode_vs_ref(craft_frame(Plan(rng, maxn=20, amp=70), sao=True,
+                               pps_kw=dict(deblock=True)), tmp_path)
+
+
+@requires_ref
+def test_hevc_i_sao_ctb16(tmp_path):
+    """Small CTBs: many SAO merge chains."""
+    rng = np.random.default_rng(43)
+    _decode_vs_ref(craft_frame(Plan(rng, split_p=0.3), sao=True,
+                               log2_ctb=4, log2_max_tb=4), tmp_path)
 
 
 @requires_ref
