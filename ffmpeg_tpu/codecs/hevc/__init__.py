@@ -30,6 +30,9 @@ class HevcDecoder(Codec):
         self.sps = {}
         self.pps = {}
         self.nal_size = 0
+        self.dpb = []                    # {poc, y, u, v} filtered pics
+        self._reorder = []               # (poc, Frame) awaiting output
+        self._prev_poc = 0               # prevTid0Pic for POC MSB
         ed = par.extradata or b""
         if len(ed) > 22 and ed[0] == 1:      # hvcC
             self.nal_size = (ed[21] & 3) + 1
@@ -62,6 +65,55 @@ class HevcDecoder(Codec):
             return self._decode_slice(rbsp, ntype, pkt)
         return None
 
+    def _poc(self, sps, ntype, poc_lsb):
+        """PicOrderCntVal (spec 8.3.1)."""
+        if ntype in (P.NAL_IDR_W_RADL, P.NAL_IDR_N_LP):
+            return 0
+        max_lsb = 1 << sps.log2_max_poc_lsb
+        prev_lsb = self._prev_poc & (max_lsb - 1)
+        prev_msb = self._prev_poc - prev_lsb
+        if poc_lsb < prev_lsb and prev_lsb - poc_lsb >= max_lsb // 2:
+            msb = prev_msb + max_lsb
+        elif poc_lsb > prev_lsb and poc_lsb - prev_lsb > max_lsb // 2:
+            msb = prev_msb - max_lsb
+        else:
+            msb = prev_msb
+        return msb + poc_lsb
+
+    def _ref_lists(self, sps, sh, poc):
+        """RPS application + RefPicList construction (8.3.2/8.3.4).
+        Also evicts DPB pictures outside the RPS."""
+        keep = {poc + d for d, _ in sh.rps_neg} | \
+               {poc + d for d, _ in sh.rps_pos}
+        self.dpb = [e for e in self.dpb if e["poc"] in keep]
+        by_poc = {e["poc"]: e for e in self.dpb}
+        before, after = [], []
+        for d, used in sh.rps_neg:
+            if used:
+                e = by_poc.get(poc + d)
+                if e is None:
+                    raise InvalidData(f"hevc: ref poc {poc + d} "
+                                      "missing from DPB")
+                before.append(e)
+        for d, used in sh.rps_pos:
+            if used:
+                e = by_poc.get(poc + d)
+                if e is None:
+                    raise InvalidData(f"hevc: ref poc {poc + d} "
+                                      "missing from DPB")
+                after.append(e)
+        refs = [[], []]
+        rpl = [[], []]
+        for ll, order in ((0, before + after), (1, after + before)):
+            n = sh.num_ref_idx[ll]
+            if n and not order:
+                raise InvalidData("hevc: empty reference list")
+            for i in range(n):
+                e = order[i % len(order)]
+                refs[ll].append((e["y"], e["u"], e["v"]))
+                rpl[ll].append(e["poc"])
+        return refs, rpl
+
     def _decode_slice(self, rbsp: bytes, ntype: int, pkt):
         # slice_pic_parameter_set_id follows first_slice(+irap flag)
         from ..h264.bits import Bits
@@ -76,7 +128,18 @@ class HevcDecoder(Codec):
         if sps is None:
             raise InvalidData("hevc: unknown SPS")
         sh = P.parse_slice_header(rbsp, ntype, sps, self.pps)
-        dec = FrameDec(sps, pps, sh)
+        is_idr = ntype in (P.NAL_IDR_W_RADL, P.NAL_IDR_N_LP)
+        flushed = []
+        if is_idr:
+            flushed = self._flush_reorder()
+            self.dpb = []
+        poc = self._poc(sps, ntype, sh.poc_lsb)
+        if ntype != P.NAL_TRAIL_N:       # prevTid0Pic: reference pics
+            self._prev_poc = poc
+        refs, rpl = ([[], []], [[], []])
+        if sh.slice_type != 2:
+            refs, rpl = self._ref_lists(sps, sh, poc)
+        dec = FrameDec(sps, pps, sh, poc=poc, refs=refs, rpl=rpl)
         core = CabacDecoder(rbsp[sh.data_bit_pos // 8:])
         CtuCoder(dec, core).code_slice_data()
         from .filter import deblock_frame, sao_frame
@@ -84,18 +147,31 @@ class HevcDecoder(Codec):
             deblock_frame(dec)
         if sps.sao_enabled and (sh.sao_luma or sh.sao_chroma):
             sao_frame(dec)
+        y, u, v = dec.y.copy(), dec.u.copy(), dec.v.copy()
+        self.dpb.append({"poc": poc, "y": y, "u": u, "v": v})
         f = Frame.video(sps.width, sps.height, "yuv420p",
-                        planes=[dec.y.copy(), dec.u.copy(),
-                                dec.v.copy()],
+                        planes=[y, u, v],
                         pts=pkt.pts if pkt else 0,
                         time_base=(pkt.time_base if pkt else None)
                         or Rational(1, 25))
-        f.key_frame = True
-        return f
+        f.key_frame = is_idr
+        self._reorder.append((poc, f))
+        out = flushed
+        while len(self._reorder) > sps.num_reorder:
+            self._reorder.sort(key=lambda t: t[0])
+            out.append(self._reorder.pop(0)[1])
+        return out
+
+    def _flush_reorder(self):
+        out = []
+        while self._reorder:
+            self._reorder.sort(key=lambda t: t[0])
+            out.append(self._reorder.pop(0)[1])
+        return out
 
     def decode(self, pkt: Optional[Packet]) -> List[Frame]:
         if pkt is None or not pkt.data:
-            return []
+            return self._flush_reorder()
         frames = []
         if self.nal_size:
             data = pkt.data
@@ -110,7 +186,7 @@ class HevcDecoder(Codec):
             units = _nal.split_annexb(pkt.data)
         for u in units:
             f = self._handle_nal(u, pkt)
-            if f is not None:
-                frames.append(f)
+            if f:
+                frames.extend(f)
         return frames
 

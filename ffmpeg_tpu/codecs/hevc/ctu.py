@@ -13,14 +13,21 @@ from typing import Optional
 
 import numpy as np
 
-from ...utils.error import InvalidData
+from ...utils.error import InvalidData, NotSupported
 from ..h264.cabac import init_contexts
+from . import inter as INTER
+from . import mvs as MV
 from . import recon
 from . import tables as T
 
 _O = T.CTX_OFF
 
 SCAN_DIAG, SCAN_HORIZ, SCAN_VERT = 0, 1, 2
+
+
+def _wrap16(v):
+    """MV component arithmetic is modulo 2^16 (spec 8.5.3.1.5)."""
+    return ((v + 0x8000) & 0xFFFF) - 0x8000
 
 
 class _IO:
@@ -56,10 +63,14 @@ def _morton(x, y, bits):
 
 
 class FrameDec:
-    """Per-picture state for one I frame."""
+    """Per-picture decode state. For P/B pictures, refs[l][i] are the
+    (y, u, v) planes of the reference with POC rpl[l][i]."""
 
-    def __init__(self, sps, pps, sh):
+    def __init__(self, sps, pps, sh, poc=0, refs=None, rpl=None):
         self.sps, self.pps, self.sh = sps, pps, sh
+        self.poc = poc
+        self.refs = refs or [[], []]
+        self.rpl = rpl or [[], []]
         W, H = sps.width, sps.height
         self.y = np.zeros((H, W), np.uint8)
         self.u = np.zeros((H // 2, W // 2), np.uint8)
@@ -84,11 +95,17 @@ class FrameDec:
         self.zs = (ctb << (2 * d)) + m[ys[:, None] & ((1 << d) - 1),
                                        xs[None, :] & ((1 << d) - 1)]
         self.cbf_luma_map = np.zeros((n4y, n4x), np.uint8)
-        # TU/PU boundary maps at 4x4 granularity for the deblocker
-        # (filter.c analog); True where a block edge starts at that
-        # 4x4's left (vedge) / top (hedge) border.
-        self.vedge = np.zeros((H // 4, W // 4), bool)
-        self.hedge = np.zeros((H // 4, W // 4), bool)
+        # deblocker boundary-strength maps at 4x4 granularity
+        # (filter.c vertical_bs/horizontal_bs analogs)
+        self.bs_v = np.zeros((H // 4, W // 4), np.int32)
+        self.bs_h = np.zeros((H // 4, W // 4), np.int32)
+        # motion field at 4x4 granularity (mvs.c tab_mvf): pred flag
+        # (0 intra / 1 L0 / 2 L1 / 3 BI), mv per list, ref idx per list
+        self.pf = np.zeros((H // 4, W // 4), np.int32)
+        self.mvx = np.zeros((H // 4, W // 4, 2), np.int32)
+        self.mvy = np.zeros((H // 4, W // 4, 2), np.int32)
+        self.refidx = np.zeros((H // 4, W // 4, 2), np.int32)
+        self.skip = np.zeros((H // 4, W // 4), np.uint8)
         # per-CTB SAO parameters (type 0 off/1 band/2 edge;
         # offset[c][0..4] = SaoOffsetVal with [0] == 0)
         ch, cw = sps.ctb_height, sps.ctb_width
@@ -103,7 +120,15 @@ class CtuCoder:
         self.dec = dec
         self.io = _IO(core, encode)
         self.plan = plan
-        self.ctx = init_contexts(T.init_mn(0), max(0, min(51, dec.qp)))
+        # initType (spec 9.3.2.2): I=0; P=1, B=2 with cabac_init_flag
+        # off (cabac_init_present unsupported)
+        init_type = {2: 0, 1: 1, 0: 2}[dec.sh.slice_type]
+        self.ctx = init_contexts(T.init_mn(init_type),
+                                 max(0, min(51, dec.qp)))
+        self._cu_intra = True
+        self._cu_skip = False
+        self._cu_depth = 0
+        self._inter_split = False
 
     # ------------------------------------------------------------------
     def code_slice_data(self):
@@ -242,6 +267,7 @@ class CtuCoder:
                 self.coding_quadtree(x1, y1, log2 - 1, depth + 1)
             return
         self._set_ct_depth(x0, y0, log2, depth)
+        self._cu_depth = depth
         self.coding_unit(x0, y0, log2)
 
     def _split_cu_flag(self, x0, y0, depth):
@@ -269,6 +295,276 @@ class CtuCoder:
 
     # ------------------------------------------------------------------
     def coding_unit(self, x0, y0, log2):
+        dec = self.dec
+        sps = dec.sps
+        io = self.io
+        size = 1 << log2
+        n4 = size >> 2
+        x4, y4 = x0 >> 2, y0 >> 2
+        self._cu_skip = False
+        self._cu_intra = True
+        if dec.sh.slice_type != 2:
+            inc = 0
+            if x0 > 0:
+                inc += int(dec.skip[y4, x4 - 1])
+            if y0 > 0:
+                inc += int(dec.skip[y4 - 1, x4])
+            v = None
+            if io.encode:
+                v = 1 if self.plan.cu_skip(x0, y0, log2) else 0
+            skip = io.dec(self.ctx[_O["skip_flag"] + inc], v)
+            dec.skip[y4:y4 + n4, x4:x4 + n4] = skip
+            if skip:
+                self._cu_skip = True
+                self._cu_intra = False
+                self._prediction_unit(x0, y0, x0, y0, size, size,
+                                      "2Nx2N", 0)
+                if not io.encode:
+                    MV.boundary_strengths(dec, x0, y0, log2)
+                return
+            v = None
+            if io.encode:
+                v = 0 if self.plan.cu_is_inter(x0, y0, log2) else 1
+            if not io.dec(self.ctx[_O["pred_mode"]], v):
+                self._cu_intra = False
+                self._inter_cu(x0, y0, log2)
+                return
+        self.intra_coding_unit(x0, y0, log2)
+
+    # ------------------------------------------------------------------
+    def _inter_cu(self, x0, y0, log2):
+        """Inter CU: part mode, PUs, rqt_root_cbf, transform tree
+        (spec 7.3.8.5; hevcdec.c hls_coding_unit inter path)."""
+        dec, io = self.dec, self.io
+        sps = dec.sps
+        size = 1 << log2
+        part = self._part_mode_inter(x0, y0, log2)
+        if part == "2Nx2N":
+            pus = ((x0, y0, size, size, 0),)
+        elif part == "2NxN":
+            h = size >> 1
+            pus = ((x0, y0, size, h, 0), (x0, y0 + h, size, h, 1))
+        else:                             # Nx2N
+            w = size >> 1
+            pus = ((x0, y0, w, size, 0), (x0 + w, y0, w, size, 1))
+        merged = []
+        for px, py, pw, ph, pidx in pus:
+            merged.append(self._prediction_unit(x0, y0, px, py, pw, ph,
+                                                part, pidx))
+        rqt_root = True
+        if not (part == "2Nx2N" and merged[0]):
+            v = None
+            if io.encode:
+                v = 1 if self.plan.rqt_root_cbf(x0, y0, log2) else 0
+            rqt_root = bool(io.dec(self.ctx[_O["no_residual_data"]],
+                                   v))
+        if rqt_root:
+            self._intra_split = False
+            self._inter_split = sps.max_trafo_depth_inter == 0 and \
+                part != "2Nx2N"
+            self._max_td = sps.max_trafo_depth_inter
+            self._pu_modes = None
+            self._mode_c = None
+            self.transform_tree(x0, y0, x0, y0, log2, 0, 0, 1, 1, None)
+        elif not io.encode:
+            MV.boundary_strengths(dec, x0, y0, log2)
+
+    def _part_mode_inter(self, x0, y0, log2):
+        """part_mode binarization for inter CUs (9.3.3.7, no AMP;
+        cabac.c ff_hevc_part_mode_decode)."""
+        dec, io = self.dec, self.io
+        sps = dec.sps
+        want = None
+        if io.encode:
+            want = self.plan.part_mode_inter(x0, y0, log2)
+        if io.dec(self.ctx[_O["part_mode"]],
+                  None if want is None else int(want == "2Nx2N")):
+            return "2Nx2N"
+        if log2 == sps.log2_min_cb:
+            if io.dec(self.ctx[_O["part_mode"] + 1],
+                      None if want is None else int(want == "2NxN")):
+                return "2NxN"
+            if log2 == 3:
+                return "Nx2N"
+            if io.dec(self.ctx[_O["part_mode"] + 2],
+                      None if want is None else int(want == "Nx2N")):
+                return "Nx2N"
+            raise NotSupported("hevc: inter NxN partitions")
+        if io.dec(self.ctx[_O["part_mode"] + 1],
+                  None if want is None else int(want == "2NxN")):
+            return "2NxN"
+        return "Nx2N"
+
+    # ------------------------------------------------------------------
+    def _prediction_unit(self, cu_x, cu_y, x0, y0, w, h, part, pidx):
+        """prediction_unit() (spec 7.3.8.6) → True if merged."""
+        dec, io = self.dec, self.io
+        sh = dec.sh
+        if self._cu_skip:
+            merge = True
+        else:
+            v = None
+            if io.encode:
+                v = 1 if self.plan.pu_merge(x0, y0, pidx) else 0
+            merge = bool(io.dec(self.ctx[_O["merge_flag"]], v))
+        if merge:
+            midx = 0
+            if sh.max_num_merge_cand > 1:
+                midx = self._merge_idx(x0, y0, pidx)
+            f = MV.derive_merge(dec, cu_x, cu_y, x0, y0, w, h, part,
+                                pidx, midx)
+        else:
+            is_b = sh.slice_type == 0
+            idc = 0                       # PRED_L0
+            if is_b:
+                idc = self._inter_pred_idc(x0, y0, w, h)
+            pf = 0
+            mvs = [(0, 0), (0, 0)]
+            refs = [0, 0]
+            for ll in (0, 1):
+                if is_b:
+                    use = idc == 2 or idc == ll
+                else:
+                    use = ll == 0
+                if not use:
+                    continue
+                pf |= 1 << ll
+                nref = sh.num_ref_idx[ll]
+                ri = self._ref_idx(x0, y0, pidx, ll, nref) \
+                    if nref > 1 else 0
+                if ll == 1 and sh.mvd_l1_zero and idc == 2:
+                    mvd = (0, 0)
+                else:
+                    mvd = self._mvd_coding(x0, y0, pidx, ll)
+                mvp = self._mvp_flag(x0, y0, pidx, ll)
+                refs[ll] = ri
+                pred = MV.derive_mvp(dec, x0, y0, w, h, ll, ri, mvp)
+                mvs[ll] = (_wrap16(pred[0] + mvd[0]),
+                           _wrap16(pred[1] + mvd[1]))
+            f = MV.MvField(pf, mvs, refs)
+        MV.set_mvf(dec, x0, y0, w, h, f)
+        if not io.encode:
+            INTER.predict_pu(dec, x0, y0, w, h, f)
+        return merge
+
+    def _merge_idx(self, x0, y0, pidx):
+        io = self.io
+        mx = self.dec.sh.max_num_merge_cand
+        m = None
+        if io.encode:
+            m = self.plan.pu_merge_idx(x0, y0, pidx)
+        i = io.dec(self.ctx[_O["merge_idx"]],
+                   None if m is None else int(m > 0))
+        if i:
+            while i < mx - 1:
+                bit = io.byp(None if m is None else (1 if m > i else 0))
+                if not bit:
+                    break
+                i += 1
+        return i
+
+    def _inter_pred_idc(self, x0, y0, w, h):
+        io = self.io
+        want = None
+        if io.encode:
+            want = self.plan.pu_inter_pred_idc(x0, y0, w, h)
+            if w + h == 12 and want == 2:
+                raise InvalidData("hevc: 8x4/4x8 PUs cannot be BI")
+        if w + h != 12:
+            if io.dec(self.ctx[_O["inter_pred_idc"] + self._cu_depth],
+                      None if want is None else int(want == 2)):
+                return 2
+        if io.dec(self.ctx[_O["inter_pred_idc"] + 4],
+                  None if want is None else int(want == 1)):
+            return 1
+        return 0
+
+    def _ref_idx(self, x0, y0, pidx, ll, nref):
+        """TR; both lists share the ref_idx_l0 contexts
+        (cabac.c ff_hevc_ref_idx_lx_decode)."""
+        io = self.io
+        want = None
+        if io.encode:
+            want = self.plan.pu_ref_idx(x0, y0, pidx, ll)
+        mx = nref - 1
+        max_ctx = min(mx, 2)
+        i = 0
+        while i < max_ctx:
+            bit = io.dec(self.ctx[_O["ref_idx_l0"] + i],
+                         None if want is None else int(want > i))
+            if not bit:
+                break
+            i += 1
+        if i == 2:
+            while i < mx:
+                bit = io.byp(None if want is None else int(want > i))
+                if not bit:
+                    break
+                i += 1
+        return i
+
+    def _mvp_flag(self, x0, y0, pidx, ll):
+        io = self.io
+        v = None
+        if io.encode:
+            v = self.plan.pu_mvp_flag(x0, y0, pidx, ll)
+        return io.dec(self.ctx[_O["mvp_lx_flag"]], v)
+
+    def _mvd_coding(self, x0, y0, pidx, ll):
+        """mvd_coding() (spec 7.3.8.9; cabac.c hls_mvd_coding)."""
+        io = self.io
+        want = (None, None)
+        if io.encode:
+            want = self.plan.pu_mvd(x0, y0, pidx, ll)
+        gs = []
+        for comp in range(2):
+            wv = want[comp]
+            gs.append(io.dec(
+                self.ctx[_O["abs_mvd_greater0"]],
+                None if wv is None else int(wv != 0)))
+        for comp in range(2):
+            if gs[comp]:
+                wv = want[comp]
+                gs[comp] += io.dec(
+                    self.ctx[_O["abs_mvd_greater1"] + 1],
+                    None if wv is None else int(abs(wv) > 1))
+        out = []
+        for comp in range(2):
+            wv = want[comp]
+            if gs[comp] == 0:
+                out.append(0)
+            elif gs[comp] == 1:
+                bit = io.byp(None if wv is None else int(wv < 0))
+                out.append(-1 if bit else 1)
+            else:
+                out.append(self._mvd_value(wv))
+        return tuple(out)
+
+    def _mvd_value(self, wv=None):
+        """|mvd| >= 2: EG1-style code + bypass sign (mvd_decode)."""
+        io = self.io
+        if io.encode:
+            v = abs(wv)
+            p = v.bit_length() - 2
+            for _ in range(p):
+                io.byp(1)
+            io.byp(0)
+            suffix = v - (1 << (p + 1))
+            for k in range(p, -1, -1):
+                io.byp((suffix >> k) & 1)
+            io.byp(1 if wv < 0 else 0)
+            return wv
+        ret = 2
+        k = 1
+        while io.byp():
+            ret += 1 << k
+            k += 1
+        for k in range(k - 1, -1, -1):
+            ret += io.byp() << k
+        return -ret if io.byp() else ret
+
+    # ------------------------------------------------------------------
+    def intra_coding_unit(self, x0, y0, log2):
         dec = self.dec
         sps = dec.sps
         size = 1 << log2
@@ -366,6 +662,7 @@ class CtuCoder:
             mode_c = table[chroma_idx]
         # transform tree
         self._intra_split = part_nxn
+        self._inter_split = False
         self._max_td = self.dec.sps.max_trafo_depth_intra + \
             (1 if part_nxn else 0)
         self._pu_modes = modes
@@ -411,7 +708,8 @@ class CtuCoder:
                 self.ctx[_O["split_transform_flag"] + 5 - log2], v))
         else:
             split = log2 > sps.log2_max_tb or \
-                (self._intra_split and depth == 0)
+                (self._intra_split and depth == 0) or \
+                (getattr(self, "_inter_split", False) and depth == 0)
         cbf_cb, cbf_cr = pcb, pcr
         if log2 > 2:
             if depth == 0 or pcb:
@@ -437,12 +735,16 @@ class CtuCoder:
             self.transform_tree(x0 + h, y0 + h, x0, y0, log2 - 1,
                                 depth + 1, 3, cbf_cb, cbf_cr, cur_mode)
             return
-        # leaf: cbf_luma (always coded for intra)
-        v = None
-        if self.io.encode:
-            v = 1 if self.plan.cbf_luma(x0, y0, log2, depth) else 0
-        cbf_luma = self.io.dec(
-            self.ctx[_O["cbf_luma"] + (1 if depth == 0 else 0)], v)
+        # leaf: cbf_luma — coded for intra / deeper levels / when a
+        # chroma cbf is set; inferred 1 for inter depth-0 otherwise
+        if self._cu_intra or depth != 0 or cbf_cb or cbf_cr:
+            v = None
+            if self.io.encode:
+                v = 1 if self.plan.cbf_luma(x0, y0, log2, depth) else 0
+            cbf_luma = self.io.dec(
+                self.ctx[_O["cbf_luma"] + (1 if depth == 0 else 0)], v)
+        else:
+            cbf_luma = 1
         self.transform_unit(x0, y0, xBase, yBase, log2, blk_idx,
                             cbf_luma, cbf_cb, cbf_cr, cur_mode)
 
@@ -496,21 +798,15 @@ class CtuCoder:
         dec = self.dec
         size = 1 << log2
         mode_c = self._mode_c
-        # record TU boundaries for the deblocker (covers CU and intra
-        # NxN PU edges too: TU leaves tile each CU, and intra NxN
-        # forces a depth-0 transform split)
-        yl = min(y0 + size, dec.sps.height) >> 2
-        xl = min(x0 + size, dec.sps.width) >> 2
-        dec.vedge[y0 >> 2:yl, x0 >> 2] = True
-        dec.hedge[y0 >> 2, x0 >> 2:xl] = True
-        # luma: predict, then residual
-        if not self.io.encode:
+        # luma: intra prediction (inter PUs were predicted at PU
+        # parse), then residual
+        if self._cu_intra and not self.io.encode:
             avail = self._avail(x0, y0, size)
             pred = self._intra_pred(dec.y, x0, y0, size, mode, 0, avail)
             dec.y[y0:y0 + size, x0:x0 + size] = np.clip(pred, 0, 255)
         scan = SCAN_DIAG
         scan_c = SCAN_DIAG
-        if log2 < 4:
+        if self._cu_intra and log2 < 4:   # mode-based scans: intra only
             if 6 <= mode <= 14:
                 scan = SCAN_VERT
             elif 22 <= mode <= 30:
@@ -520,6 +816,9 @@ class CtuCoder:
             elif 22 <= mode_c <= 30:
                 scan_c = SCAN_HORIZ
         if cbf_luma:
+            yl = min(y0 + size, dec.sps.height) >> 2
+            xl = min(x0 + size, dec.sps.width) >> 2
+            dec.cbf_luma_map[y0 >> 2:yl, x0 >> 2:xl] = 1
             self.residual(x0, y0, log2, scan, 0)
         if log2 > 2:
             self._chroma_part(x0 >> 1, y0 >> 1, log2 - 1, scan_c,
@@ -527,6 +826,8 @@ class CtuCoder:
         elif blk_idx == 3:
             self._chroma_part(xBase >> 1, yBase >> 1, 2, scan_c,
                               cbf_cb, cbf_cr, mode_c)
+        if not self.io.encode:
+            MV.boundary_strengths(dec, x0, y0, log2)
 
     def _chroma_part(self, xc, yc, log2c, scan_c, cbf_cb, cbf_cr,
                      mode_c):
@@ -534,7 +835,7 @@ class CtuCoder:
         sizec = 1 << log2c
         for c_idx, (pl, cbf) in enumerate(((dec.u, cbf_cb),
                                            (dec.v, cbf_cr)), start=1):
-            if not self.io.encode:
+            if self._cu_intra and not self.io.encode:
                 avail = self._avail(xc * 2, yc * 2, sizec * 2)
                 pred = self._intra_pred(pl, xc, yc, sizec, mode_c,
                                         c_idx, avail)
@@ -784,8 +1085,8 @@ class CtuCoder:
         scale, shift, add = recon.dequant_factors(qp, log2)
         coef = np.clip((out * scale * 16 + add) >> shift,
                        -32768, 32767)
-        if c_idx == 0 and log2 == 2:
-            res = recon.idst4(coef)
+        if c_idx == 0 and log2 == 2 and self._cu_intra:
+            res = recon.idst4(coef)       # DST-VII: intra luma 4x4 only
         else:
             res = recon.idct(coef)
         pl = (dec.y, dec.u, dec.v)[c_idx]

@@ -106,9 +106,9 @@ def _chroma_edge(get, put, tc, no_p=False, no_q=False):
 
 
 def deblock_frame(dec):
-    """Deblock dec.y/u/v in place. Uses dec.vedge/hedge 4x4-granular
-    TU/PU boundary maps and per-4x4 bS in dec.bs_v/bs_h when present
-    (inter); intra pictures default every boundary to bS = 2."""
+    """Deblock dec.y/u/v in place, driven by the per-4x4 boundary
+    strength maps dec.bs_v/bs_h (filled during CTU parsing per
+    filter.c ff_hevc_deblocking_boundary_strengths)."""
     sh, sps = dec.sh, dec.sps
     if sh.deblocking_disabled:
         return
@@ -123,23 +123,14 @@ def deblock_frame(dec):
         return beta, int(TCTABLE[idxt])
 
     y = dec.y.astype(np.int32)
-    bs_v = getattr(dec, "bs_v", None)
-    bs_h = getattr(dec, "bs_h", None)
-
-    def bs_at(vert, x4, y4):
-        m = bs_v if vert else bs_h
-        if m is None:
-            return 2
-        return int(m[y4, x4])
 
     # --- luma vertical edges (x multiple of 8), 4-row segments
     for x in range(8, W, 8):
-        if not dec.vedge[:, x >> 2].any():
+        col = dec.bs_v[:, x >> 2]
+        if not col.any():
             continue
         for y0 in range(0, H, 4):
-            if not dec.vedge[y0 >> 2, x >> 2]:
-                continue
-            bs = bs_at(True, x >> 2, y0 >> 2)
+            bs = int(col[y0 >> 2])
             if not bs:
                 continue
             beta, tc = luma_params(bs)
@@ -151,12 +142,11 @@ def deblock_frame(dec):
                        tc, beta)
     # --- luma horizontal edges (y multiple of 8), 4-col segments
     for yy in range(8, H, 8):
-        if not dec.hedge[yy >> 2, :].any():
+        row = dec.bs_h[yy >> 2, :]
+        if not row.any():
             continue
         for x0 in range(0, W, 4):
-            if not dec.hedge[yy >> 2, x0 >> 2]:
-                continue
-            bs = bs_at(False, x0 >> 2, yy >> 2)
+            bs = int(row[x0 >> 2])
             if not bs:
                 continue
             beta, tc = luma_params(bs)
@@ -185,9 +175,7 @@ def deblock_frame(dec):
             for y0 in range(0, H, 8):       # 4 chroma rows per segment
                 if (y0 >> 1) + 4 > cH:
                     break
-                if not dec.vedge[y0 >> 2, x >> 2]:
-                    continue
-                if bs_at(True, x >> 2, y0 >> 2) != 2:
+                if int(dec.bs_v[y0 >> 2, x >> 2]) != 2:
                     continue
                 _chroma_edge(
                     lambda i, k: int(c[(y0 >> 1) + i, xc + k]),
@@ -198,9 +186,7 @@ def deblock_frame(dec):
             for x0 in range(0, W, 8):
                 if (x0 >> 1) + 4 > cW:
                     break
-                if not dec.hedge[yy >> 2, x0 >> 2]:
-                    continue
-                if bs_at(False, x0 >> 2, yy >> 2) != 2:
+                if int(dec.bs_h[yy >> 2, x0 >> 2]) != 2:
                     continue
                 _chroma_edge(
                     lambda i, k: int(c[yc + k, (x0 >> 1) + i]),

@@ -65,6 +65,8 @@ class HevcSPS:
     log2_max_tb: int = 5
     max_trafo_depth_inter: int = 0
     max_trafo_depth_intra: int = 0
+    temporal_mvp: bool = False
+    num_reorder: int = 0
     scaling_list_enabled: bool = False
     amp_enabled: bool = False
     sao_enabled: bool = False
@@ -104,7 +106,9 @@ def parse_sps(rbsp: bytes) -> HevcSPS:
     s.log2_max_poc_lsb = b.ue() + 4
     sub_ordering = b.get1()
     for _ in range(max_sub if sub_ordering else 1):
-        b.ue(), b.ue(), b.ue()            # dpb size / reorder / latency
+        b.ue()                            # max_dec_pic_buffering - 1
+        s.num_reorder = b.ue()
+        b.ue()                            # max_latency_increase + 1
     s.log2_min_cb = b.ue() + 3
     s.log2_ctb = s.log2_min_cb + b.ue()
     s.log2_min_tb = b.ue() + 2
@@ -124,7 +128,9 @@ def parse_sps(rbsp: bytes) -> HevcSPS:
         raise NotSupported("hevc: short-term RPS in SPS")
     if b.get1():                          # long_term_ref_pics_present
         raise NotSupported("hevc: long-term refs")
-    b.get1()                              # temporal_mvp
+    s.temporal_mvp = bool(b.get1())
+    if s.temporal_mvp:
+        raise NotSupported("hevc: temporal MVP")
     s.strong_intra_smoothing = bool(b.get1())
     # vui / extensions ignored
     return s
@@ -149,6 +155,12 @@ class HevcPPS:
     beta_offset: int = 0
     tc_offset: int = 0
     loop_filter_across_slices: bool = True
+    num_ref_idx_l0_default: int = 1
+    num_ref_idx_l1_default: int = 1
+    weighted_pred: bool = False
+    weighted_bipred: bool = False
+    lists_modification_present: bool = False
+    log2_parallel_merge_level: int = 2
 
 
 def parse_pps(rbsp: bytes) -> HevcPPS:
@@ -163,7 +175,8 @@ def parse_pps(rbsp: bytes) -> HevcPPS:
         raise NotSupported("hevc: extra slice header bits")
     p.sign_data_hiding = bool(b.get1())
     p.cabac_init_present = bool(b.get1())
-    b.ue(), b.ue()                        # num_ref_idx_lX_default
+    p.num_ref_idx_l0_default = b.ue() + 1
+    p.num_ref_idx_l1_default = b.ue() + 1
     p.init_qp = b.se() + 26
     p.constrained_intra_pred = bool(b.get1())
     if p.constrained_intra_pred:
@@ -177,8 +190,10 @@ def parse_pps(rbsp: bytes) -> HevcPPS:
     p.cb_qp_offset = b.se()
     p.cr_qp_offset = b.se()
     p.slice_chroma_qp_offsets_present = bool(b.get1())
-    if b.get1() or b.get1():              # weighted pred / bipred
-        pass
+    p.weighted_pred = bool(b.get1())
+    p.weighted_bipred = bool(b.get1())
+    if p.weighted_pred or p.weighted_bipred:
+        raise NotSupported("hevc: weighted prediction")
     if b.get1():                          # transquant_bypass
         raise NotSupported("hevc: transquant bypass")
     if b.get1():                          # tiles_enabled
@@ -194,8 +209,10 @@ def parse_pps(rbsp: bytes) -> HevcPPS:
             p.tc_offset = b.se() * 2
     if b.get1():                          # pps_scaling_list_data
         raise NotSupported("hevc: PPS scaling lists")
-    b.get1()                              # lists_modification_present
-    b.ue()                                # log2_parallel_merge_level
+    p.lists_modification_present = bool(b.get1())
+    p.log2_parallel_merge_level = b.ue() + 2
+    if p.log2_parallel_merge_level != 2:
+        raise NotSupported("hevc: parallel merge level > 2")
     b.get1()                              # slice_header_extension
     return p
 
@@ -206,6 +223,13 @@ class HevcSliceHeader:
     pps_id: int = 0
     slice_type: int = 2                   # 0 B, 1 P, 2 I
     poc_lsb: int = 0
+    # short-term RPS: lists of (delta_poc, used_by_curr) with delta
+    # relative to the current POC (negative for "before" pics)
+    rps_neg: list = field(default_factory=list)
+    rps_pos: list = field(default_factory=list)
+    num_ref_idx: tuple = (0, 0)           # active refs (L0, L1)
+    mvd_l1_zero: bool = False
+    max_num_merge_cand: int = 5
     sao_luma: bool = False
     sao_chroma: bool = False
     qp: int = 26
@@ -231,16 +255,48 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: HevcSPS,
     if pps is None:
         raise InvalidData("hevc: unknown PPS")
     sh.slice_type = b.ue()
-    if sh.slice_type != 2:
-        raise NotSupported("hevc: only I slices")
+    if sh.slice_type > 2:
+        raise InvalidData("hevc: bad slice_type")
     if nal_type not in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
         sh.poc_lsb = b.get(sps.log2_max_poc_lsb)
-        if b.ue() != 0:                   # short_term_rps_sps_flag...
-            raise NotSupported("hevc: non-IDR RPS")
-        raise NotSupported("hevc: non-IDR slices")
+        if b.get1():                      # short_term_ref_pic_set_sps
+            raise InvalidData("hevc: SPS has no short-term RPS")
+        # explicit st_ref_pic_set(0): no inter-RPS prediction flag
+        # (stRpsIdx == 0, spec 7.3.7)
+        num_neg = b.ue()
+        num_pos = b.ue()
+        poc = 0
+        for _ in range(num_neg):
+            poc -= b.ue() + 1             # delta_poc_s0_minus1
+            sh.rps_neg.append((poc, bool(b.get1())))
+        poc = 0
+        for _ in range(num_pos):
+            poc += b.ue() + 1             # delta_poc_s1_minus1
+            sh.rps_pos.append((poc, bool(b.get1())))
+    elif sh.slice_type != 2:
+        raise InvalidData("hevc: P/B slice in IDR picture")
     if sps.sao_enabled:
         sh.sao_luma = bool(b.get1())
         sh.sao_chroma = bool(b.get1())
+    if sh.slice_type != 2:                # P or B
+        n0, n1 = pps.num_ref_idx_l0_default, pps.num_ref_idx_l1_default
+        if b.get1():                      # num_ref_idx_active_override
+            n0 = b.ue() + 1
+            if sh.slice_type == 0:
+                n1 = b.ue() + 1
+        sh.num_ref_idx = (n0, n1 if sh.slice_type == 0 else 0)
+        n_total_curr = sum(u for _, u in sh.rps_neg) + \
+            sum(u for _, u in sh.rps_pos)
+        if pps.lists_modification_present and n_total_curr > 1:
+            raise NotSupported("hevc: ref_pic_lists_modification")
+        if sh.slice_type == 0:
+            sh.mvd_l1_zero = bool(b.get1())
+        if pps.cabac_init_present:
+            b.get1()                      # cabac_init_flag
+            raise NotSupported("hevc: cabac_init_flag")
+        sh.max_num_merge_cand = 5 - b.ue()
+        if not 1 <= sh.max_num_merge_cand <= 5:
+            raise InvalidData("hevc: bad max_num_merge_cand")
     sh.qp = pps.init_qp + b.se()
     if pps.slice_chroma_qp_offsets_present:
         sh.cb_qp_offset = b.se()

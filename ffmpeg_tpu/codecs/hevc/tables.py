@@ -63,6 +63,12 @@ INIT_VALUES[0] = (
     [154] * 8 + [154, 154] + [154] + [154])
 assert len(INIT_VALUES[0]) == N_CTX, len(INIT_VALUES[0])
 
+from .cabac_tables import INIT_TYPE_1, INIT_TYPE_2  # noqa: E402
+
+INIT_VALUES[1] = INIT_TYPE_1
+INIT_VALUES[2] = INIT_TYPE_2
+assert len(INIT_VALUES[1]) == N_CTX and len(INIT_VALUES[2]) == N_CTX
+
 
 def init_mn(init_type: int):
     """HEVC init-value -> (m, n) pairs compatible with the shared

@@ -78,7 +78,8 @@ def make_vps():
 
 def make_sps(width=W, height=H, log2_ctb=5, log2_min_cb=3,
              log2_min_tb=2, log2_max_tb=5, max_td_intra=0,
-             strong_smoothing=False, sao=False):
+             strong_smoothing=False, sao=False, max_td_inter=0,
+             num_reorder=0):
     w = BW()
     w.u(0, 4)            # vps_id
     w.u(0, 3)            # max_sub_layers - 1
@@ -93,14 +94,14 @@ def make_sps(width=W, height=H, log2_ctb=5, log2_min_cb=3,
     w.ue(0)              # bit_depth_chroma - 8
     w.ue(4)              # log2_max_poc_lsb - 4
     w.u(1, 1)            # sub_layer_ordering_info_present
-    w.ue(1)              # max_dec_pic_buffering - 1
-    w.ue(0)              # num_reorder
+    w.ue(4)              # max_dec_pic_buffering - 1
+    w.ue(num_reorder)    # num_reorder
     w.ue(0)              # max_latency
     w.ue(log2_min_cb - 3)
     w.ue(log2_ctb - log2_min_cb)
     w.ue(log2_min_tb - 2)
     w.ue(log2_max_tb - log2_min_tb)
-    w.ue(0)              # max_transform_hierarchy_depth_inter
+    w.ue(max_td_inter)   # max_transform_hierarchy_depth_inter
     w.ue(max_td_intra)   # max_transform_hierarchy_depth_intra
     w.u(0, 1)            # scaling_list_enabled
     w.u(0, 1)            # amp_enabled
@@ -400,3 +401,279 @@ def test_hevc_i_deblock_high_qp(tmp_path):
                                pps_kw=dict(deblock=True)), tmp_path)
 
 
+
+
+# ---------------------------------------------------------------------------
+# P/B slices: crafted GOPs
+
+
+def inter_slice_header_bits(slice_type, poc, rps_neg, rps_pos=(),
+                            num_ref=(1, 1), qp_delta=0, deblock=False,
+                            sao=False, mvd_l1_zero=False):
+    """slice_type 1 = P, 0 = B; rps_neg/pos: tuples of (delta_poc,
+    used) with negative/positive deltas in coding order."""
+    w = BW()
+    w.u(1, 1)            # first_slice_segment_in_pic
+    w.ue(0)              # pps_id
+    w.ue(slice_type)
+    w.u(poc & 255, 8)    # poc_lsb (log2_max_poc_lsb = 8)
+    w.u(0, 1)            # short_term_ref_pic_set_sps_flag
+    # st_ref_pic_set(0): explicit, no inter-RPS prediction
+    w.ue(len(rps_neg))
+    w.ue(len(rps_pos))
+    prev = 0
+    for d, used in rps_neg:
+        w.ue(prev - d - 1)               # delta_poc_s0_minus1
+        prev = d
+        w.u(1 if used else 0, 1)
+    prev = 0
+    for d, used in rps_pos:
+        w.ue(d - prev - 1)
+        prev = d
+        w.u(1 if used else 0, 1)
+    if sao:
+        w.u(1, 1)
+        w.u(1, 1)
+    # num_ref_idx_active_override
+    w.u(1, 1)
+    w.ue(num_ref[0] - 1)
+    if slice_type == 0:
+        w.ue(num_ref[1] - 1)
+        w.u(1 if mvd_l1_zero else 0, 1)  # mvd_l1_zero_flag
+    w.ue(0)              # five_minus_max_num_merge_cand → 5
+    w.se(qp_delta)
+    if deblock or sao:
+        w.u(1, 1)        # slice_loop_filter_across_slices_enabled
+    w.u(1, 1)            # byte_alignment
+    while len(w.bits) % 8:
+        w.u(0, 1)
+    return w
+
+
+class InterPlan(Plan):
+    """Adds inter CU intents to Plan."""
+
+    def __init__(self, rng, skip_p=0.2, inter_p=0.75, merge_p=0.5,
+                 mvd_range=24, bi_p=0.4, rqt_p=0.7, **kw):
+        super().__init__(rng, **kw)
+        self.skip_p = skip_p
+        self.inter_p = inter_p
+        self.merge_p = merge_p
+        self.mvd_range = mvd_range
+        self.bi_p = bi_p
+        self.rqt_p = rqt_p
+        self.nref = (1, 0)
+        self.is_b = False
+
+    def cu_skip(self, x0, y0, log2):
+        return self.rng.random() < self.skip_p
+
+    def cu_is_inter(self, x0, y0, log2):
+        return self.rng.random() < self.inter_p
+
+    def part_mode_inter(self, x0, y0, log2):
+        r = self.rng.random()
+        if log2 == 3:                     # avoid 8x4/4x8 complexity mix
+            return "2Nx2N" if r < 0.7 else ("2NxN" if r < 0.85
+                                            else "Nx2N")
+        return "2Nx2N" if r < 0.5 else ("2NxN" if r < 0.75 else "Nx2N")
+
+    def pu_merge(self, x0, y0, pidx):
+        return self.rng.random() < self.merge_p
+
+    def pu_merge_idx(self, x0, y0, pidx):
+        return int(self.rng.integers(0, 5))
+
+    def pu_inter_pred_idc(self, x0, y0, w, h):
+        if w + h == 12 or not self.is_b:
+            return int(self.rng.integers(0, 2))
+        r = self.rng.random()
+        if r < self.bi_p:
+            return 2
+        return int(self.rng.integers(0, 2))
+
+    def pu_ref_idx(self, x0, y0, pidx, ll):
+        return int(self.rng.integers(0, max(1, self.nref[ll])))
+
+    def pu_mvd(self, x0, y0, pidx, ll):
+        m = self.mvd_range
+        return (int(self.rng.integers(-m, m + 1)),
+                int(self.rng.integers(-m, m + 1)))
+
+    def pu_mvp_flag(self, x0, y0, pidx, ll):
+        return int(self.rng.integers(0, 2))
+
+    def rqt_root_cbf(self, x0, y0, log2):
+        return self.rng.random() < self.rqt_p
+
+
+def craft_gop(plan_factory, n_frames=4, gop_kind="P", width=W,
+              height=H, qp_delta=0, pps_kw=None, **sps_kw):
+    """Craft an IDR + (n_frames-1) inter frames. gop_kind:
+    'P' → IPPP (one ref), 'GPB' → low-delay B (two past refs, both
+    lists), 'B' → I P B P B ... with reordering (POC order differs
+    from coding order)."""
+    from ffmpeg_tpu.codecs.h264 import nal as N
+    from test_h264_cabac import _bits_to_bytes
+
+    sps_kw = dict(sps_kw, width=width, height=height)
+    if gop_kind == "B":
+        sps_kw.setdefault("num_reorder", 1)
+    pps_kw = pps_kw or {}
+    sao = sps_kw.get("sao", False)
+    deblock = pps_kw.get("deblock", False)
+    sps_nal = make_vps() + make_sps(**sps_kw)
+    pps_nal = make_pps(**pps_kw)
+    sps = HP.parse_sps(N.unescape(make_sps(**sps_kw)[6:]))
+    pps = HP.parse_pps(N.unescape(pps_nal[6:]))
+
+    stream = sps_nal + pps_nal
+
+    # coding order description: list of (poc, slice_type, rps_neg,
+    # rps_pos, num_ref)
+    frames = []
+    if gop_kind == "P":
+        for k in range(1, n_frames):
+            frames.append((k, 1, [(-1, True)], [], (1, 0)))
+    elif gop_kind == "GPB":
+        for k in range(1, n_frames):
+            neg = [(-1, True)] + ([(-2, True)] if k >= 2 else [])
+            nr = min(2, len(neg))
+            frames.append((k, 0, neg, [], (nr, nr)))
+    else:                                 # hierarchical-lite B
+        poc = 0
+        for k in range(1, n_frames):
+            if k % 2 == 1:                # forward P, poc advances by 2
+                poc += 2
+                frames.append((poc, 1, [(-2, True)] +
+                               ([(-4, False)] if poc >= 4 else []),
+                               [], (1, 0)))
+            else:                         # B between the two P frames
+                frames.append((poc - 1, 0, [(-1, True)], [(1, True)],
+                               (1, 1)))
+
+    # IDR I frame
+    hw = slice_header_bits(qp_delta, deblock=deblock, sao=sao)
+    sh = HP.parse_slice_header(
+        bytes(_bits_to_bytes(hw.bits)), HP.NAL_IDR_W_RADL, sps,
+        {0: pps})
+    sh.qp = 26 + qp_delta
+    plan = plan_factory()
+    dec0 = FrameDec(sps, pps, sh, poc=0)
+    enc = CabacEncoder()
+    CtuCoder(dec0, enc, encode=True, plan=plan).code_slice_data()
+    stream += hnal(HP.NAL_IDR_W_RADL,
+                   _bits_to_bytes(hw.bits) +
+                   _bits_to_bytes(enc.bitstring()))
+
+    pocs = [0]
+    for poc, stype, neg, pos, nref in frames:
+        hw = inter_slice_header_bits(stype, poc, neg, pos, nref,
+                                     qp_delta, deblock=deblock,
+                                     sao=sao)
+        nalt = HP.NAL_TRAIL_R
+        sh = HP.parse_slice_header(bytes(_bits_to_bytes(hw.bits)),
+                                   nalt, sps, {0: pps})
+        # rpl construction mirrors the decoder (POCs only; the encode
+        # walker needs rpl for merge/AMVP, not pixels)
+        before = [poc + d for d, used in neg if used]
+        after = [poc + d for d, used in pos if used]
+        rpl = [[], []]
+        for ll, order in ((0, before + after), (1, after + before)):
+            for i in range(sh.num_ref_idx[ll]):
+                rpl[ll].append(order[i % len(order)])
+        plan = plan_factory()
+        plan.nref = sh.num_ref_idx
+        plan.is_b = stype == 0
+        dec = FrameDec(sps, pps, sh, poc=poc, rpl=rpl)
+        enc = CabacEncoder()
+        CtuCoder(dec, enc, encode=True, plan=plan).code_slice_data()
+        stream += hnal(nalt, _bits_to_bytes(hw.bits) +
+                       _bits_to_bytes(enc.bitstring()))
+        pocs.append(poc)
+    return stream, len(pocs)
+
+
+def _decode_gop_vs_ref(stream, n_frames, tmp_path, width=W, height=H):
+    p = tmp_path / "s.h265"
+    p.write_bytes(stream)
+    raw = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "hevc", "-i", str(p),
+         "-f", "rawvideo", "-"], check=True, capture_output=True).stdout
+    sz = width * height * 3 // 2
+    assert len(raw) == sz * n_frames, \
+        f"reference produced {len(raw)} bytes, want {sz * n_frames}"
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="hevc")
+    dec = CodecContext.open_decoder(par)
+    frames = dec.decode_all([Packet(data=stream, pts=0,
+                                    time_base=Rational(1, 25))])
+    assert len(frames) == n_frames
+    got = np.concatenate([np.asarray(pl).ravel()
+                          for f in frames for pl in f.planes])
+    want = np.frombuffer(raw, np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
+@requires_ref
+@pytest.mark.parametrize("seed", [1, 5, 9])
+def test_hevc_p_gop(tmp_path, seed):
+    """IPPP: merge + AMVP + skip + intra CUs in P slices."""
+    rng = np.random.default_rng(seed)
+    stream, n = craft_gop(lambda: InterPlan(rng), n_frames=4)
+    _decode_gop_vs_ref(stream, n, tmp_path)
+
+
+@requires_ref
+def test_hevc_p_deblock(tmp_path):
+    """P slices with in-loop deblock: inter bS 0/1/2 paths."""
+    rng = np.random.default_rng(13)
+    stream, n = craft_gop(lambda: InterPlan(rng, maxn=12, amp=40),
+                          n_frames=4, pps_kw=dict(deblock=True))
+    _decode_gop_vs_ref(stream, n, tmp_path)
+
+
+@requires_ref
+def test_hevc_p_sao_deblock(tmp_path):
+    rng = np.random.default_rng(17)
+    stream, n = craft_gop(lambda: InterPlan(rng, maxn=10, amp=40),
+                          n_frames=3, sao=True,
+                          pps_kw=dict(deblock=True))
+    _decode_gop_vs_ref(stream, n, tmp_path)
+
+
+@requires_ref
+def test_hevc_p_multi_ref(tmp_path):
+    """GPB low-delay B: two past refs in both lists, bi-pred."""
+    rng = np.random.default_rng(21)
+    stream, n = craft_gop(lambda: InterPlan(rng), n_frames=5,
+                          gop_kind="GPB")
+    _decode_gop_vs_ref(stream, n, tmp_path)
+
+
+@requires_ref
+@pytest.mark.parametrize("seed", [25, 29])
+def test_hevc_b_reorder(tmp_path, seed):
+    """True B frames with POC reordering (decode order != output)."""
+    rng = np.random.default_rng(seed)
+    stream, n = craft_gop(lambda: InterPlan(rng), n_frames=5,
+                          gop_kind="B")
+    _decode_gop_vs_ref(stream, n, tmp_path)
+
+
+@requires_ref
+def test_hevc_p_tt_depth_inter(tmp_path):
+    """Inter TUs spanning PU boundaries (max_td_inter > 0)."""
+    rng = np.random.default_rng(33)
+    stream, n = craft_gop(lambda: InterPlan(rng, tt_split_p=0.5),
+                          n_frames=3, max_td_inter=2,
+                          pps_kw=dict(deblock=True))
+    _decode_gop_vs_ref(stream, n, tmp_path)
+
+
+@requires_ref
+def test_hevc_p_ctb16_small_cu(tmp_path):
+    """Small CTBs: 8x8 inter CUs with 8x4/4x8 PUs (no bi-pred)."""
+    rng = np.random.default_rng(37)
+    stream, n = craft_gop(lambda: InterPlan(rng, split_p=0.6),
+                          n_frames=3, log2_ctb=4, log2_max_tb=4)
+    _decode_gop_vs_ref(stream, n, tmp_path)
