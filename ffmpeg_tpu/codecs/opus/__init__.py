@@ -1,0 +1,151 @@
+"""Opus decoder (RFC 6716; reference: libavcodec/opus/dec.c,
+parse.c). CELT mode (configs 16-31: 2.5-20 ms music frames) is fully
+implemented; SILK and hybrid modes are not yet (speech streams raise
+NotSupported)."""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ...core.frame import Frame
+from ...core.packet import Packet
+from ...io.stream import MediaType
+from ...utils.error import InvalidData, NotSupported
+from ...utils.rational import Rational
+from ..codec import Codec, register_decoder
+from . import tables_gen as T
+from .celt import CeltDecoder
+from .rc import RangeCoder
+
+
+def parse_packet(data: bytes):
+    """→ (config, stereo, [frame bytes]) (opus/parse.c
+    ff_opus_parse_packet)."""
+    if not data:
+        raise InvalidData("opus: empty packet")
+    toc = data[0]
+    code = toc & 3
+    stereo = (toc >> 2) & 1
+    config = toc >> 3
+    buf = data[1:]
+    frames = []
+    if code == 0:
+        frames = [buf]
+    elif code == 1:
+        if len(buf) & 1:
+            raise InvalidData("opus: bad code-1 packet")
+        half = len(buf) // 2
+        frames = [buf[:half], buf[half:]]
+    elif code == 2:
+        ln, used = _frame_len(buf)
+        frames = [buf[used:used + ln], buf[used + ln:]]
+    else:                                 # code 3
+        if not buf:
+            raise InvalidData("opus: bad code-3 packet")
+        hdr = buf[0]
+        count = hdr & 0x3F
+        vbr = (hdr >> 7) & 1
+        pad = (hdr >> 6) & 1
+        pos = 1
+        padding = 0
+        if pad:
+            while True:
+                p = buf[pos]
+                pos += 1
+                padding += p if p < 255 else 254
+                if p < 255:
+                    break
+        if not count:
+            raise InvalidData("opus: zero frames")
+        end = len(buf) - padding
+        if vbr:
+            sizes = []
+            for _ in range(count - 1):
+                ln, used = _frame_len(buf[pos:])
+                sizes.append(ln)
+                pos += used
+            rest = end - pos - sum(sizes)
+            sizes.append(rest)
+        else:
+            per = (end - pos) // count
+            sizes = [per] * count
+        for ln in sizes:
+            if ln < 0 or pos + ln > end:
+                raise InvalidData("opus: bad frame size")
+            frames.append(buf[pos:pos + ln])
+            pos += ln
+    return config, stereo, frames
+
+
+def _frame_len(buf: bytes):
+    if not buf:
+        raise InvalidData("opus: truncated length")
+    v = buf[0]
+    if v < 252:
+        return v, 1
+    if len(buf) < 2:
+        raise InvalidData("opus: truncated length")
+    return buf[1] * 4 + v, 2
+
+
+@register_decoder
+class OpusDecoder(Codec):
+    codec_id = "opus"
+    codec_type = MediaType.AUDIO
+
+    def __init__(self, par, options=None):
+        super().__init__(par, options)
+        ed = par.extradata or b""
+        self.channels = par.ch_layout.nb_channels if par.ch_layout \
+            else 2
+        self.pre_skip = 0
+        if len(ed) >= 19 and ed[:8] == b"OpusHead":
+            self.channels = ed[9]
+            self.pre_skip = int.from_bytes(ed[10:12], "little")
+            if ed[18] != 0:
+                raise NotSupported("opus: multistream mapping")
+        if self.channels > 2:
+            raise NotSupported("opus: >2 channels")
+        self.sample_rate = 48000
+        self.celt = CeltDecoder(self.channels)
+        self._to_skip = self.pre_skip
+
+    def decode(self, pkt: Optional[Packet]) -> List[Frame]:
+        if pkt is None or not pkt.data:
+            return []
+        config, stereo, frames = parse_packet(pkt.data)
+        if config < 16:
+            raise NotSupported("opus: SILK/hybrid modes")
+        duration = int(T.FRAME_DURATION[config])
+        bandwidth = (config - 16) >> 2
+        if bandwidth:
+            bandwidth += 1                # CELT skips mediumband
+        end_band = int(T.BAND_END[bandwidth])
+        outs = []
+        for fr in frames:
+            if not fr:
+                continue
+            rc = RangeCoder(fr)
+            out = self.celt.decode(rc, stereo + 1, duration, 0,
+                                   end_band)
+            outs.append(out)
+        if not outs:
+            return []
+        pcm = np.concatenate(outs, axis=1)
+        if self._to_skip:
+            n = min(self._to_skip, pcm.shape[1])
+            pcm = pcm[:, n:]
+            self._to_skip -= n
+            if pcm.shape[1] == 0:
+                return []
+        f = Frame.audio(pcm.astype(np.float32), self.sample_rate,
+                        "fltp", pts=pkt.pts,
+                        time_base=pkt.time_base
+                        or Rational(1, self.sample_rate))
+        return [f]
+
+    def flush_state(self):
+        self.celt = CeltDecoder(self.channels)
+        self._to_skip = self.pre_skip
