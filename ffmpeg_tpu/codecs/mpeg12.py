@@ -10,9 +10,10 @@ TPU-native split:
     integer half-pel motion compensation from the DPB kept as arrays,
     prediction add + clamp (ops/idct.py + the gather MC below).
 
-Supports: MPEG-1 and MPEG-2 main profile, frame pictures, frame
-prediction + frame DCT (progressive), I/P/B. Field pictures, dual prime
-and interlaced DCT raise NotSupported.
+Supports: MPEG-1 and MPEG-2 main profile frame pictures, progressive
+and interlaced coding tools (field motion in frame pictures +
+interlaced DCT, the tools broadcast streams use), I/P/B. Field
+pictures and dual prime raise NotSupported.
 """
 
 from __future__ import annotations
@@ -133,6 +134,18 @@ class _Seq:
 
 
 @dataclass
+class _SliceState:
+    coeffs: np.ndarray
+    flags: np.ndarray
+    mvs_f: np.ndarray
+    mvs_b: np.ndarray
+    fsel_f: np.ndarray
+    fsel_b: np.ndarray
+    field_mv: np.ndarray
+    dct_type: np.ndarray
+
+
+@dataclass
 class _Pic:
     type: int = I_TYPE
     f_code: np.ndarray = None        # (2,2): [fwd/bwd][x/y]
@@ -145,6 +158,7 @@ class _Pic:
     concealment_mv: int = 0
     top_field_first: int = 0
     temporal_ref: int = 0
+    picture_structure: int = 3
 
 
 @register_decoder
@@ -267,6 +281,7 @@ class Mpeg12Decoder(Codec):
             picture_structure = br.get(2)
             if picture_structure != 3:
                 raise NotSupported("mpeg2: field pictures")
+            pic.picture_structure = picture_structure
             pic.top_field_first = br.get(1)
             pic.frame_pred_frame_dct = br.get(1)
             pic.concealment_mv = br.get(1)
@@ -303,15 +318,21 @@ class Mpeg12Decoder(Codec):
 
         coeffs = np.zeros((mb_h, mb_w, 6, 64), np.float32)  # dequantized, raster
         flags = np.zeros((mb_h, mb_w), np.int32)
-        mvs_f = np.zeros((mb_h, mb_w, 2), np.int32)         # half-pel units (y, x)
-        mvs_b = np.zeros((mb_h, mb_w, 2), np.int32)
+        # per-MB MVs: [.., field (0 also = frame MV), (y, x)] half-pel
+        mvs_f = np.zeros((mb_h, mb_w, 2, 2), np.int32)
+        mvs_b = np.zeros((mb_h, mb_w, 2, 2), np.int32)
+        fsel_f = np.zeros((mb_h, mb_w, 2), np.int32)
+        fsel_b = np.zeros((mb_h, mb_w, 2), np.int32)
+        field_mv = np.zeros((mb_h, mb_w), np.int32)   # 1 = field motion
+        dct_type = np.zeros((mb_h, mb_w), np.int32)   # 1 = interlaced DCT
 
+        st = _SliceState(coeffs, flags, mvs_f, mvs_b, fsel_f, fsel_b,
+                         field_mv, dct_type)
         for sl in slices:
-            self._decode_slice(sl, pic, coeffs, flags, mvs_f, mvs_b, mb_w, mb_h)
+            self._decode_slice(sl, pic, st, mb_w, mb_h)
 
         # handle skipped MBs in P: copy (MV 0), flags stay 0 → copy from last
-        out_planes = self._reconstruct(pic, coeffs, flags, mvs_f, mvs_b,
-                                       mb_w, mb_h)
+        out_planes = self._reconstruct(pic, st, mb_w, mb_h)
 
         f = Frame.video(seq.width, seq.height, "yuv420p",
                         planes=out_planes, pts=pkt.pts,
@@ -332,9 +353,11 @@ class Mpeg12Decoder(Codec):
         return out
 
     # ------------------------------------------------------------------ slice
-    def _decode_slice(self, sl: bytes, pic: _Pic, coeffs, flags, mvs_f,
-                      mvs_b, mb_w, mb_h) -> None:
+    def _decode_slice(self, sl: bytes, pic: _Pic, st: "_SliceState",
+                      mb_w, mb_h) -> None:
         seq = self.seq
+        coeffs, flags = st.coeffs, st.flags
+        mvs_f, mvs_b = st.mvs_f, st.mvs_b
         slice_row = sl[0] - 1
         br = BitReader(sl[1:])
         qscale = self._qscale(br.get(5), pic)
@@ -345,7 +368,8 @@ class Mpeg12Decoder(Codec):
         dc_prec = pic.intra_dc_precision if seq.mpeg2 else 0
         dc_pred_reset = 1 << (7 + dc_prec)
         pred_dc = [dc_pred_reset] * 3
-        pred_mv = np.zeros((2, 2), np.int32)   # [fwd/bwd][y/x] in code units
+        # PMV state (13818-2 7.6.3.1): [dir][field][y/x] in code units
+        pred_mv = np.zeros((2, 2, 2), np.int32)
 
         first = True
         while br.bits_left() > 0:
@@ -377,15 +401,17 @@ class Mpeg12Decoder(Codec):
                     pred_dc = [dc_pred_reset] * 3
                     if pic.type == P_TYPE:
                         pred_mv[:] = 0
-                    for s in range(1, inc):
-                        sx = mb_x + s
+                    for sk in range(1, inc):
+                        sx = mb_x + sk
                         if sx >= mb_w:
                             break
                         if pic.type == B_TYPE:
-                            # skipped B: same prediction as previous MB
-                            flags[mb_y, sx] = flags[mb_y, mb_x] & (MB_FWD | MB_BWD)
-                            mvs_f[mb_y, sx] = mvs_f[mb_y, mb_x]
-                            mvs_b[mb_y, sx] = mvs_b[mb_y, mb_x]
+                            # skipped B: frame prediction from the PMVs
+                            # with the previous MB's directions
+                            flags[mb_y, sx] = flags[mb_y, mb_x] & \
+                                (MB_FWD | MB_BWD)
+                            mvs_f[mb_y, sx, 0] = pred_mv[0, 0]
+                            mvs_b[mb_y, sx, 0] = pred_mv[1, 0]
                         else:
                             flags[mb_y, sx] = MB_FWD   # zero-MV copy
                 mb_x += inc
@@ -403,12 +429,13 @@ class Mpeg12Decoder(Codec):
             if seq.mpeg2 and not pic.frame_pred_frame_dct and \
                     (mb_flags & (MB_FWD | MB_BWD)):
                 motion_type = br.get(2)
-                if motion_type != 2:
-                    raise NotSupported("mpeg2: field motion")
+                if motion_type == 3:
+                    raise NotSupported("mpeg2: dual prime")
+                if motion_type == 0:
+                    raise InvalidData("mpeg2: bad motion type")
             if seq.mpeg2 and not pic.frame_pred_frame_dct and \
                     (mb_flags & (MB_CODED | MB_INTRA)):
-                if br.get(1):
-                    raise NotSupported("mpeg2: interlaced DCT")
+                st.dct_type[mb_y, mb_x] = br.get(1)
 
             if mb_flags & MB_INTRA:
                 pred_mv[:] = 0
@@ -422,27 +449,46 @@ class Mpeg12Decoder(Codec):
             pred_dc = [dc_pred_reset] * 3
             # motion vectors
             if mb_flags & MB_FWD:
-                self._decode_mv(br, pic, 0, pred_mv)
-                mvs_f[mb_y, mb_x] = pred_mv[0]
+                self._decode_mb_motion(br, pic, 0, pred_mv, motion_type,
+                                       st, mb_y, mb_x)
             elif pic.type == P_TYPE:
                 pred_mv[0] = 0
                 mvs_f[mb_y, mb_x] = 0
+                st.field_mv[mb_y, mb_x] = 0
                 mb_flags |= MB_FWD
             if mb_flags & MB_BWD:
-                self._decode_mv(br, pic, 1, pred_mv)
-                mvs_b[mb_y, mb_x] = pred_mv[1]
+                self._decode_mb_motion(br, pic, 1, pred_mv, motion_type,
+                                       st, mb_y, mb_x)
             flags[mb_y, mb_x] = mb_flags & (MB_FWD | MB_BWD)
 
             if mb_flags & MB_CODED:
                 cbp = _vlc(br, _PAT_LUT)
-                if self.seq.mpeg2:
-                    pass
                 if cbp == 0 and not seq.mpeg2:
                     raise InvalidData("mpeg1: cbp 0")
                 for blk in range(6):
                     if cbp & (1 << (5 - blk)):
                         self._decode_inter_block(br, pic, coeffs[mb_y, mb_x, blk],
                                                  qscale)
+
+    def _decode_mb_motion(self, br: BitReader, pic: _Pic, which: int,
+                          pred_mv: np.ndarray, motion_type: int,
+                          st: "_SliceState", mb_y: int, mb_x: int) -> None:
+        """Frame (motion_type 2) or field (1) motion for one direction
+        in a frame picture (mpeg12dec.c mpeg_decode_mb MT_FRAME/
+        MT_FIELD)."""
+        mvs = st.mvs_f if which == 0 else st.mvs_b
+        fsel = st.fsel_f if which == 0 else st.fsel_b
+        if motion_type == 2:              # frame motion
+            self._decode_mv(br, pic, which, pred_mv, 0, field_y=False)
+            pred_mv[which, 1] = pred_mv[which, 0]
+            mvs[mb_y, mb_x, 0] = pred_mv[which, 0]
+            mvs[mb_y, mb_x, 1] = pred_mv[which, 0]
+        else:                             # field motion, two MVs
+            st.field_mv[mb_y, mb_x] = 1
+            for t in range(2):
+                fsel[mb_y, mb_x, t] = br.get(1)
+                self._decode_mv(br, pic, which, pred_mv, t, field_y=True)
+                mvs[mb_y, mb_x, t] = pred_mv[which, t]
 
     def _i_mbtype(self, br: BitReader) -> int:
         if br.get(1):
@@ -460,8 +506,11 @@ class Mpeg12Decoder(Codec):
 
     # --- motion vectors --------------------------------------------------------
     def _decode_mv(self, br: BitReader, pic: _Pic, which: int,
-                   pred_mv: np.ndarray) -> None:
-        # stream order: horizontal then vertical; we store (y, x)
+                   pred_mv: np.ndarray, fld: int,
+                   field_y: bool = False) -> None:
+        # stream order: horizontal then vertical; we store (y, x).
+        # Field motion in frame pictures halves the vertical predictor
+        # before decoding and doubles the result (13818-2 7.6.3.1).
         for store_idx, fcode_idx in ((1, 0), (0, 1)):
             f_code = int(pic.f_code[which, fcode_idx])
             code = _vlc(br, _MV_LUT)
@@ -477,9 +526,15 @@ class Mpeg12Decoder(Codec):
                 delta = code
             delta *= sign
             rng = 1 << (f_code + 3)      # [-16*2^(f-1), 16*2^(f-1)) (13818-2)
-            val = pred_mv[which, store_idx] + delta
+            pred = int(pred_mv[which, fld, store_idx])
+            halve = field_y and store_idx == 0
+            if halve:
+                pred >>= 1
+            val = pred + delta
             val = ((val + rng) % (2 * rng)) - rng
-            pred_mv[which, store_idx] = val
+            if halve:
+                val *= 2
+            pred_mv[which, fld, store_idx] = val
 
     # --- block coefficients -----------------------------------------------------
     def _scan(self, pic: _Pic) -> np.ndarray:
@@ -590,11 +645,12 @@ class Mpeg12Decoder(Codec):
             self._rl_decode(br, pic, out, scan, qscale, intra=False, start=0)
 
     # ------------------------------------------------------------------ recon
-    def _reconstruct(self, pic: _Pic, coeffs, flags, mvs_f, mvs_b,
+    def _reconstruct(self, pic: _Pic, st: "_SliceState",
                      mb_w, mb_h) -> List[np.ndarray]:
         seq = self.seq
         w, h = seq.width, seq.height
-        residual = _residual_planes(jnp.asarray(coeffs), mb_w, mb_h)
+        residual = _residual_planes(jnp.asarray(st.coeffs),
+                                    jnp.asarray(st.dct_type), mb_w, mb_h)
         if pic.type == I_TYPE:
             planes = [np.asarray(jnp.clip(jnp.round(r), 0, 255).astype(jnp.uint8))
                       for r in residual]
@@ -616,9 +672,12 @@ class Mpeg12Decoder(Codec):
             [jnp.asarray(_pad_plane(p, mb_h * 16 if i == 0 else mb_h * 8,
                                     mb_w * 16 if i == 0 else mb_w * 8))
              for i, p in enumerate(bwd)] if bwd is not None else None,
-            residual, jnp.asarray(flags), jnp.asarray(mvs_f << full_pel[0]),
-            jnp.asarray(mvs_b << (full_pel[1] if len(full_pel) > 1 else 0)),
-            mb_w, mb_h)
+            residual, jnp.asarray(st.flags),
+            jnp.asarray(st.mvs_f << full_pel[0]),
+            jnp.asarray(st.mvs_b << (full_pel[1] if len(full_pel) > 1
+                                     else 0)),
+            jnp.asarray(st.fsel_f), jnp.asarray(st.fsel_b),
+            jnp.asarray(st.field_mv), mb_w, mb_h)
         return [np.asarray(planes[0])[:h, :w],
                 np.asarray(planes[1])[:h // 2, :w // 2],
                 np.asarray(planes[2])[:h // 2, :w // 2]]
@@ -663,20 +722,31 @@ def _pad_plane(p: np.ndarray, h: int, w: int) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("mb_w", "mb_h"))
-def _residual_planes(coeffs, mb_w: int, mb_h: int):
-    """(mb_h, mb_w, 6, 64) dequantized raster coeffs → [Y, U, V] planes."""
+def _residual_planes(coeffs, dct_type, mb_w: int, mb_h: int):
+    """(mb_h, mb_w, 6, 64) dequantized raster coeffs → [Y, U, V]
+    planes. dct_type selects frame (quadrant) vs interlaced (field-
+    split) luma block layout per MB (13818-2 figure 6-13)."""
     blocks = coeffs.reshape(mb_h, mb_w, 6, 8, 8)
     pix = idct8x8(blocks)
     yb = pix[:, :, :4].reshape(mb_h, mb_w, 2, 2, 8, 8)
-    y = yb.transpose(0, 2, 4, 1, 3, 5).reshape(mb_h * 16, mb_w * 16)
+    y_frame = yb.transpose(0, 2, 4, 1, 3, 5).reshape(mb_h * 16,
+                                                     mb_w * 16)
+    # interlaced: blocks (0,1) = top field L/R, (2,3) = bottom field;
+    # MB row index = 2*r + field
+    y_field = yb.transpose(0, 4, 2, 1, 3, 5).reshape(mb_h * 16,
+                                                     mb_w * 16)
+    fm = jnp.repeat(jnp.repeat(dct_type, 16, axis=0), 16, axis=1)
+    y = jnp.where(fm.astype(bool), y_field, y_frame)
     u = pix[:, :, 4].transpose(0, 2, 1, 3).reshape(mb_h * 8, mb_w * 8)
     v = pix[:, :, 5].transpose(0, 2, 1, 3).reshape(mb_h * 8, mb_w * 8)
     return [y, u, v]
 
 
-def _mc_halfpel(ref, mvs, block: int):
+def _mc_halfpel(ref, mvs, block_h: int, block_w: int = None):
     """Exact MPEG half-pel MC: ref (H, W) uint8, mvs (by, bx, 2) in half-pel
-    (y, x). Returns float32 (by*block, bx*block)."""
+    (y, x). Returns int32 (by*block_h, bx*block_w)."""
+    if block_w is None:
+        block_w = block_h
     h, w = ref.shape
     by, bx = mvs.shape[:2]
     r = ref.astype(jnp.int32)
@@ -684,10 +754,10 @@ def _mc_halfpel(ref, mvs, block: int):
     ix = mvs[..., 1] >> 1
     hy = mvs[..., 0] & 1
     hx = mvs[..., 1] & 1
-    y0 = jnp.arange(by)[:, None] * block + iy
-    x0 = jnp.arange(bx)[None, :] * block + ix
-    oy = jnp.arange(block)
-    ox = jnp.arange(block)
+    y0 = jnp.arange(by)[:, None] * block_h + iy
+    x0 = jnp.arange(bx)[None, :] * block_w + ix
+    oy = jnp.arange(block_h)
+    ox = jnp.arange(block_w)
 
     def g(dy, dx):
         yy = jnp.clip(y0[..., None, None] + oy[None, None, :, None] + dy, 0, h - 1)
@@ -706,21 +776,58 @@ def _mc_halfpel(ref, mvs, block: int):
     vert = (p00 + p10 + 1) >> 1
     pred = jnp.where(hx_ & hy_, both,
                      jnp.where(hx_, horiz, jnp.where(hy_, vert, p00)))
-    return pred.transpose(0, 2, 1, 3).reshape(by * block, bx * block)
+    return pred.transpose(0, 2, 1, 3).reshape(by * block_h,
+                                              bx * block_w)
+
+
+def _mc_field(ref, mvs, fsel, block_h: int, block_w: int):
+    """Field MC in a frame picture: for each output field t (rows
+    t::2), predict a (block_h, block_w) block per MB from the selected
+    source field. mvs: (by, bx, 2, 2) with y in field half-pel.
+    Returns the interleaved (by*2*block_h, bx*block_w) prediction."""
+    by, bx = mvs.shape[:2]
+    preds = []
+    for t in range(2):
+        mv_t = mvs[:, :, t, :]
+        # source field s: compute from both fields, select per MB
+        p0 = _mc_halfpel(ref[0::2], mv_t, block_h, block_w)
+        p1 = _mc_halfpel(ref[1::2], mv_t, block_h, block_w)
+        sel = _expand_rect(fsel[:, :, t], block_h, block_w)
+        preds.append(jnp.where(sel.astype(bool), p1, p0))
+    out = jnp.zeros((by * 2 * block_h, bx * block_w), preds[0].dtype)
+    out = out.at[0::2].set(preds[0])
+    out = out.at[1::2].set(preds[1])
+    return out
 
 
 @partial(jax.jit, static_argnames=("mb_w", "mb_h"))
-def _recon_inter(fwd, bwd, residual, flags, mvs_f, mvs_b, mb_w: int, mb_h: int):
+def _recon_inter(fwd, bwd, residual, flags, mvs_f, mvs_b, fsel_f,
+                 fsel_b, field_mv, mb_w: int, mb_h: int):
     out = []
     for ci in range(3):
         block = 16 if ci == 0 else 8
         mvf = mvs_f if ci == 0 else _chroma_mv(mvs_f)
         mvb = mvs_b if ci == 0 else _chroma_mv(mvs_b)
-        pf = _mc_halfpel(fwd[ci], mvf, block)
+        # field MVs: vertical stored in frame units (doubled); MC wants
+        # field half-pel units. Chroma values can be odd — C division
+        # truncates toward zero (mpeg_motion_field mx/my).
+        def fieldize(m):
+            y = m[..., 0]
+            yt = jnp.sign(y) * (jnp.abs(y) >> 1)
+            return jnp.stack([yt, m[..., 1]], axis=-1)
+        fm = _expand(field_mv, block).astype(bool)
+
+        def pred_one(ref, mv, fsel):
+            p_frame = _mc_halfpel(ref, mv[:, :, 0, :], block, block)
+            p_field = _mc_field(ref, fieldize(mv), fsel, block // 2,
+                                block)
+            return jnp.where(fm, p_field, p_frame)
+
+        pf = pred_one(fwd[ci], mvf, fsel_f)
         has_f = _expand(flags & MB_FWD, block).astype(bool)
         has_b = _expand(flags & MB_BWD, block).astype(bool)
         if bwd is not None:
-            pb = _mc_halfpel(bwd[ci], mvb, block)
+            pb = pred_one(bwd[ci], mvb, fsel_b)
             avg = (pf + pb + 1) >> 1
             pred = jnp.where(has_f & has_b, avg,
                              jnp.where(has_b, pb, pf))
@@ -742,3 +849,7 @@ def _chroma_mv(mvs):
 def _expand(grid, block: int):
     """(mb_h, mb_w) → (mb_h*block, mb_w*block) via repeat."""
     return jnp.repeat(jnp.repeat(grid, block, axis=0), block, axis=1)
+
+
+def _expand_rect(grid, bh: int, bw: int):
+    return jnp.repeat(jnp.repeat(grid, bh, axis=0), bw, axis=1)

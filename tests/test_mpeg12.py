@@ -109,3 +109,26 @@ def test_mpeg1_decode(tmp_path):
     refs = [Frame.from_bytes(raw.stdout[i * FSZ:(i + 1) * FSZ], "yuv420p", W, H)
             for i in range(len(raw.stdout) // FSZ)]
     assert _min_psnr(ours, refs) > 40
+
+
+@requires_ref
+def test_mpeg2_interlaced_ip(tmp_path):
+    """Interlaced coding tools in frame pictures: field motion (ilme)
+    + interlaced DCT (ildct) + alternate scan, IP GOP."""
+    ts = _make_ts(tmp_path, 16, ["-flags", "+ildct+ilme", "-bf", "0",
+                                 "-g", "8", "-alternate_scan", "1"])
+    ours = _decode_ours(ts)
+    refs = _decode_ref(ts)
+    assert len(ours) == len(refs) == 16
+    assert _min_psnr(ours, refs) > 42
+
+
+@requires_ref
+def test_mpeg2_interlaced_ipb(tmp_path):
+    """Interlaced tools with B frames (field bipred)."""
+    ts = _make_ts(tmp_path, 12, ["-flags", "+ildct+ilme", "-bf", "2",
+                                 "-g", "12"])
+    ours = _decode_ours(ts)
+    refs = _decode_ref(ts)
+    assert len(ours) == len(refs) == 12
+    assert _min_psnr(ours, refs) > 42
