@@ -11,7 +11,7 @@ test -f ffmpeg && exit 0
  --disable-vulkan --disable-sdl2 --disable-iconv --disable-everything \
  --enable-protocol=file,pipe,fd,crypto \
  --enable-demuxer=mov,matroska,mpegts,wav,mjpeg,image2,rawvideo,yuv4mpegpipe,pcm_s16le,flac,aac,mp3,ogg,ivf,apng,image_png_pipe,image_jpeg_pipe,concat,avi,flv,gif,hls,h264,hevc,ac3 \
- --enable-muxer=mpeg1video,rawvideo,mov,mp4,matroska,mpegts,wav,mjpeg,image2,rawvideo,yuv4mpegpipe,framecrc,framemd5,md5,crc,null,pcm_s16le,flac,adts,ivf,apng,image2pipe,avi,mpeg2video,gif,ac3,ogg \
+ --enable-muxer=mpeg1video,rawvideo,mov,mp4,matroska,mpegts,wav,mjpeg,image2,rawvideo,yuv4mpegpipe,framecrc,framemd5,md5,crc,null,pcm_s16le,flac,adts,ivf,apng,image2pipe,avi,mpeg2video,gif,ac3,ogg,dash,webm \
  --enable-encoder=mjpeg,mpeg1video,mpeg2video,mpeg4,prores,dnxhd,ffv1,flac,aac,pcm_s16le,pcm_s16be,pcm_f32le,png,rawvideo,wrapped_avframe,ac3,msmpeg4v3,h263,gif,mp2,vorbis,opus \
  --enable-indev=lavfi \
  --enable-decoder=wrapped_avframe,mjpeg,mpeg2video,mpeg4,prores,dnxhd,ffv1,flac,aac,pcm_s16le,pcm_s16be,pcm_f32le,png,rawvideo,h264,hevc,vp8,vp9,mpeg1video,mp3,vorbis,opus,ac3,msmpeg4v3,h263,gif,mp2 \
