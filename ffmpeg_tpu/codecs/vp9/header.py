@@ -1,7 +1,8 @@
 """VP9 frame headers: uncompressed (plain bits, spec §6.2/§7.2;
 reference: libavcodec/vp9.c decode_frame_header) and the bool-coded
-compressed header (tx mode + probability updates). Keyframe/intra-only
-profile-0 scope; inter-frame fields are parsed enough to reject."""
+compressed header (tx mode + forward probability updates, including
+the inter-frame mode/filter/ref/MV tables). Profile-0 8-bit scope;
+segmentation and scaled references are rejected."""
 
 from __future__ import annotations
 
@@ -25,6 +26,18 @@ class VP9Header:
     show_frame: bool = True
     errorres: bool = False
     intraonly: bool = False
+    show_existing: int = -1               # ref slot to re-show, or -1
+    resetctx: int = 0
+    refreshrefmask: int = 0xFF
+    refidx: list = field(default_factory=lambda: [0, 0, 0])
+    signbias: list = field(default_factory=lambda: [0, 0, 0])
+    highprecisionmvs: bool = False
+    filtermode: int = 4                   # FILTER_SWITCHABLE
+    allowcompinter: bool = False
+    fixcompref: int = 0
+    varcompref: list = field(default_factory=lambda: [0, 0])
+    comppredmode: int = 0                 # PRED_SINGLEREF
+    use_last_frame_mvs: bool = False
     width: int = 0
     height: int = 0
     refreshctx: bool = True
@@ -47,7 +60,8 @@ class VP9Header:
     uncompressed_bits: int = 0            # bit length of part 1
     # derived quantizers
     qmul: tuple = ((0, 0), (0, 0))
-    # per-level loop filter limits
+    # per-(ref, mode!=zero) loop filter levels (4, 2)
+    lflvl_mat: object = None
     lflvl: int = 0
 
 
@@ -56,9 +70,15 @@ def _sbits_inv(b: Bits, n: int) -> int:
     return -v if b.get1() else v
 
 
-def parse_uncompressed(data: bytes) -> VP9Header:
+def parse_uncompressed(data: bytes, last_invisible=False,
+                       lf_deltas=None, ref_dims=None) -> VP9Header:
+    """ref_dims: per-slot (w, h) of the 8 reference frames (inter);
+    lf_deltas: carried-over (ref_delta, mode_delta) lists."""
     b = Bits(data)
     h = VP9Header()
+    if lf_deltas is not None:
+        h.lf_ref_delta = list(lf_deltas[0])
+        h.lf_mode_delta = list(lf_deltas[1])
     if b.get(2) != 2:
         raise InvalidData("vp9: bad frame marker")
     h.profile = b.get1() | (b.get1() << 1)
@@ -67,10 +87,12 @@ def parse_uncompressed(data: bytes) -> VP9Header:
     if h.profile != 0:
         raise NotSupported(f"vp9: profile {h.profile}")
     if b.get1():                          # show_existing_frame
-        raise NotSupported("vp9: show_existing_frame")
+        h.show_existing = b.get(3)
+        return h
     h.keyframe = not b.get1()
     h.show_frame = bool(b.get1())
     h.errorres = bool(b.get1())
+    h.use_last_frame_mvs = not h.errorres and not last_invisible
     if h.keyframe:
         if b.get(24) != SYNCCODE:
             raise InvalidData("vp9: bad sync code")
@@ -78,23 +100,60 @@ def parse_uncompressed(data: bytes) -> VP9Header:
         if cs == 7:
             raise NotSupported("vp9: sRGB")
         b.get1()                          # color_range
+        h.refreshrefmask = 0xFF
         h.width = b.get(16) + 1
         h.height = b.get(16) + 1
         if b.get1():                      # render size
             b.get(32)
     else:
         h.intraonly = bool(b.get1()) if not h.show_frame else False
-        if not h.errorres:
-            b.get(2)                      # reset_frame_context
-        if not h.intraonly:
-            raise NotSupported("vp9: inter frames")
-        if b.get(24) != SYNCCODE:
-            raise InvalidData("vp9: bad sync code")
-        b.get(8)                          # refresh mask
-        h.width = b.get(16) + 1
-        h.height = b.get(16) + 1
-        if b.get1():
-            b.get(32)
+        h.resetctx = 0 if h.errorres else b.get(2)
+        if h.intraonly:
+            if b.get(24) != SYNCCODE:
+                raise InvalidData("vp9: bad sync code")
+            h.refreshrefmask = b.get(8)
+            h.width = b.get(16) + 1
+            h.height = b.get(16) + 1
+            if b.get1():
+                b.get(32)
+        else:
+            h.refreshrefmask = b.get(8)
+            for i in range(3):
+                h.refidx[i] = b.get(3)
+                h.signbias[i] = b.get1() if not h.errorres else \
+                    (b.get1() and 0)
+            if ref_dims is None or any(
+                    ref_dims[h.refidx[i]] is None for i in range(3)):
+                raise InvalidData("vp9: reference not available")
+            if b.get1():
+                h.width, h.height = ref_dims[h.refidx[0]]
+            elif b.get1():
+                h.width, h.height = ref_dims[h.refidx[1]]
+            elif b.get1():
+                h.width, h.height = ref_dims[h.refidx[2]]
+            else:
+                h.width = b.get(16) + 1
+                h.height = b.get(16) + 1
+            for i in range(3):
+                if ref_dims[h.refidx[i]] != (h.width, h.height):
+                    raise NotSupported("vp9: scaled reference")
+            if b.get1():                  # display size
+                b.get(32)
+            h.highprecisionmvs = bool(b.get1())
+            h.filtermode = 4 if b.get1() else b.get(2)
+            h.allowcompinter = (
+                h.signbias[0] != h.signbias[1] or
+                h.signbias[0] != h.signbias[2])
+            if h.allowcompinter:
+                if h.signbias[0] == h.signbias[1]:
+                    h.fixcompref = 2
+                    h.varcompref = [0, 1]
+                elif h.signbias[0] == h.signbias[2]:
+                    h.fixcompref = 1
+                    h.varcompref = [0, 2]
+                else:
+                    h.fixcompref = 0
+                    h.varcompref = [1, 2]
     h.refreshctx = not h.errorres and bool(b.get1())
     if h.errorres:
         h.refreshctx = False
@@ -104,7 +163,10 @@ def parse_uncompressed(data: bytes) -> VP9Header:
     h.framectxid = b.get(2)
     if h.keyframe or h.intraonly:
         h.framectxid = 0                  # libvpx ignores it here
-    # loop filter
+    # loop filter (deltas reset on key/errorres/intraonly)
+    if h.keyframe or h.errorres or h.intraonly:
+        h.lf_ref_delta = [1, 0, -1, -1]
+        h.lf_mode_delta = [0, 0]
     h.filter_level = b.get(6)
     h.sharpness = b.get(3)
     if b.get1():                          # lf delta enabled
@@ -156,6 +218,19 @@ def parse_uncompressed(data: bytes) -> VP9Header:
     h.qmul = ((int(T.DC_QLOOKUP[0][qydc]), int(T.AC_QLOOKUP[0][h.yac_qi])),
               (int(T.DC_QLOOKUP[0][quvdc]), int(T.AC_QLOOKUP[0][quvac])))
     h.lflvl = h.filter_level
+    # per-(ref+1, mode!=zero) filter levels (vp9.c:782)
+    lvl = h.filter_level
+    mat = np.full((4, 2), lvl, np.int32)
+    if h.lf_delta_enabled:
+        sh = int(lvl >= 32)
+        mat[0, 0] = mat[0, 1] = np.clip(
+            lvl + (h.lf_ref_delta[0] << sh), 0, 63)
+        for j in range(1, 4):
+            for m in range(2):
+                mat[j, m] = np.clip(
+                    lvl + ((h.lf_ref_delta[j] +
+                            h.lf_mode_delta[m]) << sh), 0, 63)
+    h.lflvl_mat = mat
     return h
 
 
@@ -208,28 +283,68 @@ def update_prob(c: BoolDecoder, p: int) -> int:
     return 255 - _inv_recenter_nonneg(INV_MAP_TABLE[d], 255 - p)
 
 
-class FrameProbs:
-    """Per-frame probability tables (keyframe scope: tx, skip, coef)."""
+class ProbContext:
+    """One saved frame context (vp9dec.h prob_ctx): all mode/MV probs
+    plus the 3-term coefficient model."""
+
+    FIELDS = [("y_mode", "DEFAULT_YMODE"), ("uv_mode", "DEFAULT_UVMODE"),
+              ("filter", "DEFAULT_FILTER"), ("mv_mode", "DEFAULT_MVMODE"),
+              ("intra", "DEFAULT_INTRA"), ("comp", "DEFAULT_COMP"),
+              ("single_ref", "DEFAULT_SINGLEREF"),
+              ("comp_ref", "DEFAULT_COMPREF"),
+              ("tx32p", "DEFAULT_TX32P"), ("tx16p", "DEFAULT_TX16P"),
+              ("tx8p", "DEFAULT_TX8P"), ("skip", "DEFAULT_SKIP"),
+              ("mv_joint", "DEFAULT_MVJOINT"),
+              ("mv_comp", "DEFAULT_MVCOMP"),
+              ("partition", "DEFAULT_PARTITION")]
 
     def __init__(self):
-        self.tx8p = T.DEFAULT_TX8P.copy()
-        self.tx16p = T.DEFAULT_TX16P.copy()
-        self.tx32p = T.DEFAULT_TX32P.copy()
-        self.skip = T.DEFAULT_SKIP.copy()
-        # 11-entry model-expanded coef probs
+        for name, src in self.FIELDS:
+            setattr(self, name, getattr(T, src).copy())
+        self.coef3 = T.DEFAULT_COEF_PROBS.copy()  # (4,2,2,6,6,3)
+
+    def copy(self):
+        o = object.__new__(type(self))
+        for name, _ in self.FIELDS:
+            setattr(o, name, getattr(self, name).copy())
+        o.coef3 = self.coef3.copy()
+        if hasattr(self, "coef"):
+            o.coef = self.coef.copy()
+        return o
+
+
+class FrameProbs(ProbContext):
+    """Working per-frame probabilities: a context copy with the
+    model-expanded 11-term coefficient probs."""
+
+    def __init__(self, ctx=None):
+        if ctx is None:
+            super().__init__()
+        else:
+            for name, _ in self.FIELDS:
+                setattr(self, name, getattr(ctx, name).copy())
+            self.coef3 = ctx.coef3.copy()
         self.coef = np.zeros((4, 2, 2, 6, 6, 11), np.int32)
 
     def expand(self, tx, j, k, l, m, p3):
+        self.coef3[tx, j, k, l, m] = p3
         self.coef[tx, j, k, l, m, :3] = p3
         self.coef[tx, j, k, l, m, 3:] = T.MODEL_PARETO8[p3[2]]
 
 
-def parse_compressed(h: VP9Header, data: bytes) -> FrameProbs:
-    """Compressed header for key/intra frames (vp9.c:930ff)."""
+def _mv_prob_upd(c, arr, idx):
+    if c.get(252):
+        arr[idx] = (c.literal(7) << 1) | 1
+
+
+def parse_compressed(h: VP9Header, data: bytes,
+                     ctx: ProbContext = None) -> FrameProbs:
+    """Compressed header (vp9.c:930ff): forward updates applied to a
+    working copy of the saved context `ctx` (defaults when None)."""
     c = BoolDecoder(data)
     if c.get(128):
         raise InvalidData("vp9: bad compressed-header marker bit")
-    probs = FrameProbs()
+    probs = FrameProbs(ctx)
     h.txfmmode = c.literal(2)
     if h.txfmmode == 3:
         h.txfmmode += c.bit()
@@ -248,6 +363,7 @@ def parse_compressed(h: VP9Header, data: bytes) -> FrameProbs:
                     probs.tx32p[i][j] = update_prob(
                         c, int(probs.tx32p[i][j]))
     # coefficient probabilities
+    ref_coef = ctx.coef3 if ctx is not None else T.DEFAULT_COEF_PROBS
     for tx in range(4):
         upd = c.bit()
         for j in range(2):
@@ -256,7 +372,7 @@ def parse_compressed(h: VP9Header, data: bytes) -> FrameProbs:
                     for m in range(6):
                         if l == 0 and m >= 3:
                             break
-                        ref = T.DEFAULT_COEF_PROBS[tx, j, k, l, m]
+                        ref = ref_coef[tx, j, k, l, m]
                         p3 = list(int(v) for v in ref)
                         if upd:
                             for n in range(3):
@@ -268,6 +384,77 @@ def parse_compressed(h: VP9Header, data: bytes) -> FrameProbs:
     for i in range(3):
         if c.get(252):
             probs.skip[i] = update_prob(c, int(probs.skip[i]))
-    if not (h.keyframe or h.intraonly):
-        raise NotSupported("vp9: inter compressed header")
+    if h.keyframe or h.intraonly:
+        return probs
+
+    # inter-frame forward updates
+    for i in range(7):
+        for j in range(3):
+            if c.get(252):
+                probs.mv_mode[i][j] = update_prob(
+                    c, int(probs.mv_mode[i][j]))
+    if h.filtermode == 4:                 # FILTER_SWITCHABLE
+        for i in range(4):
+            for j in range(2):
+                if c.get(252):
+                    probs.filter[i][j] = update_prob(
+                        c, int(probs.filter[i][j]))
+    for i in range(4):
+        if c.get(252):
+            probs.intra[i] = update_prob(c, int(probs.intra[i]))
+    if h.allowcompinter:
+        h.comppredmode = c.bit()
+        if h.comppredmode:
+            h.comppredmode += c.bit()
+        if h.comppredmode == 2:           # PRED_SWITCHABLE
+            for i in range(5):
+                if c.get(252):
+                    probs.comp[i] = update_prob(c, int(probs.comp[i]))
+    else:
+        h.comppredmode = 0                # PRED_SINGLEREF
+    if h.comppredmode != 1:               # != PRED_COMPREF
+        for i in range(5):
+            for j in range(2):
+                if c.get(252):
+                    probs.single_ref[i][j] = update_prob(
+                        c, int(probs.single_ref[i][j]))
+    if h.comppredmode != 0:               # != PRED_SINGLEREF
+        for i in range(5):
+            if c.get(252):
+                probs.comp_ref[i] = update_prob(
+                    c, int(probs.comp_ref[i]))
+    for i in range(4):
+        for j in range(9):
+            if c.get(252):
+                probs.y_mode[i][j] = update_prob(
+                    c, int(probs.y_mode[i][j]))
+    for i in range(4):
+        for j in range(4):
+            for k in range(3):
+                if c.get(252):
+                    probs.partition[3 - i][j][k] = update_prob(
+                        c, int(probs.partition[3 - i][j][k]))
+    # MV probabilities use the literal (v<<1)|1 update form
+    for i in range(3):
+        _mv_prob_upd(c, probs.mv_joint, i)
+    for i in range(2):
+        mc = probs.mv_comp[i]
+        _mv_prob_upd(c, mc, 0)            # sign
+        for j in range(10):
+            _mv_prob_upd(c, mc, 1 + j)    # classes
+        _mv_prob_upd(c, mc, 11)           # class0
+        for j in range(10):
+            _mv_prob_upd(c, mc, 12 + j)   # bits
+    for i in range(2):
+        mc = probs.mv_comp[i]
+        for j in range(2):
+            for k in range(3):
+                _mv_prob_upd(c, mc, 22 + 3 * j + k)  # class0_fp
+        for j in range(3):
+            _mv_prob_upd(c, mc, 28 + j)   # fp
+    if h.highprecisionmvs:
+        for i in range(2):
+            mc = probs.mv_comp[i]
+            _mv_prob_upd(c, mc, 31)       # class0_hp
+            _mv_prob_upd(c, mc, 32)       # hp
     return probs

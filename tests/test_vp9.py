@@ -218,7 +218,8 @@ def _decode_vs_ref(stream, tmp_path, width=W, height=H, n_frames=1):
                            else stream, width, height))
     raw = subprocess.run(
         [str(refutil.REF), "-v", "error", "-i", str(p),
-         "-f", "rawvideo", "-"], check=True, capture_output=True).stdout
+         "-fps_mode", "passthrough", "-f", "rawvideo", "-"],
+        check=True, capture_output=True).stdout
     cw, ch = (width + 1) // 2, (height + 1) // 2
     sz = width * height + 2 * cw * ch
     assert len(raw) == sz * n_frames, \
