@@ -1,9 +1,10 @@
 """VP8 decoder (RFC 6386; reference: libavcodec/vp8.c).
 
-Keyframe (intra) decoding: segmentation, all intra modes, token
-partitions, full normal + simple loop filters; validated byte-exact
-against the reference decoder on crafted streams (block.py walks in
-both directions). Inter frames land next."""
+Keyframes and inter frames: all intra modes, MV prediction with
+split-MV, 6/4-tap sub-pel MC, golden/altref management, token
+partitions, segmentation, normal + simple loop filters; validated
+byte-exact against the reference decoder on crafted streams (block.py
+walks in both directions)."""
 
 from __future__ import annotations
 
@@ -12,7 +13,7 @@ from typing import List, Optional
 from ...core.frame import Frame
 from ...core.packet import Packet
 from ...io.stream import MediaType
-from ...utils.error import InvalidData, NotSupported
+from ...utils.error import InvalidData
 from ...utils.rational import Rational
 from ..codec import Codec, register_decoder
 from .block import FrameState, MBWalker
@@ -24,13 +25,18 @@ class VP8Core:
     def __init__(self):
         self.probs_saved: Optional[Probs] = None
         self.header: Optional[VP8Header] = None
+        self.refs = {}                    # 1/2/3 → (y, u, v)
+        self.seg_map = None
 
     def decode_frame(self, data: bytes):
         h, probs, snapshot, c, parts = parse_header(
             bytes(data), self.probs_saved, self.header)
-        if not h.keyframe:
-            raise NotSupported("vp8: inter frames")
-        fs = FrameState(h, probs)
+        if not h.keyframe and not self.refs:
+            raise InvalidData("vp8: inter frame without references")
+        fs = FrameState(h, probs, refs=self.refs)
+        if self.seg_map is not None and \
+                len(self.seg_map) == len(fs.seg_map):
+            fs.seg_map[:] = self.seg_map
         w = MBWalker(fs, c, parts)
         for mb_y in range(fs.mb_h):
             fs.new_row()
@@ -56,9 +62,24 @@ class VP8Core:
                     else:
                         filter_mb(fs.y, fs.u, fs.v, mb_x, mb_y, lvl,
                                   il, inner, h.keyframe)
+        # reference updates (vp8.c ref_to_update semantics)
+        entry = (fs.y, fs.u, fs.v)
+        if h.keyframe:
+            self.refs = {1: entry, 2: entry, 3: entry}
+        else:
+            old = dict(self.refs)
+            ug, ua = h.update_golden, h.update_altref
+            self.refs = dict(old)
+            self.refs[2] = {4: entry, 1: old.get(1),
+                            3: old.get(3)}.get(ug, old.get(2))
+            self.refs[3] = {4: entry, 1: old.get(1),
+                            2: old.get(2)}.get(ua, old.get(3))
+            if h.update_last:
+                self.refs[1] = entry
         self.probs_saved = probs if h.update_probabilities else \
             (snapshot or probs)
         self.header = h
+        self.seg_map = fs.seg_map.copy()
         return h, fs
 
 

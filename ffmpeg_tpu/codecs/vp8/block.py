@@ -34,10 +34,17 @@ def _i16(v):
     return ((v + 0x8000) & 0xFFFF) - 0x8000
 
 
+def _border_mb():
+    return {"mode": 0, "ref_frame": 0, "mv": (0, 0),
+            "partitioning": 4, "bmv": [(0, 0)] * 16, "skip": 0,
+            "segment": 0}
+
+
 class FrameState:
-    def __init__(self, h, probs):
+    def __init__(self, h, probs, refs=None):
         self.h = h
         self.probs = probs
+        self.refs = refs or {}            # {1: (y,u,v), 2: ..., 3: ...}
         self.mb_w = (h.width + 15) >> 4
         self.mb_h = (h.height + 15) >> 4
         wp, hp = self.mb_w * 16, self.mb_h * 16
@@ -47,9 +54,15 @@ class FrameState:
         self.top_nnz = np.zeros((self.mb_w, 9), np.int32)
         self.i4_top = np.full(self.mb_w * 4, DC_PRED4, np.int32)
         self.seg_map = np.zeros(self.mb_w * self.mb_h, np.int32)
-        # per-MB info for the loop filter: (mode, skip, segment, ref)
+        # per-MB info for the loop filter + MV prediction
         self.mb_info = [[None] * self.mb_w for _ in range(self.mb_h)]
         self.new_row()
+
+    def neighbor(self, mb_y, mb_x):
+        if mb_x < 0 or mb_y < 0 or mb_x >= self.mb_w:
+            return _border_mb()
+        mb = self.mb_info[mb_y][mb_x]
+        return mb if mb is not None else _border_mb()
 
     def new_row(self):
         self.left_nnz = np.zeros(9, np.int32)
@@ -176,18 +189,58 @@ class MBWalker:
             skip = io.b(int(probs.mbskip),
                         None if want is None else int(want))
 
-        # keyframe intra modes
-        want = plan.ymode(mb_x, mb_y) if enc else None
-        mode = io.tree(T.PRED16_TREE_INTRA, T.PRED16_PROB_INTRA, want)
         i4_modes = None
-        if mode == MODE_I4x4:
-            i4_modes = self._intra4x4_modes(mb_x, mb_y)
+        uvmode = 0
+        ref_frame = 0
+        mv = (0, 0)
+        bmv = [(0, 0)] * 16
+        partitioning = 4                  # SPLITMVMODE_NONE
+        if h.keyframe:
+            want = plan.ymode(mb_x, mb_y) if enc else None
+            mode = io.tree(T.PRED16_TREE_INTRA, T.PRED16_PROB_INTRA,
+                           want)
+            if mode == MODE_I4x4:
+                i4_modes = self._intra4x4_modes(mb_x, mb_y)
+            else:
+                m4 = int(T.PRED4x4_MODE[mode])
+                fs.i4_top[mb_x * 4:mb_x * 4 + 4] = m4
+                fs.i4_left[:] = m4
+            want = plan.uvmode(mb_x, mb_y) if enc else None
+            uvmode = io.tree(T.PRED8x8C_TREE, T.PRED8x8C_PROB_INTRA,
+                             want)
         else:
-            m4 = int(T.PRED4x4_MODE[mode])
-            fs.i4_top[mb_x * 4:mb_x * 4 + 4] = m4
-            fs.i4_left[:] = m4
-        want = plan.uvmode(mb_x, mb_y) if enc else None
-        uvmode = io.tree(T.PRED8x8C_TREE, T.PRED8x8C_PROB_INTRA, want)
+            want = plan.is_inter(mb_x, mb_y) if enc else None
+            if io.b(h.intra_prob,
+                    None if want is None else int(want)):
+                # inter MB (16.2)
+                wref = plan.ref(mb_x, mb_y) if enc else None
+                if io.b(h.last_prob,
+                        None if wref is None else int(wref != 1)):
+                    ref_frame = 3 if io.b(
+                        h.golden_prob,
+                        None if wref is None else int(wref == 3)) \
+                        else 2
+                else:
+                    ref_frame = 1
+                mode, mv, bmv, partitioning = self._decode_mvs(
+                    mb_x, mb_y, ref_frame)
+            else:
+                want = plan.ymode(mb_x, mb_y) if enc else None
+                mode = io.tree(T.PRED16_TREE_INTER,
+                               [int(v) for v in probs.pred16x16],
+                               want)
+                if mode == MODE_I4x4:
+                    i4_modes = np.zeros(16, np.int32)
+                    for k in range(16):
+                        w4 = plan.b4mode(mb_x, mb_y, k) if enc \
+                            else None
+                        i4_modes[k] = io.tree(T.PRED4x4_TREE,
+                                              T.PRED4x4_PROB_INTER,
+                                              w4)
+                want = plan.uvmode(mb_x, mb_y) if enc else None
+                uvmode = io.tree(T.PRED8x8C_TREE,
+                                 [int(v) for v in probs.pred8x8c],
+                                 want)
 
         # coefficients
         nnz_cache = np.zeros((6, 4), np.int32)
@@ -199,15 +252,220 @@ class MBWalker:
         else:
             fs.left_nnz[:8] = 0
             fs.top_nnz[mb_x][:8] = 0
-            if mode != MODE_I4x4:
+            if mode != MODE_I4x4 and mode != 7:  # no Y2: I4x4/SPLIT
                 fs.left_nnz[8] = 0
                 fs.top_nnz[mb_x][8] = 0
 
-        fs.mb_info[mb_y][mb_x] = {"mode": mode, "skip": skip,
-                                  "segment": segment, "ref_frame": 0}
+        fs.mb_info[mb_y][mb_x] = {
+            "mode": mode, "skip": skip, "segment": segment,
+            "ref_frame": ref_frame, "mv": mv, "bmv": bmv,
+            "partitioning": partitioning}
         if not enc:
-            self._recon(mb_x, mb_y, mode, uvmode, i4_modes, nnz_cache,
-                        blocks, bool(skip))
+            if mode <= MODE_I4x4:
+                self._recon(mb_x, mb_y, mode, uvmode, i4_modes,
+                            nnz_cache, blocks, bool(skip))
+            else:
+                from .mc import inter_predict
+                inter_predict(fs, fs.mb_info[mb_y][mb_x],
+                              fs.refs[ref_frame], mb_x, mb_y)
+                if not skip:
+                    self._idct_mb(mb_x, mb_y, mode, nnz_cache, blocks)
+
+    # -- inter MV decoding (vp8.c vp8_decode_mvs, 16.3/16.4/17) --------
+    def _mv_component(self, p, want=None):
+        io = self.io
+        enc = want is not None
+        if enc:
+            v = abs(int(want))
+        big = io.b(int(p[0]), None if not enc else int(v >= 8))
+        x = 0
+        if big:
+            for i in range(3):
+                x += io.b(int(p[9 + i]),
+                          None if not enc else (v >> i) & 1) << i
+            for i in range(9, 3, -1):
+                x += io.b(int(p[9 + i]),
+                          None if not enc else (v >> i) & 1) << i
+            if not (x & 0xFFF0):
+                x += 8
+            else:
+                x += io.b(int(p[12]),
+                          None if not enc else (v >> 3) & 1) << 3
+        else:
+            # small_mvtree
+            b0 = io.b(int(p[2]), None if not enc else (v >> 2) & 1)
+            idx = 3 + 3 * b0
+            x += 4 * b0
+            b1 = io.b(int(p[idx]), None if not enc else (v >> 1) & 1)
+            idx += 1 + b1
+            x += 2 * b1
+            x += io.b(int(p[idx]), None if not enc else v & 1)
+        if x:
+            sign = io.b(int(p[1]), None if not enc else int(want < 0))
+            return -x if sign else x
+        return 0
+
+    def _clamp_mv(self, mv, mb_x, mb_y):
+        fs = self.fs
+        mn_x, mx_x = -64 * (mb_x + 1), 64 * (fs.mb_w - mb_x)
+        mn_y, mx_y = -64 * (mb_y + 1), 64 * (fs.mb_h - mb_y)
+        return (max(mn_x, min(mx_x, mv[0])),
+                max(mn_y, min(mx_y, mv[1])))
+
+    def _decode_mvs(self, mb_x, mb_y, ref_frame):
+        fs, io = self.fs, self.io
+        h = fs.h
+        enc = io.encode
+        plan = self.plan
+        top = fs.neighbor(mb_y - 1, mb_x)
+        left = fs.neighbor(mb_y, mb_x - 1)
+        topleft = fs.neighbor(mb_y - 1, mb_x - 1)
+        edges = (top, left, topleft)
+        cur_bias = h.sign_bias[ref_frame]
+        near = [(0, 0), (0, 0), (0, 0), (0, 0)]
+        cnt = [0, 0, 0, 0]
+        idx = 0
+        for n, edge in enumerate(edges):
+            if edge["ref_frame"] != 0:
+                emv = edge["mv"]
+                if emv != (0, 0):
+                    if cur_bias != h.sign_bias[edge["ref_frame"]]:
+                        emv = (-emv[0], -emv[1])
+                    if n == 0 or emv != near[idx]:
+                        idx += 1
+                        near[idx] = emv
+                    cnt[idx] += 1 + (n != 2)
+                else:
+                    cnt[0] += 1 + (n != 2)
+
+        partitioning = 4
+        want = plan.mvmode(mb_x, mb_y) if enc else None
+        if io.b(int(T.MODE_CONTEXTS[cnt[0]][0]),
+                None if not enc else int(want != "zero")):
+            # three distinct MVs: merge top/topleft counts
+            if cnt[3] and near[1] == near[3]:
+                cnt[1] += 1
+            if cnt[2] > cnt[1]:
+                cnt[1], cnt[2] = cnt[2], cnt[1]
+                near[1], near[2] = near[2], near[1]
+            if io.b(int(T.MODE_CONTEXTS[cnt[1]][1]),
+                    None if not enc else int(want != "nearest")):
+                if io.b(int(T.MODE_CONTEXTS[cnt[2]][2]),
+                        None if not enc else int(want != "near")):
+                    base = near[0 + int(cnt[1] >= cnt[0])]
+                    mv = self._clamp_mv(base, mb_x, mb_y)
+                    csp = (int(left["mode"] == 7) +
+                           int(top["mode"] == 7)) * 2 + \
+                        int(topleft["mode"] == 7)
+                    if io.b(int(T.MODE_CONTEXTS[csp][3]),
+                            None if not enc else int(want == "split")):
+                        bmv, num, partitioning = self._split_mvs(
+                            mb_x, mb_y, mv)
+                        return 7, bmv[num - 1], bmv, partitioning
+                    d = plan.newmv(mb_x, mb_y) if enc else (0, 0)
+                    # y component first (vp8.c reads mvc[0] then mvc[1])
+                    dy = self._mv_component(fs.probs.mvc[0],
+                                            d[0] if enc else None)
+                    dx = self._mv_component(fs.probs.mvc[1],
+                                            d[1] if enc else None)
+                    mv = (mv[0] + dx, mv[1] + dy)
+                    return 6, mv, [mv] * 16, 4
+                mv = self._clamp_mv(near[2], mb_x, mb_y)
+                return 6, mv, [mv] * 16, 4
+            mv = self._clamp_mv(near[1], mb_x, mb_y)
+            return 6, mv, [mv] * 16, 4
+        return 5, (0, 0), [(0, 0)] * 16, 4
+
+    def _split_mvs(self, mb_x, mb_y, base_mv):
+        """decode_splitmvs (16.4). → (bmv16, num, partitioning)."""
+        fs, io = self.fs, self.io
+        enc = io.encode
+        plan = self.plan
+        top = fs.neighbor(mb_y - 1, mb_x)
+        left = fs.neighbor(mb_y, mb_x - 1)
+        sp_left = T.MBSPLITS[left["partitioning"]]
+        sp_top = T.MBSPLITS[top["partitioning"]]
+        want = plan.split_type(mb_x, mb_y) if enc else None
+        if io.b(int(T.MBSPLIT_PROB[0]),
+                None if not enc else int(want != 3)):
+            if io.b(int(T.MBSPLIT_PROB[1]),
+                    None if not enc else int(want <= 1)):
+                part = 0 + io.b(int(T.MBSPLIT_PROB[2]),
+                                None if not enc else int(want == 1))
+            else:
+                part = 2
+        else:
+            part = 3
+        num = int(T.MBSPLIT_COUNT[part])
+        sp_cur = T.MBSPLITS[part]
+        firstidx = T.MBFIRSTIDX[part]
+        bmv = [(0, 0)] * 16
+        for n in range(num):
+            k = int(firstidx[n])
+            if not (k & 3):
+                lmv = left["bmv"][int(sp_left[k + 3])]
+            else:
+                lmv = bmv[int(sp_cur[k - 1])]
+            if k <= 3:
+                amv = top["bmv"][int(sp_top[k + 12])]
+            else:
+                amv = bmv[int(sp_cur[k - 4])]
+            if lmv == amv:
+                sp = T.SUBMV_PROB[4 - int(lmv != (0, 0))]
+            elif amv == (0, 0):
+                sp = T.SUBMV_PROB[2]
+            else:
+                sp = T.SUBMV_PROB[1 - int(lmv != (0, 0))]
+            want = plan.submv(mb_x, mb_y, n) if enc else None
+            if io.b(int(sp[0]),
+                    None if not enc else int(want != "left")):
+                if io.b(int(sp[1]),
+                        None if not enc else int(want != "above")):
+                    if io.b(int(sp[2]),
+                            None if not enc else int(want == "new")):
+                        d = plan.submv_delta(mb_x, mb_y, n) if enc \
+                            else (0, 0)
+                        dy = self._mv_component(
+                            fs.probs.mvc[0], d[0] if enc else None)
+                        dx = self._mv_component(
+                            fs.probs.mvc[1], d[1] if enc else None)
+                        v = (base_mv[0] + dx, base_mv[1] + dy)
+                    else:
+                        v = (0, 0)
+                else:
+                    v = amv
+            else:
+                v = lmv
+            bmv[n] = v
+        return bmv, num, part
+
+    def _idct_mb(self, mb_x, mb_y, mode, nnz_cache, blocks):
+        fs = self.fs
+        y0, x0 = mb_y * 16, mb_x * 16
+        yc, xc = mb_y * 8, mb_x * 8
+        if mode != MODE_I4x4:
+            for y in range(4):
+                for x in range(4):
+                    nnz = int(nnz_cache[y][x])
+                    dst = fs.y[y0 + 4 * y:y0 + 4 * y + 4,
+                               x0 + 4 * x:x0 + 4 * x + 4]
+                    if nnz == 1:
+                        IDCT.idct_dc_add(dst,
+                                         blocks[y, x].reshape(4, 4))
+                    elif nnz > 1:
+                        IDCT.idct_add(dst, blocks[y, x].reshape(4, 4))
+        for ch, pl in ((4, fs.u), (5, fs.v)):
+            for y in range(2):
+                for x in range(2):
+                    nnz = int(nnz_cache[ch][(y << 1) + x])
+                    dst = pl[yc + 4 * y:yc + 4 * y + 4,
+                             xc + 4 * x:xc + 4 * x + 4]
+                    if nnz == 1:
+                        IDCT.idct_dc_add(
+                            dst, blocks[ch, (y << 1) + x].reshape(4, 4))
+                    elif nnz > 1:
+                        IDCT.idct_add(
+                            dst, blocks[ch, (y << 1) + x].reshape(4, 4))
 
     def _intra4x4_modes(self, mb_x, mb_y):
         fs, io = self.fs, self.io
@@ -239,7 +497,7 @@ class MBWalker:
         nnz_total = 0
         block_dc = 0
         luma_start, luma_ctx = 0, 3
-        if mode != MODE_I4x4:
+        if mode != MODE_I4x4 and mode != 7:   # Y2 absent for SPLIT
             nnz_pred = int(t_nnz[8]) + int(l_nnz[8])
             lv = plan.levels(mb_x, mb_y, "y2", 0) if enc else None
             nnz = self.coeff_block(cio, probs.token[1], 0, nnz_pred,

@@ -204,8 +204,12 @@ def parse_header(data: bytes, probs_saved: Probs = None,
     parts.append(BoolDecoder(rest))
     get_quants(c, h)
     if not h.keyframe:
-        h.update_golden = _ref_to_update(c, 2)
-        h.update_altref = _ref_to_update(c, 3)
+        # both update flags precede the optional source codes
+        # (vp8.c update_refs)
+        gflag = c.bit()
+        aflag = c.bit()
+        h.update_golden = _ref_to_update(c, 2, gflag)
+        h.update_altref = _ref_to_update(c, 3, aflag)
         h.sign_bias[2] = c.bit()
         h.sign_bias[3] = c.bit()
     h.update_probabilities = bool(c.bit())
@@ -244,10 +248,10 @@ def parse_header(data: bytes, probs_saved: Probs = None,
     return h, probs, snapshot, c, parts
 
 
-def _ref_to_update(c, ref):
+def _ref_to_update(c, ref, flag):
     """vp8.c ref_to_update: → 0 none, 1 previous, 2/3 golden/altref
     cross-copy, 4 current."""
-    if c.bit():
+    if flag:
         return 4                          # current frame
     v = c.literal(2)
     if v == 1:
