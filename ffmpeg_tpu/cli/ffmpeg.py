@@ -321,8 +321,9 @@ def _build_chain(st, out, mux) -> dict:
             graph_txt = graph_txt + "," + ",".join(extra) \
                 if graph_txt != "null" else ",".join(extra)
         ch["graph"] = parse_graph(graph_txt)
-        ch["enc_name"] = out.vcodec or _VENC_DEFAULT.get(fmt_name,
-                                                         "rawvideo")
+        ch["enc_name"] = out.vcodec or _VENC_DEFAULT.get(
+            fmt_name, getattr(mux, "default_video_codec", None)
+            or "rawvideo")
         ch["enc"] = None             # opened lazily on first frame
         ch["opts"] = {}
         if out.quality is not None:

@@ -125,6 +125,48 @@ class Image2Demuxer(Demuxer):
         return pkt
 
 
+@register_demuxer
+class ImagePipeDemuxer(Demuxer):
+    """Single-image signature-probed input (img2dec.c *_pipe
+    demuxers): png/bmp/ppm/pgm files open without -f image2."""
+
+    name = "image_pipe"
+    extensions = ("png", "bmp", "ppm", "pgm")
+
+    _SIGS = ((b"\x89PNG\r\n\x1a\n", "png"), (b"BM", "bmp"),
+             (b"P6", "ppm"), (b"P5", "pgm"))
+
+    @classmethod
+    def probe(cls, head: bytes, filename: str = "") -> int:
+        for sig, _ in cls._SIGS:
+            if head[:len(sig)] == sig:
+                return 60
+        return 0
+
+    def read_header(self) -> None:
+        head = self.r.read(8)
+        self.r.seek(0)
+        codec = "png"
+        for sig, cid in self._SIGS:
+            if head[:len(sig)] == sig:
+                codec = cid
+                break
+        par = CodecParameters(codec_type=MediaType.VIDEO,
+                              codec_id=codec,
+                              framerate=Rational(25, 1))
+        self.add_stream(codecpar=par, time_base=Rational(1, 25))
+        self._done = False
+
+    def read_packet(self) -> Packet:
+        if self._done:
+            raise EndOfStream()
+        data = self.r.read(1 << 30)
+        self._done = True
+        return Packet(data=data, stream_index=0, pts=0, dts=0,
+                      duration=1, flags=PKT_FLAG_KEY,
+                      time_base=self.streams[0].time_base)
+
+
 @register_muxer
 class Image2Muxer(Muxer):
     """Writes each packet as its own file (img-%03d.jpg patterns)."""

@@ -7,14 +7,14 @@ mkdir -p /tmp/ffbuild
 cd /tmp/ffbuild
 test -f ffmpeg && exit 0
 /root/reference/configure --prefix=/tmp/ffinstall --disable-x86asm --disable-doc \
- --disable-network --disable-xlib --disable-libxcb --disable-vaapi --disable-vdpau \
+ --disable-xlib --disable-libxcb --disable-vaapi --disable-vdpau \
  --disable-vulkan --disable-sdl2 --disable-iconv --disable-everything \
- --enable-protocol=file,pipe,fd,crypto \
- --enable-demuxer=mov,matroska,mpegts,wav,mjpeg,image2,rawvideo,yuv4mpegpipe,pcm_s16le,flac,aac,mp3,ogg,ivf,apng,image_png_pipe,image_jpeg_pipe,concat,avi,flv,gif,hls,h264,hevc,ac3 \
- --enable-muxer=mpeg1video,rawvideo,mov,mp4,matroska,mpegts,wav,mjpeg,image2,rawvideo,yuv4mpegpipe,framecrc,framemd5,md5,crc,null,pcm_s16le,flac,adts,ivf,apng,image2pipe,avi,mpeg2video,gif,ac3,ogg,dash,webm \
+ --enable-protocol=file,pipe,fd,crypto,udp,tcp,rtp \
+ --enable-demuxer=mov,matroska,mpegts,wav,mjpeg,image2,rawvideo,yuv4mpegpipe,pcm_s16le,flac,aac,mp3,ogg,ivf,apng,image_png_pipe,image_jpeg_pipe,concat,avi,flv,gif,hls,h264,hevc,ac3,image_webp_pipe,rtsp,sdp \
+ --enable-muxer=mpeg1video,rawvideo,mov,mp4,matroska,mpegts,wav,mjpeg,image2,rawvideo,yuv4mpegpipe,framecrc,framemd5,md5,crc,null,pcm_s16le,flac,adts,ivf,apng,image2pipe,avi,mpeg2video,gif,ac3,ogg,dash,webm,rtp,rtsp,rtp_mpegts \
  --enable-encoder=mjpeg,mpeg1video,mpeg2video,mpeg4,prores,dnxhd,ffv1,flac,aac,pcm_s16le,pcm_s16be,pcm_f32le,png,rawvideo,wrapped_avframe,ac3,msmpeg4v3,h263,gif,mp2,vorbis,opus \
  --enable-indev=lavfi \
- --enable-decoder=wrapped_avframe,mjpeg,mpeg2video,mpeg4,prores,dnxhd,ffv1,flac,aac,pcm_s16le,pcm_s16be,pcm_f32le,png,rawvideo,h264,hevc,vp8,vp9,mpeg1video,mp3,vorbis,opus,ac3,msmpeg4v3,h263,gif,mp2 \
+ --enable-decoder=wrapped_avframe,mjpeg,mpeg2video,mpeg4,prores,dnxhd,ffv1,flac,aac,pcm_s16le,pcm_s16be,pcm_f32le,png,rawvideo,h264,hevc,vp8,vp9,mpeg1video,mp3,vorbis,opus,ac3,msmpeg4v3,h263,gif,mp2,webp \
  --enable-parser=h264,hevc,mjpeg,mpegvideo,mpeg4video,aac,flac,mpegaudio,vp8,vp9,png,gif \
  --enable-bsf=h264_mp4toannexb,hevc_mp4toannexb,extract_extradata,null \
  --enable-filter=scale,aresample,testsrc,testsrc2,sine,color,anull,null,format,aformat,fps,crop,pad,psnr,ssim,anoisesrc,mandelbrot,volume,atrim,trim,setpts,asetpts \
