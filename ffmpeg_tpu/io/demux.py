@@ -172,6 +172,12 @@ def open_input(url, format: Optional[str] = None, **options) -> Demuxer:
             setattr(d, k, v)
         d.read_header()
         return d
+    elif isinstance(url, str) and url.startswith("rtsp://"):
+        d = _DEMUXERS["rtsp"](None, url=url)
+        for k, v in options.items():
+            setattr(d, k, v)
+        d.read_header()
+        return d
     else:
         r = avio.open_read(url)
     if format is None:
