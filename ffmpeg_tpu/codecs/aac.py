@@ -122,8 +122,22 @@ class AacDecoder(Codec):
             self._parse_asc(par.extradata)
         self._overlap = {}      # channel key → (1024,) float
         self._prev_shape = {}
-        self._rng = np.random.default_rng(0)
+        # PNS noise generator state (aac/aacdec.c:1353 — one LCG per
+        # decoder, advanced per noise coefficient in decode order)
+        self._random_state = 0x1F2E3D4C
         self._pts = None
+
+    def _lcg_noise(self, n: int) -> np.ndarray:
+        """n pseudorandom int32s from the reference's LCG
+        (aacdec_proc_template.c lcg_random), cast to float."""
+        s = self._random_state
+        out = np.empty(n, np.float64)
+        for i in range(n):
+            s = (s * 1664525 + 1013904223) & 0xFFFFFFFF
+            out[i] = np.float32(s - 0x100000000 if s >= 0x80000000
+                                else s)
+        self._random_state = s
+        return out
 
     def _parse_asc(self, asc: bytes) -> None:
         """AudioSpecificConfig (ISO 14496-3 1.6.2.1)."""
@@ -170,6 +184,8 @@ class AacDecoder(Codec):
                 raise InvalidData("aac: unknown sample rate")
         br = BitReader(data)
         outputs = []     # (key, samples)
+        last_elem = None                  # ("sce"/"cpe", tag)
+        sbr_applied = set()
         while True:
             try:
                 elem = br.get(3)
@@ -181,16 +197,25 @@ class AacDecoder(Codec):
                     self._apply_scalefactors(ch)
                     self._apply_tns(ch)
                     outputs.append((("sce", tag, len(outputs)), ch))
+                    last_elem = ("sce", tag) if elem == SCE else None
                 elif elem == CPE:
                     tag = br.get(4)
                     pair = self._decode_cpe(br)
                     outputs.append((("cpe", tag, "l", len(outputs)), pair[0]))
                     outputs.append((("cpe", tag, "r", len(outputs)), pair[1]))
+                    last_elem = ("cpe", tag)
                 elif elem == FIL:
                     cnt = br.get(4)
                     if cnt == 15:
                         cnt += br.get(8) - 1
-                    br.skip(8 * cnt)
+                    endpos = br.pos + 8 * cnt
+                    if cnt and last_elem is not None:
+                        ext = br.peek(4)
+                        if ext in (13, 14):     # EXT_SBR_DATA(_CRC)
+                            br.skip(4)
+                            self._decode_sbr(br, ext == 14, last_elem)
+                            sbr_applied.add(last_elem)
+                    br.pos = endpos
                 elif elem == DSE:
                     br.get(4)
                     align = br.get(1)
@@ -217,14 +242,51 @@ class AacDecoder(Codec):
 
         pcm = np.stack([self._reconstruct(key, ch) for key, ch in outputs])
         nch = pcm.shape[0]
-        f = Frame.audio(np.clip(pcm, -1.0, 1.0).astype(np.float32),
-                        self.sample_rate, "fltp",
+        rate = self.sample_rate
+        dur = 1024
+        if sbr_applied:
+            pcm, rate, dur = self._apply_sbr(outputs, pcm)
+        # the reference float decoder does not clamp its output
+        # (aacdec.c float path writes raw floats)
+        f = Frame.audio(pcm.astype(np.float32),
+                        rate, "fltp",
                         self.par.ch_layout if (self.par.ch_layout and
                                                self.par.channels == nch)
                         else default_layout(nch),
                         pts=pkt.pts, time_base=pkt.time_base)
-        f.duration = 1024
+        f.duration = dur
         return [f]
+
+    def _decode_sbr(self, br, crc, elem_key) -> None:
+        from .aacsbr import SBRContext
+        if not hasattr(self, "_sbr"):
+            self._sbr = {}
+        ctx = self._sbr.get(elem_key)
+        if ctx is None:
+            ctx = self._sbr[elem_key] = SBRContext(self.sample_rate)
+        ctx.decode_extension(br, crc, elem_key[0])
+
+    def _apply_sbr(self, outputs, pcm):
+        """Run SBR per element; → (pcm2x, rate, duration)."""
+        out = []
+        idx = 0
+        for key, _ in outputs:
+            if key[0] == "cpe" and key[2] == "r":
+                continue                  # handled with the pair
+            elem_key = (key[0], key[1])
+            ctx = getattr(self, "_sbr", {}).get(elem_key)
+            nch = 2 if key[0] == "cpe" else 1
+            chans = [pcm[idx + c] for c in range(nch)]
+            if ctx is not None:
+                out.extend(ctx.apply(key[0], chans))
+            else:
+                # element without SBR in an SBR stream: plain 2x
+                for c in chans:
+                    up = np.zeros(2048)
+                    up[::2] = c
+                    out.append(up)
+            idx += nch
+        return np.stack(out), self.sample_rate * 2, 2048
 
     def _skip_pce(self, br: BitReader) -> None:
         br.get(4)
@@ -327,7 +389,9 @@ class AacDecoder(Codec):
                         noise_first = False
                     else:
                         offset[1] += _huff(br, _SF_LUT) - 60
-                    sfs.append(offset[1])
+                    # aacdec.c decode_scalefactors clips the noise
+                    # gain to [-100, 155] (accumulator unclipped)
+                    sfs.append(min(155, max(-100, offset[1])))
                 else:
                     offset[0] += _huff(br, _SF_LUT) - 60
                     if not (0 <= offset[0] <= 255):
@@ -495,9 +559,15 @@ class AacDecoder(Codec):
                     off = base + w * 128 if ics.window_sequence == EIGHT_SHORT else base
                     sl = slice(off + lo, off + hi)
                     if cb == NOISE_BT:
-                        noise = self._rng.standard_normal(hi - lo)
-                        rms = math.sqrt(np.mean(noise ** 2)) or 1.0
-                        out[sl] = noise / rms * 2.0 ** (0.25 * ch.band_sf[g][sfb])
+                        # aacdec_proc_template.c NOISE_BT: raw LCG
+                        # int32s scaled so the BAND energy (not
+                        # per-sample) equals sf^2
+                        noise = self._lcg_noise(hi - lo)
+                        energy = float(np.sum(
+                            noise.astype(np.float32) ** 2,
+                            dtype=np.float32))
+                        sf = 2.0 ** (0.25 * ch.band_sf[g][sfb])
+                        out[sl] = noise * (sf / math.sqrt(energy))
                     elif cb in (INTENSITY_BT, INTENSITY_BT2):
                         pass   # handled in _apply_ms_is using the right ch
                     elif cb != ZERO_BT:

@@ -51,9 +51,12 @@ def _imdct_matrix(n_coeffs: int) -> np.ndarray:
 
 def imdct_half(coeffs: np.ndarray) -> np.ndarray:
     """Batched half-IMDCT: (..., n) coeffs → (..., n) time samples."""
+    import jax
     import jax.numpy as jnp
     m = jnp.asarray(_imdct_matrix(coeffs.shape[-1]))
-    return np.asarray(jnp.asarray(coeffs, jnp.float32) @ m)
+    return np.asarray(jnp.matmul(
+        jnp.asarray(coeffs, jnp.float32), m,
+        precision=jax.lax.Precision.HIGHEST))
 
 
 _WINDOW = None

@@ -39,14 +39,16 @@ def idct8x8(blocks):
     """(..., 8, 8) DCT coeffs → samples (float32): A^T F A."""
     a = jnp.asarray(_dct8_matrix(), jnp.float32)
     return jnp.einsum("ux,...uv,vy->...xy", a, blocks, a,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def fdct8x8(blocks):
     """(..., 8, 8) samples → DCT coeffs: A F A^T."""
     a = jnp.asarray(_dct8_matrix(), jnp.float32)
     return jnp.einsum("ux,...xy,vy->...uv", a, blocks, a,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @lru_cache(maxsize=32)
@@ -89,7 +91,8 @@ def jpeg_plane_reconstruct(coeffs_zz, qtab, out_h: int, out_w: int,
     q = qtab.astype(jnp.float32)[:ncoeff]
     wq = w * q[None, :]                                   # fold dequant
     flat = coeffs_zz.reshape(*lead, rows * cols, ncoeff).astype(jnp.float32)
-    pix = jnp.matmul(flat, wq.T, preferred_element_type=jnp.float32)
+    pix = jnp.matmul(flat, wq.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     level = 1 << (bit_depth - 1)
     maxv = (1 << bit_depth) - 1
     pix = jnp.clip(pix + (level + 0.5), 0, maxv)          # +0.5: round via floor-cast

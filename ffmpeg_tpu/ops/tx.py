@@ -108,7 +108,8 @@ def _matmul_codelet(mat: np.ndarray, scale: float):
     m = jnp.asarray(mat * scale, jnp.float32)
 
     def fn(x):
-        return jnp.matmul(x, m.T, preferred_element_type=jnp.float32)
+        return jnp.matmul(x, m.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     return fn
 
 
@@ -127,10 +128,14 @@ def _join(re, im):
 def _cmatmul(wr, wi, xr, xi):
     """(W @ x) for complex W (given as real parts) and complex x, contracting
     x's last axis: x (..., n), W (m, n) → (..., m)."""
-    yr = jnp.matmul(xr, wr.T, preferred_element_type=jnp.float32) - \
-        jnp.matmul(xi, wi.T, preferred_element_type=jnp.float32)
-    yi = jnp.matmul(xr, wi.T, preferred_element_type=jnp.float32) + \
-        jnp.matmul(xi, wr.T, preferred_element_type=jnp.float32)
+    yr = jnp.matmul(xr, wr.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST) - \
+        jnp.matmul(xi, wi.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    yi = jnp.matmul(xr, wi.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST) + \
+        jnp.matmul(xi, wr.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     return yr, yi
 
 
@@ -213,8 +218,10 @@ def tx_init(kind: str, n: int, inverse: bool = False, scale: float = 1.0):
             crj, cij = jnp.asarray(cr * scale), jnp.asarray(ci * scale)
 
             def fwd(x):
-                yr = jnp.matmul(x, crj.T, preferred_element_type=jnp.float32)
-                yi = jnp.matmul(x, cij.T, preferred_element_type=jnp.float32)
+                yr = jnp.matmul(x, crj.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+                yi = jnp.matmul(x, cij.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
                 return _join(yr, yi)
             return fwd
         # inverse: x[j] = 1/n * sum_k (weighted) — build (n, n//2+1) matrices
@@ -229,8 +236,10 @@ def tx_init(kind: str, n: int, inverse: bool = False, scale: float = 1.0):
 
         def inv(x):
             xr, xi = _split(x)
-            return (jnp.matmul(xr, irj.T, preferred_element_type=jnp.float32)
-                    - jnp.matmul(xi, iij.T, preferred_element_type=jnp.float32))
+            return (jnp.matmul(xr, irj.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+                    - jnp.matmul(xi, iij.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST))
         return inv
     if kind == "mdct":
         if n > MATMUL_MAX:
