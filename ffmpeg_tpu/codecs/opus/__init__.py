@@ -1,7 +1,8 @@
 """Opus decoder (RFC 6716; reference: libavcodec/opus/dec.c,
-parse.c). CELT mode (configs 16-31: 2.5-20 ms music frames) is fully
-implemented; SILK and hybrid modes are not yet (speech streams raise
-NotSupported)."""
+parse.c).  CELT mode (configs 16-31) and SILK mode (configs 0-11,
+NB/MB/WB speech at 8/12/16 kHz resampled to 48 kHz with a
+reference-exact polyphase bank) are implemented; hybrid (12-15)
+raises NotSupported."""
 
 from __future__ import annotations
 
@@ -110,14 +111,52 @@ class OpusDecoder(Codec):
             raise NotSupported("opus: >2 channels")
         self.sample_rate = 48000
         self.celt = CeltDecoder(self.channels)
+        self.silk = None
+        self.silk_resampler = None
         self._to_skip = self.pre_skip
+
+    def _decode_silk(self, fr: bytes, config: int, stereo: int):
+        """SILK-only frame → (channels, n) resampled to 48 kHz
+        (opus/dec.c opus_decode_frame SILK path)."""
+        from .silk import SilkDecoder
+        from .silk_resample import SilkResampler
+        bandwidth = config // 4            # 0 NB / 1 MB / 2 WB
+        silk_rate = 8000 + 4000 * bandwidth
+        duration_ms = (10, 20, 40, 60)[config & 3]
+        frame_duration = int(T.FRAME_DURATION[config])
+        if self.silk is None:
+            self.silk = SilkDecoder(self.channels)
+        if self.silk_resampler is None or \
+                self.silk_resampler.pc != {8000: 6, 12000: 4,
+                                           16000: 3}[silk_rate]:
+            self.silk_resampler = SilkResampler(silk_rate,
+                                                self.channels)
+        rc = RangeCoder(fr)
+        nsamp = (silk_rate // 1000) * duration_ms
+        output = [np.zeros(nsamp, np.float32)
+                  for _ in range(self.channels)]
+        self.silk.decode_superframe(rc, output, bandwidth,
+                                    stereo + 1, duration_ms)
+        outs = self.silk_resampler.convert(output, frame_duration)
+        return np.stack(outs)
 
     def decode(self, pkt: Optional[Packet]) -> List[Frame]:
         if pkt is None or not pkt.data:
             return []
         config, stereo, frames = parse_packet(pkt.data)
-        if config < 16:
-            raise NotSupported("opus: SILK/hybrid modes")
+        if 12 <= config < 16:
+            raise NotSupported("opus: hybrid mode")
+        if config < 12:
+            outs = [self._decode_silk(fr, config, stereo)
+                    for fr in frames if fr]
+            pcm = np.concatenate(outs, axis=1) if outs else None
+            if pcm is None or pcm.shape[1] == 0:
+                return []
+            f = Frame.audio(pcm.astype(np.float32),
+                            self.sample_rate, "fltp", pts=pkt.pts,
+                            time_base=pkt.time_base
+                            or Rational(1, self.sample_rate))
+            return [f]
         duration = int(T.FRAME_DURATION[config])
         bandwidth = (config - 16) >> 2
         if bandwidth:
@@ -148,4 +187,6 @@ class OpusDecoder(Codec):
 
     def flush_state(self):
         self.celt = CeltDecoder(self.channels)
+        self.silk = None
+        self.silk_resampler = None
         self._to_skip = self.pre_skip

@@ -180,3 +180,112 @@ def _isqrt(v: int) -> int:
     import math
     r = int(math.isqrt(v))
     return r
+
+
+class RangeEncoder:
+    """Opus range encoder (RFC 6716 §4.1 / libopus entenc.c
+    semantics), producing frames our RangeCoder and the reference
+    decoder accept.  Used to craft differential test streams."""
+
+    def __init__(self):
+        self.low = 0
+        self.rng = 1 << 31
+        self.rem = -1                   # buffered byte awaiting carry
+        self.ext = 0                    # run of 0xFF bytes buffered
+        self.out = bytearray()
+        self.end_window = 0             # raw bits (written from end)
+        self.nend_bits = 0
+
+    # ---- internals ----------------------------------------------------
+    def _carry_out(self, c: int):
+        if c != 0xFF:
+            carry = c >> 8
+            if self.rem >= 0:
+                self.out.append((self.rem + carry) & 0xFF)
+            while self.ext > 0:
+                self.out.append((0xFF + carry) & 0xFF)
+                self.ext -= 1
+            self.rem = c & 0xFF
+        else:
+            self.ext += 1
+
+    def _normalize(self):
+        while self.rng <= (1 << 23):
+            self._carry_out(self.low >> 23)
+            self.low = (self.low << 8) & ((1 << 31) - 1)
+            self.rng <<= 8
+
+    def _encode(self, fl: int, fh: int, ft: int):
+        r = self.rng // ft
+        if fl > 0:
+            self.low += self.rng - r * (ft - fl)
+            self.rng = r * (fh - fl)
+        else:
+            self.rng -= r * (ft - fh)
+        self._normalize()
+
+    # ---- public -------------------------------------------------------
+    def enc_cdf(self, k: int, cdf) -> None:
+        """Encode symbol k against an ffmpeg-layout CDF table
+        (cdf[0]=total, cdf[1..]=cumulative highs)."""
+        total = int(cdf[0])
+        fl = int(cdf[k]) if k else 0
+        fh = int(cdf[1 + k])
+        self._encode(fl, fh, total)
+
+    def enc_log(self, bit: int, bits: int) -> None:
+        r = self.rng >> bits
+        if bit:
+            self.low += self.rng - r
+            self.rng = r
+        else:
+            self.rng -= r
+        self._normalize()
+
+    def enc_uint(self, value: int, size: int) -> None:
+        bits = ilog(size - 1)
+        if bits > 8:
+            total = ((size - 1) >> (bits - 8)) + 1
+            self._encode(value >> (bits - 8),
+                         (value >> (bits - 8)) + 1, total)
+            self.put_raw(value & ((1 << (bits - 8)) - 1), bits - 8)
+        else:
+            self._encode(value, value + 1, size)
+
+    def put_raw(self, value: int, count: int) -> None:
+        """Raw bits, read back LSB-first from the frame tail."""
+        self.end_window |= (value & ((1 << count) - 1)) << \
+            self.nend_bits
+        self.nend_bits += count
+
+    def finish(self) -> bytes:
+        """→ the encoded frame."""
+        low, rng = self.low, self.rng
+        l = 32 - ilog(rng)
+        msk = ((1 << 31) - 1) >> l
+        end = (low + msk) & ~msk
+        if (end | msk) >= low + rng:
+            l += 1
+            msk >>= 1
+            end = (low + msk) & ~msk
+        while l > 0:
+            self._carry_out(end >> 23)
+            end = (end << 8) & ((1 << 31) - 1)
+            l -= 8
+        if self.rem >= 0 or self.ext > 0:
+            self._carry_out(0)
+        data = bytearray(self.out)
+        # append raw bits at the tail (LSB-first from the last byte)
+        nbytes = (self.nend_bits + 7) >> 3
+        tail = bytearray(nbytes)
+        w = self.end_window
+        for i in range(nbytes):
+            tail[nbytes - 1 - i] = w & 0xFF
+            w >>= 8
+        # the range stream and raw bits may share the boundary byte;
+        # here we simply concatenate (crafted frames keep them
+        # disjoint) — pad a zero byte between when raw bits exist
+        data += tail
+        if not data:
+            data = bytearray(1)
+        return bytes(data)

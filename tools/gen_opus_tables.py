@@ -34,6 +34,105 @@ INT_ARRAYS = [
     ("ff_opus_frame_duration", "FRAME_DURATION", (32,), DUR),
 ]
 
+SILK_ARRAYS = [
+    ("ff_silk_model_lbrr_flags_40", "SILK_MODEL_LBRR_FLAGS_40", (5,)),
+    ("ff_silk_model_lbrr_flags_60", "SILK_MODEL_LBRR_FLAGS_60", (9,)),
+    ("ff_silk_model_stereo_s1", "SILK_MODEL_STEREO_S1", (26,)),
+    ("ff_silk_model_stereo_s2", "SILK_MODEL_STEREO_S2", (4,)),
+    ("ff_silk_model_stereo_s3", "SILK_MODEL_STEREO_S3", (6,)),
+    ("ff_silk_model_mid_only", "SILK_MODEL_MID_ONLY", (3,)),
+    ("ff_silk_model_frame_type_inactive",
+     "SILK_MODEL_FRAME_TYPE_INACTIVE", (3,)),
+    ("ff_silk_model_frame_type_active",
+     "SILK_MODEL_FRAME_TYPE_ACTIVE", (5,)),
+    ("ff_silk_model_gain_highbits", "SILK_MODEL_GAIN_HIGHBITS",
+     (3, 9)),
+    ("ff_silk_model_gain_lowbits", "SILK_MODEL_GAIN_LOWBITS", (9,)),
+    ("ff_silk_model_gain_delta", "SILK_MODEL_GAIN_DELTA", (42,)),
+    ("ff_silk_model_lsf_s1", "SILK_MODEL_LSF_S1", (2, 2, 33)),
+    ("ff_silk_model_lsf_s2", "SILK_MODEL_LSF_S2", (32, 10)),
+    ("ff_silk_model_lsf_s2_ext", "SILK_MODEL_LSF_S2_EXT", (8,)),
+    ("ff_silk_model_lsf_interpolation_offset",
+     "SILK_MODEL_LSF_INTERPOLATION_OFFSET", (6,)),
+    ("ff_silk_model_pitch_highbits", "SILK_MODEL_PITCH_HIGHBITS",
+     (33,)),
+    ("ff_silk_model_pitch_lowbits_mb",
+     "SILK_MODEL_PITCH_LOWBITS_MB", (7,)),
+    ("ff_silk_model_pitch_delta", "SILK_MODEL_PITCH_DELTA", (22,)),
+    ("ff_silk_model_pitch_contour_nb10ms",
+     "SILK_MODEL_PITCH_CONTOUR_NB10MS", (4,)),
+    ("ff_silk_model_pitch_contour_nb20ms",
+     "SILK_MODEL_PITCH_CONTOUR_NB20MS", (12,)),
+    ("ff_silk_model_pitch_contour_mbwb10ms",
+     "SILK_MODEL_PITCH_CONTOUR_MBWB10MS", (13,)),
+    ("ff_silk_model_pitch_contour_mbwb20ms",
+     "SILK_MODEL_PITCH_CONTOUR_MBWB20MS", (35,)),
+    ("ff_silk_model_ltp_filter", "SILK_MODEL_LTP_FILTER", (4,)),
+    ("ff_silk_model_ltp_filter0_sel", "SILK_MODEL_LTP_FILTER0_SEL",
+     (9,)),
+    ("ff_silk_model_ltp_filter1_sel", "SILK_MODEL_LTP_FILTER1_SEL",
+     (17,)),
+    ("ff_silk_model_ltp_filter2_sel", "SILK_MODEL_LTP_FILTER2_SEL",
+     (33,)),
+    ("ff_silk_model_ltp_scale_index", "SILK_MODEL_LTP_SCALE_INDEX",
+     (4,)),
+    ("ff_silk_model_lcg_seed", "SILK_MODEL_LCG_SEED", (5,)),
+    ("ff_silk_model_exc_rate", "SILK_MODEL_EXC_RATE", (2, 10)),
+    ("ff_silk_model_pulse_count", "SILK_MODEL_PULSE_COUNT",
+     (11, 19)),
+    ("ff_silk_model_pulse_location", "SILK_MODEL_PULSE_LOCATION",
+     (4, 168)),
+    ("ff_silk_model_excitation_lsb", "SILK_MODEL_EXCITATION_LSB",
+     (3,)),
+    ("ff_silk_model_excitation_sign", "SILK_MODEL_EXCITATION_SIGN",
+     (3, 2, 7, 3)),
+    ("ff_silk_stereo_weights", "SILK_STEREO_WEIGHTS", (16,)),
+    ("ff_silk_lsf_s2_model_sel_nbmb", "SILK_LSF_S2_MODEL_SEL_NBMB",
+     (32, 10)),
+    ("ff_silk_lsf_s2_model_sel_wb", "SILK_LSF_S2_MODEL_SEL_WB",
+     (32, 16)),
+    ("ff_silk_lsf_pred_weights_nbmb", "SILK_LSF_PRED_WEIGHTS_NBMB",
+     (2, 9)),
+    ("ff_silk_lsf_pred_weights_wb", "SILK_LSF_PRED_WEIGHTS_WB",
+     (2, 15)),
+    ("ff_silk_lsf_weight_sel_nbmb", "SILK_LSF_WEIGHT_SEL_NBMB",
+     (32, 9)),
+    ("ff_silk_lsf_weight_sel_wb", "SILK_LSF_WEIGHT_SEL_WB",
+     (32, 15)),
+    ("ff_silk_lsf_codebook_nbmb", "SILK_LSF_CODEBOOK_NBMB",
+     (32, 10)),
+    ("ff_silk_lsf_codebook_wb", "SILK_LSF_CODEBOOK_WB", (32, 16)),
+    ("ff_silk_lsf_min_spacing_nbmb", "SILK_LSF_MIN_SPACING_NBMB",
+     (11,)),
+    ("ff_silk_lsf_min_spacing_wb", "SILK_LSF_MIN_SPACING_WB",
+     (17,)),
+    ("ff_silk_lsf_ordering_nbmb", "SILK_LSF_ORDERING_NBMB", (10,)),
+    ("ff_silk_lsf_ordering_wb", "SILK_LSF_ORDERING_WB", (16,)),
+    ("ff_silk_cosine", "SILK_COSINE", (129,)),
+    ("ff_silk_pitch_scale", "SILK_PITCH_SCALE", (3,)),
+    ("ff_silk_pitch_min_lag", "SILK_PITCH_MIN_LAG", (3,)),
+    ("ff_silk_pitch_max_lag", "SILK_PITCH_MAX_LAG", (3,)),
+    ("ff_silk_pitch_offset_nb10ms", "SILK_PITCH_OFFSET_NB10MS",
+     (3, 2)),
+    ("ff_silk_pitch_offset_nb20ms", "SILK_PITCH_OFFSET_NB20MS",
+     (11, 4)),
+    ("ff_silk_pitch_offset_mbwb10ms", "SILK_PITCH_OFFSET_MBWB10MS",
+     (12, 2)),
+    ("ff_silk_pitch_offset_mbwb20ms", "SILK_PITCH_OFFSET_MBWB20MS",
+     (34, 4)),
+    ("ff_silk_ltp_filter0_taps", "SILK_LTP_FILTER0_TAPS", (8, 5)),
+    ("ff_silk_ltp_filter1_taps", "SILK_LTP_FILTER1_TAPS", (16, 5)),
+    ("ff_silk_ltp_filter2_taps", "SILK_LTP_FILTER2_TAPS", (32, 5)),
+    ("ff_silk_model_lsf_weight_nbmb", "SILK_MODEL_LSF_WEIGHT_NBMB",
+     (32, 10)),
+    ("ff_silk_model_lsf_weight_wb", "SILK_MODEL_LSF_WEIGHT_WB",
+     (32, 16)),
+    ("ff_silk_ltp_scale_factor", "SILK_LTP_SCALE_FACTOR", (3,)),
+    ("ff_silk_shell_blocks", "SILK_SHELL_BLOCKS", (3, 2)),
+    ("ff_silk_quant_offset", "SILK_QUANT_OFFSET", (2, 2)),
+    ("ff_silk_stereo_interp_len", "SILK_STEREO_INTERP_LEN", (3,)),
+]
+
 FLOAT_ARRAYS = [
     ("ff_celt_mean_energy", "MEAN_ENERGY", 25, TAB),
     ("ff_celt_postfilter_taps", "POSTFILTER_TAPS", 9, TAB),
@@ -85,6 +184,23 @@ def main():
     out.append("PVQ_U_ROW = [" + ", ".join(offs) + "]")
     out.append("WINDOW = WINDOW_PADDED[8:]")
     out.append("MODEL_ENERGY_SMALL = MODEL_TAPSET")
+
+    # SILK tables (all integer; CDF models keep the leading total)
+    for cname, pyname, shape in SILK_ARRAYS:
+        body = body_of(cname, TAB)
+        vals = [int(v, 0) for v in re.findall(
+            r"-?0[xX][0-9a-fA-F]+|-?\d+", body)]
+        total = 1
+        for d in shape:
+            total *= d
+        # C partial initialization (e.g. lsf_s2[32][10] with 16 rows
+        # written): remaining entries are zero
+        assert len(vals) <= total, (cname, len(vals), total)
+        vals += [0] * (total - len(vals))
+        out.append(f"{pyname} = np.array({vals}, "
+                   f"np.int64).reshape{tuple(shape)}")
+    out.append("SILK_MODEL_PITCH_LOWBITS_NB = SILK_MODEL_LCG_SEED")
+    out.append("SILK_MODEL_PITCH_LOWBITS_WB = SILK_MODEL_GAIN_LOWBITS")
     dst = Path(__file__).resolve().parents[1] / "ffmpeg_tpu" / \
         "codecs" / "opus" / "tables_gen.py"
     dst.parent.mkdir(exist_ok=True)
