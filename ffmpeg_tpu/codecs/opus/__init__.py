@@ -1,8 +1,9 @@
 """Opus decoder (RFC 6716; reference: libavcodec/opus/dec.c,
-parse.c).  CELT mode (configs 16-31) and SILK mode (configs 0-11,
+parse.c).  All three modes: CELT (configs 16-31), SILK (0-11,
 NB/MB/WB speech at 8/12/16 kHz resampled to 48 kHz with a
-reference-exact polyphase bank) are implemented; hybrid (12-15)
-raises NotSupported."""
+reference-exact polyphase bank), and hybrid (12-15, SILK WB + CELT
+bands 17+ with the celt_delay alignment fifo), including inter-mode
+switching with resampler flush."""
 
 from __future__ import annotations
 
@@ -113,42 +114,112 @@ class OpusDecoder(Codec):
         self.celt = CeltDecoder(self.channels)
         self.silk = None
         self.silk_resampler = None
+        self._silk_delayed = 0
+        self._celt_fifo = None
+        self._last_mode = None
         self._to_skip = self.pre_skip
 
-    def _decode_silk(self, fr: bytes, config: int, stereo: int):
-        """SILK-only frame → (channels, n) resampled to 48 kHz
-        (opus/dec.c opus_decode_frame SILK path)."""
+    def _silk_layer(self, rc, config: int, stereo: int, hybrid: bool):
+        """SILK LP layer of one frame → (channels, samples) at 48 kHz
+        (opus/dec.c opus_decode_frame SILK path; hybrid clamps to
+        WB)."""
         from .silk import SilkDecoder
         from .silk_resample import SilkResampler
-        bandwidth = config // 4            # 0 NB / 1 MB / 2 WB
+        bandwidth = 2 if hybrid else config // 4
         silk_rate = 8000 + 4000 * bandwidth
-        duration_ms = (10, 20, 40, 60)[config & 3]
+        duration_ms = ((10, 20)[config & 1] if hybrid
+                       else (10, 20, 40, 60)[config & 3])
         frame_duration = int(T.FRAME_DURATION[config])
         if self.silk is None:
             self.silk = SilkDecoder(self.channels)
-        if self.silk_resampler is None or \
-                self.silk_resampler.pc != {8000: 6, 12000: 4,
-                                           16000: 3}[silk_rate]:
+        pc = {8000: 6, 12000: 4, 16000: 3}[silk_rate]
+        pre = None
+        if self.silk_resampler is not None and \
+                self.silk_resampler.pc != pc:
+            # sample-rate change: flush the resampler first
+            # (opus_decode_subpacket flush_needed)
+            pre = self.silk_resampler.flush(self._silk_delayed)
+            self._silk_delayed = 0
+            self.silk_resampler = None
+        if self.silk_resampler is None:
             self.silk_resampler = SilkResampler(silk_rate,
                                                 self.channels)
-        rc = RangeCoder(fr)
         nsamp = (silk_rate // 1000) * duration_ms
         output = [np.zeros(nsamp, np.float32)
                   for _ in range(self.channels)]
         self.silk.decode_superframe(rc, output, bandwidth,
                                     stereo + 1, duration_ms)
         outs = self.silk_resampler.convert(output, frame_duration)
-        return np.stack(outs)
+        self._silk_delayed += frame_duration - len(outs[0])
+        sil = np.stack(outs)
+        if pre is not None and len(pre[0]):
+            sil = np.concatenate([np.stack(pre), sil], axis=1)
+        return sil
+
+    def _decode_hybrid(self, fr: bytes, config: int, stereo: int):
+        """hybrid frame: SILK WB + CELT bands 17+, summed with the
+        celt_delay alignment fifo (opus/dec.c)."""
+        frame_duration = int(T.FRAME_DURATION[config])
+        bandwidth = 3 + (config - 12) // 2     # SWB / FB
+        rc = RangeCoder(fr)
+        sil = self._silk_layer(rc, config, stereo, hybrid=True)
+        samples = sil.shape[1]
+        if rc.tell() + 37 <= 8 * len(fr):
+            if rc.dec_log(12):
+                raise NotSupported("opus: hybrid redundancy")
+        celt_out = self.celt.decode(rc, stereo + 1, frame_duration,
+                                    17, int(T.BAND_END[bandwidth]))
+        celt_out = np.asarray(celt_out)
+        out = sil.copy()
+        pos = 0
+        if self._celt_fifo is not None and self._celt_fifo.shape[1]:
+            nd = self._celt_fifo.shape[1]
+            out[:, :nd] += self._celt_fifo
+            pos = nd
+        usable = samples - pos
+        out[:, pos:pos + usable] += celt_out[:, :usable]
+        self._celt_fifo = celt_out[:, usable:].copy()
+        return out
+
+    def _switch_mode(self, mode: str):
+        """inter-mode state flushes (opus_decode_frame/subpacket)."""
+        pre = None
+        if mode == "celt" and self.silk_resampler is not None:
+            pre = self.silk_resampler.flush(self._silk_delayed)
+            self._silk_delayed = 0
+            self.silk_resampler = None
+            self._celt_fifo = None
+        if mode == "celt" and self.silk is not None:
+            self.silk.flush()
+        if mode == "silk" and self._last_mode in ("celt", "hybrid"):
+            self.celt = CeltDecoder(self.channels)
+            self._celt_fifo = None
+        self._last_mode = mode
+        return pre
 
     def decode(self, pkt: Optional[Packet]) -> List[Frame]:
         if pkt is None or not pkt.data:
+            # EOF: flush remaining resampler delay
+            if self.silk_resampler is not None and self._silk_delayed:
+                pre = self.silk_resampler.flush(self._silk_delayed)
+                self._silk_delayed = 0
+                self.silk_resampler = None
+                if len(pre[0]):
+                    return [Frame.audio(np.stack(pre),
+                                        self.sample_rate, "fltp",
+                                        pts=None,
+                                        time_base=Rational(
+                                            1, self.sample_rate))]
             return []
         config, stereo, frames = parse_packet(pkt.data)
-        if 12 <= config < 16:
-            raise NotSupported("opus: hybrid mode")
-        if config < 12:
-            outs = [self._decode_silk(fr, config, stereo)
-                    for fr in frames if fr]
+        mode = ("silk" if config < 12 else
+                "hybrid" if config < 16 else "celt")
+        pre = self._switch_mode(mode)
+        if mode != "celt":
+            dec = (self._decode_hybrid if mode == "hybrid"
+                   else lambda fr, c, st: self._silk_layer(
+                       RangeCoder(fr), c, st, hybrid=False))
+            outs = [dec(fr, config, stereo) for fr in frames if fr]
             pcm = np.concatenate(outs, axis=1) if outs else None
             if pcm is None or pcm.shape[1] == 0:
                 return []
@@ -162,7 +233,7 @@ class OpusDecoder(Codec):
         if bandwidth:
             bandwidth += 1                # CELT skips mediumband
         end_band = int(T.BAND_END[bandwidth])
-        outs = []
+        outs = [] if pre is None or not len(pre[0]) else             [np.stack(pre)]
         for fr in frames:
             if not fr:
                 continue
@@ -189,4 +260,7 @@ class OpusDecoder(Codec):
         self.celt = CeltDecoder(self.channels)
         self.silk = None
         self.silk_resampler = None
+        self._silk_delayed = 0
+        self._celt_fifo = None
+        self._last_mode = None
         self._to_skip = self.pre_skip

@@ -876,7 +876,9 @@ class CeltDecoder:
                     if lowband is None:
                         for i in range(N):
                             r = self._rng()
-                            X[i] = float(np.int32(r) >> 20)
+                            if r >= 0x80000000:
+                                r -= 0x100000000
+                            X[i] = float(r >> 20)
                         cm = cm_mask
                     else:
                         for i in range(N):

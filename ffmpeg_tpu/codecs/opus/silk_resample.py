@@ -109,3 +109,14 @@ class SilkResampler:
             outs.append(out)
         self.next_out += n
         return outs
+
+    def flush(self, n: int):
+        """emit n tail samples after mirroring the buffered input
+        (libswresample resample_flush appends a time-reversed copy of
+        the unconsumed in_buffer)."""
+        count = len(self.bufs[0]) - (self.next_out // self.pc) + \
+            _CENTER
+        if count <= 0 or n <= 0:
+            return [np.zeros(0, f32) for _ in range(self.channels)]
+        tails = [b[-count:][::-1].copy() for b in self.bufs]
+        return self.convert(tails, n)

@@ -321,3 +321,97 @@ def test_silk_stereo(tmp_path):
 @requires_ref
 def test_silk_nb_40ms(tmp_path):
     run_case(tmp_path, 31, 2, 1, n_packets=10)
+
+
+def make_hybrid_stream(seed, config, channels, n_packets,
+                       tail_bytes=24):
+    """Hybrid (configs 12-15) packets: crafted SILK WB layer, an
+    explicit no-redundancy flag, then random tail bytes that the CELT
+    layer (bands 17+) parses as content — both decoders read the same
+    bits, so output must still match."""
+    rng = np.random.default_rng(seed)
+    duration_ms = (10, 20)[config & 1]
+    w = SilkWriter(rng, 2, duration_ms, channels)
+    toc = (config << 3) | ((channels - 1) << 2)
+    pkts = []
+    for _ in range(n_packets):
+        enc = RangeEncoder()
+        for i in range(channels):
+            enc.enc_log(1 if rng.random() < 0.8 else 0, 1)
+            enc.enc_log(0, 1)
+        # regenerate the VAD bits through the writer path instead
+        enc = RangeEncoder()
+        active = [[0] for _ in range(channels)]
+        for i in range(channels):
+            active[i][0] = 1 if rng.random() < 0.8 else 0
+            enc.enc_log(active[i][0], 1)
+            enc.enc_log(0, 1)
+        for j in range(channels):
+            active1 = active[1][0] if channels > 1 else 0
+            w._frame(enc, 0, j, active[j][0], active1, 0.5)
+        enc.enc_log(0, 12)              # no redundancy
+        data = enc.finish()
+        data += bytes(rng.integers(0, 256, tail_bytes, dtype=np.uint8))
+        pkts.append(bytes([toc]) + data)
+    return pkts
+
+
+@requires_ref
+@pytest.mark.parametrize("config", [13, 15])
+def test_hybrid_mono(tmp_path, config):
+    pkts = make_hybrid_stream(500 + config, config, 1, 15)
+    path = mux_mkv(tmp_path, pkts, config, 1)
+    ref = decode_ref(path, 1)
+    ours = decode_ours(pkts, config, 1)
+    n = min(ref.shape[1], ours.shape[1])
+    assert n > 0 and abs(ref.shape[1] - ours.shape[1]) <= 960
+    a, b = ours[:, :n].astype(np.float64), ref[:, :n].astype(np.float64)
+    snr = 10 * np.log10(max(np.mean(b ** 2), 1e-30) /
+                        max(np.mean((a - b) ** 2), 1e-30))
+    assert snr > 100, f"hybrid SNR {snr:.1f} dB (config {config})"
+
+
+@requires_ref
+def test_hybrid_stereo_10ms(tmp_path):
+    pkts = make_hybrid_stream(71, 12, 2, 15)
+    path = mux_mkv(tmp_path, pkts, 12, 2)
+    ref = decode_ref(path, 2)
+    ours = decode_ours(pkts, 12, 2)
+    n = min(ref.shape[1], ours.shape[1])
+    assert n > 0
+    a, b = ours[:, :n].astype(np.float64), ref[:, :n].astype(np.float64)
+    snr = 10 * np.log10(max(np.mean(b ** 2), 1e-30) /
+                        max(np.mean((a - b) ** 2), 1e-30))
+    assert snr > 100, f"hybrid stereo SNR {snr:.1f} dB"
+
+
+@requires_ref
+def test_mode_switch(tmp_path):
+    """SILK → CELT → SILK transitions: resampler flush, celt/silk
+    state resets (opus_decode_subpacket flush_needed path)."""
+    # reference-encoded CELT packets
+    src = tmp_path / "celt.mkv"
+    subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "lavfi", "-i",
+         "sine=frequency=500:sample_rate=48000", "-t", "0.4",
+         "-c:a", "opus", "-strict", "-2", "-f", "matroska",
+         str(src)], check=True)
+    from ffmpeg_tpu.io.demux import open_input
+    d = open_input(str(src))
+    celt_pkts = []
+    while True:
+        try:
+            celt_pkts.append(bytes(d.read_packet().data))
+        except Exception:
+            break
+    silk_pkts = make_stream(77, 9, 1, 8)
+    mixed = silk_pkts[:4] + celt_pkts[2:8] + silk_pkts[4:]
+    path = mux_mkv(tmp_path, mixed, 9, 1, "mixed.mkv")
+    ref = decode_ref(path, 1)
+    ours = decode_ours(mixed, 9, 1)
+    n = min(ref.shape[1], ours.shape[1])
+    assert n > 0 and abs(ref.shape[1] - ours.shape[1]) <= 1920
+    a, b = ours[:, :n].astype(np.float64), ref[:, :n].astype(np.float64)
+    snr = 10 * np.log10(max(np.mean(b ** 2), 1e-30) /
+                        max(np.mean((a - b) ** 2), 1e-30))
+    assert snr > 60, f"mode-switch SNR {snr:.1f} dB"
