@@ -70,6 +70,7 @@ class CliOptions:
     bitexact: bool = False
     progress_url: Optional[str] = None
     print_graphs_file: Optional[str] = None
+    filter_complex: List[str] = field(default_factory=list)
 
 
 def parse_args(argv: List[str]) -> CliOptions:
@@ -107,6 +108,8 @@ def parse_args(argv: List[str]) -> CliOptions:
         elif a in ("-c", "-codec"):
             v = take()
             cur_out.vcodec = cur_out.acodec = v
+        elif a in ("-filter_complex", "-lavfi"):
+            o.filter_complex.append(take())
         elif a in ("-vf", "-filter:v"):
             cur_out.vf = take()
         elif a in ("-af", "-filter:a"):
@@ -297,6 +300,92 @@ def _select_streams(demux, out) -> list:
     return sel
 
 
+def _video_extra_graph(out) -> str:
+    graph_txt = out.vf or "null"
+    extra = []
+    if out.size:
+        extra.append(f"scale={out.size[0]}:{out.size[1]}")
+    if out.pix_fmt:
+        extra.append(f"format={out.pix_fmt}")
+    if out.framerate:
+        extra.append(f"fps={out.framerate}")
+    if extra:
+        graph_txt = graph_txt + "," + ",".join(extra) \
+            if graph_txt != "null" else ",".join(extra)
+    return graph_txt
+
+
+def _audio_extra_graph(out, fmt_name):
+    graph_txt = out.af or "anull"
+    want_fmt = out.sample_fmt
+    acodec = out.acodec or _AENC_DEFAULT.get(fmt_name, "pcm_s16le")
+    if acodec.startswith("pcm_"):
+        want_fmt = {"pcm_s16le": "s16", "pcm_s16be": "s16",
+                    "pcm_f32le": "flt", "pcm_u8": "u8",
+                    "pcm_s32le": "s32"}.get(acodec, want_fmt)
+    af_parts = []
+    if want_fmt or out.sample_rate or out.channels:
+        parts = []
+        if want_fmt:
+            parts.append(f"sample_fmts={want_fmt}")
+        if out.sample_rate:
+            parts.append(f"sample_rates={out.sample_rate}")
+        if out.channels:
+            layouts = {1: "mono", 2: "stereo", 6: "5.1"}
+            parts.append("channel_layouts="
+                         f"{layouts.get(out.channels, out.channels)}")
+        af_parts.append("aformat=" + ":".join(parts))
+    if af_parts:
+        graph_txt = (graph_txt + "," if graph_txt != "anull" else "") \
+            + ",".join(af_parts)
+    return graph_txt, acodec
+
+
+def _build_fc_chain(label, media_type, out, mux) -> dict:
+    """Chain fed by a -filter_complex graph output label."""
+    from ..io.stream import CodecParameters
+    fmt_name = mux.name
+    is_video = media_type == MediaType.VIDEO
+    ch: dict = {"type": "video" if is_video else "audio",
+                "in_st": None, "fc_label": label, "out": out,
+                "mux": mux, "count": 0, "done": False, "copy": False,
+                "enc": None, "opts": {}}
+    if is_video:
+        ch["graph"] = parse_graph(_video_extra_graph(out))
+        ch["enc_name"] = out.vcodec or _VENC_DEFAULT.get(
+            fmt_name, getattr(mux, "default_video_codec", None)
+            or "rawvideo")
+        if out.quality is not None:
+            ch["opts"]["quality"] = int(max(2, min(97,
+                                                   100 - out.quality * 3)))
+    else:
+        graph_txt, acodec = _audio_extra_graph(out, fmt_name)
+        ch["graph"] = parse_graph(graph_txt)
+        ch["enc_name"] = acodec
+    par = CodecParameters(codec_type=media_type,
+                          codec_id=ch["enc_name"])
+    ch["out_st"] = mux.add_stream(par, time_base=None)
+    ch["bsf_spec"] = (out.vbsf if is_video else out.absf)
+    return ch
+
+
+def _resolve_fc_input(demux, label):
+    """'0:v', '0:a:1', '0:2' (single input file) → stream."""
+    parts = label.split(":")
+    if parts and parts[0] == "0":
+        parts = parts[1:]
+    if not parts:
+        raise InvalidData(f"bad filter_complex input [{label}]")
+    if parts[0] in ("v", "a"):
+        typ = MediaType.VIDEO if parts[0] == "v" else MediaType.AUDIO
+        typed = [s for s in demux.streams if s.codec_type == typ]
+        idx = int(parts[1]) if len(parts) > 1 else 0
+        if idx >= len(typed):
+            raise InvalidData(f"no stream for [{label}]")
+        return typed[idx]
+    return demux.streams[int(parts[0])]
+
+
 def _build_chain(st, out, mux) -> dict:
     """One input-stream → output-stream chain for one output file."""
     fmt_name = mux.name
@@ -309,18 +398,7 @@ def _build_chain(st, out, mux) -> dict:
         ost = mux.add_stream(st.codecpar, time_base=st.time_base)
     elif is_video:
         ch["copy"] = False
-        graph_txt = out.vf or "null"
-        extra = []
-        if out.size:
-            extra.append(f"scale={out.size[0]}:{out.size[1]}")
-        if out.pix_fmt:
-            extra.append(f"format={out.pix_fmt}")
-        if out.framerate:
-            extra.append(f"fps={out.framerate}")
-        if extra:
-            graph_txt = graph_txt + "," + ",".join(extra) \
-                if graph_txt != "null" else ",".join(extra)
-        ch["graph"] = parse_graph(graph_txt)
+        ch["graph"] = parse_graph(_video_extra_graph(out))
         ch["enc_name"] = out.vcodec or _VENC_DEFAULT.get(
             fmt_name, getattr(mux, "default_video_codec", None)
             or "rawvideo")
@@ -333,28 +411,7 @@ def _build_chain(st, out, mux) -> dict:
         ost = mux.add_stream(st.codecpar.copy(), time_base=st.time_base)
     else:
         ch["copy"] = False
-        graph_txt = out.af or "anull"
-        want_fmt = out.sample_fmt
-        acodec = out.acodec or _AENC_DEFAULT.get(fmt_name, "pcm_s16le")
-        if acodec.startswith("pcm_"):
-            want_fmt = {"pcm_s16le": "s16", "pcm_s16be": "s16",
-                        "pcm_f32le": "flt", "pcm_u8": "u8",
-                        "pcm_s32le": "s32"}.get(acodec, want_fmt)
-        af_parts = []
-        if want_fmt or out.sample_rate or out.channels:
-            parts = []
-            if want_fmt:
-                parts.append(f"sample_fmts={want_fmt}")
-            if out.sample_rate:
-                parts.append(f"sample_rates={out.sample_rate}")
-            if out.channels:
-                layouts = {1: "mono", 2: "stereo", 6: "5.1"}
-                parts.append("channel_layouts="
-                             f"{layouts.get(out.channels, out.channels)}")
-            af_parts.append("aformat=" + ":".join(parts))
-        if af_parts:
-            graph_txt = (graph_txt + "," if graph_txt != "anull" else "") \
-                + ",".join(af_parts)
+        graph_txt, acodec = _audio_extra_graph(out, fmt_name)
         ch["graph"] = parse_graph(graph_txt)
         ch["enc_name"] = acodec
         ch["enc"] = None
@@ -372,6 +429,20 @@ def transcode(o: CliOptions) -> None:
     out = o.outputs[0]
     demux = open_input(inp.url, format=inp.format, **inp.options)
 
+    # -filter_complex graphs: bind input labels to streams, collect
+    # output labels with their media types
+    fc_in: Dict[str, tuple] = {}       # label → (graph, stream idx)
+    fc_out: Dict[str, tuple] = {}      # label → (graph, media type)
+    fc_graphs = []
+    for txt in o.filter_complex:
+        g = parse_graph(txt)
+        fc_graphs.append(g)
+        for lbl in g.inputs:
+            st = _resolve_fc_input(demux, lbl)
+            fc_in[lbl] = (g, st.index)
+        for lbl, node in g.outputs.items():
+            fc_out[lbl] = (g, node.filter.media_type)
+
     # per-output muxers + chains; decoders shared per input stream
     muxes = []
     chains: List[dict] = []
@@ -379,6 +450,21 @@ def transcode(o: CliOptions) -> None:
     for ospec in o.outputs:
         mux = open_output(ospec.url, format=ospec.format)
         muxes.append(mux)
+        lbl_maps = [m[1:-1] for m in ospec.maps
+                    if m.startswith("[") and m.endswith("]")]
+        ospec.maps = [m for m in ospec.maps if not m.startswith("[")]
+        if not lbl_maps and not ospec.maps and fc_out:
+            lbl_maps = list(fc_out)      # implicit mapping of fc outputs
+        for lbl in lbl_maps:
+            if lbl not in fc_out:
+                raise InvalidData(f"unknown filter_complex output "
+                                  f"[{lbl}]")
+            g, mt = fc_out[lbl]
+            ch = _build_fc_chain(lbl, mt, ospec, mux)
+            ch["fc_graph"] = g
+            chains.append(ch)
+        if lbl_maps and not ospec.maps:
+            continue
         for st in _select_streams(demux, ospec):
             if st.codec_type not in (MediaType.VIDEO, MediaType.AUDIO):
                 vc = ospec.vcodec
@@ -388,6 +474,10 @@ def transcode(o: CliOptions) -> None:
             if not ch["copy"] and st.index not in decoders:
                 decoders[st.index] = CodecContext.open_decoder(st.codecpar)
             chains.append(ch)
+    for lbl, (g, sidx) in fc_in.items():
+        if sidx not in decoders:
+            decoders[sidx] = CodecContext.open_decoder(
+                demux.streams[sidx].codecpar)
 
     for ch in chains:
         ch["out_idx"] = ch["out_st"].index
@@ -463,6 +553,11 @@ def transcode(o: CliOptions) -> None:
             for of in ch["graph"].pull():
                 emit_frame(ch, of)
 
+    def drain_fc_chains():
+        for ch in chains:
+            if "fc_label" in ch:
+                run_frames(ch, ch["fc_graph"].pull(ch["fc_label"]))
+
     # ---- main loop ------------------------------------------------------------
     progress_fh = None
     if o.progress_url:
@@ -486,8 +581,11 @@ def transcode(o: CliOptions) -> None:
             if npkts % 50 == 0:
                 write_progress("continue")
             targets = [c for c in chains
-                       if c["in_st"].index == pkt.stream_index]
-            if not targets:
+                       if c["in_st"] is not None
+                       and c["in_st"].index == pkt.stream_index]
+            fc_feeds = [(lbl, g) for lbl, (g, sidx) in fc_in.items()
+                        if sidx == pkt.stream_index]
+            if not targets and not fc_feeds:
                 continue
             # decode once per input stream, fan out to all chains
             frames = None
@@ -526,14 +624,54 @@ def transcode(o: CliOptions) -> None:
                             except (TryAgain, EndOfStream):
                                 break
                     run_frames(ch, frames)
+            if fc_feeds:
+                if frames is None:
+                    dec = decoders[pkt.stream_index]
+                    dec.send_packet(pkt)
+                    frames = []
+                    while True:
+                        try:
+                            frames.append(dec.receive_frame())
+                        except (TryAgain, EndOfStream):
+                            break
+                for lbl, g in fc_feeds:
+                    for f in frames:
+                        g.feed(f, lbl)
+                drain_fc_chains()
             # stop early once every chain hit its frame/time limit
             # (chains without limits run to EOF)
             if chains and all(c["done"] for c in chains):
                 break
         # drain
+        for lbl, (g, sidx) in fc_in.items():
+            idx = sidx
+            if idx in decoders:
+                dec = decoders[idx]
+                # decoder tails are drained below for mapped chains;
+                # for fc-only streams, drain here
+                if not any(c["in_st"] is not None
+                           and c["in_st"].index == idx and not c["copy"]
+                           for c in chains):
+                    dec.send_packet(None)
+                    tail = []
+                    while True:
+                        try:
+                            tail.append(dec.receive_frame())
+                        except (EndOfStream, TryAgain):
+                            break
+                    for f in tail:
+                        g.feed(f, lbl)
+            g.feed_eof(lbl)
+        drain_fc_chains()
+        for ch in chains:
+            if "fc_label" in ch:
+                ch["graph"].feed_eof()
+                for of in ch["graph"].pull():
+                    emit_frame(ch, of)
+                emit_frame(ch, None)
         drained = set()
         for ch in chains:
-            if ch["copy"]:
+            if ch["copy"] or ch["in_st"] is None:
                 continue
             idx = ch["in_st"].index
             if idx not in drained:

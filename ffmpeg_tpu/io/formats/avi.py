@@ -24,6 +24,15 @@ _VIDEO_FOURCC = {
     b"VP80": "vp8", b"VP90": "vp9",
     b"FFV1": "ffv1", b"png ": "png", b"MPNG": "png",
     b"\x00\x00\x00\x00": "rawvideo", b"DIB ": "rawvideo",
+    b"I420": "rawvideo", b"IYUV": "rawvideo", b"YV12": "rawvideo",
+    b"YUY2": "rawvideo", b"UYVY": "rawvideo", b"NV12": "rawvideo",
+    b"Y800": "rawvideo",
+}
+# raw fourcc → pixel format (riff.c / raw.c tag tables)
+_RAW_PIXFMT = {
+    b"I420": "yuv420p", b"IYUV": "yuv420p", b"YV12": "yuv420p",
+    b"YUY2": "yuyv422", b"UYVY": "uyvy422", b"NV12": "nv12",
+    b"Y800": "gray",
 }
 _AUDIO_TAG = {0x0001: None, 0x0003: None, 0x0055: "mp3", 0x00FF: "aac",
               0x2000: "ac3", 0x0006: "pcm_alaw", 0x0007: "pcm_mulaw"}
@@ -87,6 +96,8 @@ class AviDemuxer(Demuxer):
         if fcc_type == b"vids":
             codec = _VIDEO_FOURCC.get(fcc, fcc.decode("latin1").strip().lower())
             par = CodecParameters(codec_type=MediaType.VIDEO, codec_id=codec)
+            if fcc in _RAW_PIXFMT:
+                par.pix_fmt = _RAW_PIXFMT[fcc]
             self.add_stream(codecpar=par, time_base=tb)
         elif fcc_type == b"auds":
             par = CodecParameters(codec_type=MediaType.AUDIO, codec_id="?")
