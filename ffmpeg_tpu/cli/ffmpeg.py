@@ -260,6 +260,7 @@ _VENC_DEFAULT = {"yuv4mpegpipe": "rawvideo", "rawvideo": "rawvideo",
                  "mjpeg": "mjpeg", "image2": "mjpeg", "avi": "mjpeg",
                  "gif": "gif"}
 _AENC_DEFAULT = {"wav": "pcm_s16le", "s16le": "pcm_s16le",
+                 "adts": "aac",
                  "f32le": "pcm_f32le", "framecrc": "pcm_s16le",
                  "framemd5": "pcm_s16le", "md5": "pcm_s16le",
                  "crc": "pcm_s16le", "null": "pcm_s16le"}
