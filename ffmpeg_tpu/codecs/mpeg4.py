@@ -1288,3 +1288,236 @@ Mpeg4Decoder.decode = _decoder_decode
 Mpeg4Decoder._decode_vop = _decoder_decode_vop
 Mpeg4Decoder.flush_state = _decoder_flush
 Mpeg4Decoder._next_frame = None
+
+
+# ---------------------------------------------------------------------------
+# H.263 (baseline v1) decoder — reuses the MPEG-4 MB machinery
+# (reference: ituh263dec.c; no AC/DC prediction, fixed-size formats,
+# inter RL table for intra AC, unquantize applied after parsing)
+# ---------------------------------------------------------------------------
+
+# ITU-T H.263 table 6.2 picture formats
+H263_FORMATS = [(0, 0), (128, 96), (176, 144), (352, 288),
+                (704, 576), (1408, 1152)]
+
+
+def _h263_decode_block(dec, br, blocks64, n, coded, intra, qscale,
+                       scan):
+    """h263_decode_block: stores QUANTIZED levels (dequantized
+    later)."""
+    block = blocks64
+    if intra:
+        level = br.get(8)
+        if level == 255:
+            level = 128
+        block[0] = level
+        i = 1
+    else:
+        i = 0
+    if not coded:
+        return i - 1
+    i -= 1
+    while True:
+        idx = _vlc(br, _RL_INTER)
+        if idx == 102:
+            lastrun = br.get(7)
+            last = lastrun >> 6
+            run = lastrun & 63
+            level = br.get(8)
+            if level >= 128:
+                level -= 256
+            if level == -128:
+                low = br.get(5)
+                high = br.get(6)
+                if high >= 32:
+                    high -= 64
+                level = (high << 5) | low
+            if level == 0:
+                raise InvalidData("h263: zero escape level")
+            i += run + 1
+        else:
+            last = 1 if idx >= RL_INTER_LAST else 0
+            run = int(T.INTER_RUN[idx])
+            level = int(T.INTER_LEVEL[idx])
+            if br.get(1):
+                level = -level
+            i += run + 1
+        if i > 63:
+            raise InvalidData("h263: ac overflow")
+        block[scan[i]] = level
+        if last:
+            break
+    return i
+
+
+def _h263_unquant(block, qscale, intra):
+    out = block.astype(np.int64)
+    qmul = qscale << 1
+    qadd = (qscale - 1) | 1
+    ac = out.copy()
+    if intra:
+        ac[0] = 0
+    res = np.where(ac > 0, ac * qmul + qadd,
+                   np.where(ac < 0, ac * qmul - qadd, 0))
+    if intra:
+        res[0] = out[0] * 8          # fixed DC scale
+    return res
+
+
+@register_decoder
+class H263Decoder(Codec):
+    codec_id = "h263"
+    codec_type = MediaType.VIDEO
+
+    def __init__(self, par, options=None):
+        super().__init__(par, options)
+        self.width = 0
+        self.height = 0
+        self.last_planes = None
+
+    def decode(self, pkt: Optional[Packet]) -> List[Frame]:
+        if pkt is None or not pkt.data:
+            return []
+        br = BitReader(bytes(pkt.data))
+        # picture start code: 22 bits 0000 0000 0000 0000 1 00000
+        if br.get(17) != 1 or br.get(5) != 0:
+            raise InvalidData("h263: bad start code")
+        br.get(8)                       # temporal reference
+        if br.get(1) != 1:
+            raise InvalidData("h263: PTYPE marker")
+        if br.get(1):
+            raise InvalidData("h263: bad id bit")
+        br.get(3)                       # split/camera/freeze
+        fmt = br.get(3)
+        if fmt in (6, 7):
+            raise NotSupported("h263: H.263+ headers")
+        w, h = H263_FORMATS[fmt]
+        if not w:
+            raise InvalidData("h263: forbidden format")
+        self.width, self.height = w, h
+        pict_type = "I" if br.get(1) == 0 else "P"
+        if br.get(1):
+            raise NotSupported("h263: long vectors")
+        if br.get(1):
+            raise NotSupported("h263: SAC")
+        if br.get(1):
+            raise NotSupported("h263: OBMC")
+        if br.get(1):
+            raise NotSupported("h263: PB frames")
+        qscale = br.get(5)
+        br.get(1)                       # CPM
+        while br.get(1):                # PEI/PSPARE
+            br.get(8)
+        planes = self._decode_picture(br, pict_type, qscale)
+        f = Frame.video(w, h, "yuv420p",
+                        planes=[planes[0][:h, :w],
+                                planes[1][:h // 2, :w // 2],
+                                planes[2][:h // 2, :w // 2]],
+                        pts=pkt.pts, time_base=pkt.time_base)
+        f.pict_type = pict_type
+        f.key_frame = pict_type == "I"
+        self.last_planes = planes
+        return [f]
+
+    def _decode_picture(self, br, pict_type, qscale):
+        mb_w = (self.width + 15) // 16
+        mb_h = (self.height + 15) // 16
+        fs = _FrameState(mb_w, mb_h)
+        vol = _Vol(width=self.width, height=self.height)
+        vop = _Vop(pict_type=pict_type, qscale=qscale)
+        recon = _Recon(vol, mb_w, mb_h)
+        dec4 = Mpeg4Decoder.__new__(Mpeg4Decoder)  # reuse helpers
+        dec4.vol = vol
+        for mb_y in range(mb_h):
+            for mb_x in range(mb_w):
+                bi = fs.bidx(mb_x, mb_y)
+                xy = mb_x + mb_y * fs.mb_stride
+                mb = _MB()
+                mb.qscale = qscale
+                blocks = np.zeros((6, 64), np.int32)
+                if pict_type == "P":
+                    if br.get(1):
+                        mb.skip = 1
+                        mb.mvs_f = [(0, 0)] * 4
+                        recon.mbs.append(mb)
+                        _post_mb(fs, bi, xy, mb, qscale)
+                        continue
+                    while True:
+                        cbpc = _vlc(br, _INTER_MCBPC)
+                        if cbpc != 20:
+                            break
+                    dquant = cbpc & 8
+                    mb.intra = 1 if (cbpc & 4) else 0
+                    if not mb.intra:
+                        cbpy = _vlc(br, _CBPY) ^ 0x0F
+                        cbp = (cbpc & 3) | (cbpy << 2)
+                        if dquant:
+                            qscale = max(1, min(31, qscale +
+                                                QUANT_TAB[br.get(2)]))
+                        mb.qscale = qscale
+                        if (cbpc & 16) == 0:
+                            px, py, _m = dec4._pred_motion(
+                                fs, mb_x, mb_y, 0)
+                            mx = dec4._decode_motion(br, px, 1)
+                            my = dec4._decode_motion(br, py, 1)
+                            mb.mvs_f = [(mx, my)] * 4
+                        else:
+                            mb.mv_type = "8x8"
+                            mvs = []
+                            for i in range(4):
+                                px, py, mot = dec4._pred_motion(
+                                    fs, mb_x, mb_y, i)
+                                mx = dec4._decode_motion(br, px, 1)
+                                my = dec4._decode_motion(br, py, 1)
+                                mvs.append((mx, my))
+                                m = fs.mot(mot)
+                                m[0] = mx
+                                m[1] = my
+                            mb.mvs_f = mvs
+                        coded_any = False
+                        for i in range(6):
+                            if cbp & (32 >> i):
+                                _h263_decode_block(
+                                    dec4, br, blocks[i], i, 1, 0,
+                                    qscale, ZIGZAG)
+                                coded_any = True
+                        if coded_any:
+                            out = np.zeros((6, 64), np.int64)
+                            for i in range(6):
+                                out[i] = _h263_unquant(
+                                    blocks[i], qscale, False)
+                            mb.coeffs = out.astype(np.int32)
+                        recon.mbs.append(mb)
+                        _post_mb(fs, bi, xy, mb, qscale)
+                        continue
+                else:
+                    while True:
+                        cbpc = _vlc(br, _INTRA_MCBPC)
+                        if cbpc != 8:
+                            break
+                    dquant = cbpc & 4
+                    mb.intra = 1
+                # intra path (I frame, or intra in P)
+                mb.intra = 1
+                cbpy = _vlc(br, _CBPY)
+                cbp = (cbpc & 3) | (cbpy << 2)
+                if dquant:
+                    qscale = max(1, min(31, qscale +
+                                        QUANT_TAB[br.get(2)]))
+                mb.qscale = qscale
+                for i in range(6):
+                    coded = 1 if (cbp & (32 >> i)) else 0
+                    _h263_decode_block(dec4, br, blocks[i], i,
+                                       coded, 1, qscale, ZIGZAG)
+                out = np.zeros((6, 64), np.int64)
+                for i in range(6):
+                    out[i] = _h263_unquant(blocks[i], qscale, True)
+                mb.coeffs = out.astype(np.int32)
+                recon.mbs.append(mb)
+                _post_mb(fs, bi, xy, mb, qscale)
+        last = _Pic(self.last_planes, vop, None) \
+            if self.last_planes is not None else None
+        return recon.run(vop, last, None)
+
+    def flush_state(self):
+        self.last_planes = None

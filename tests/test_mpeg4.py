@@ -114,3 +114,23 @@ def test_mpeg4_mov_container(tmp_path):
          f"testsrc2=size={W}x{H}:rate=25", "-frames:v", "8",
          "-c:v", "mpeg4", "-q:v", "4", "-y", str(p)], check=True)
     _compare(p)
+
+
+@requires_ref
+def test_h263_baseline(tmp_path):
+    p = tmp_path / "h263.avi"
+    subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "lavfi", "-i",
+         f"testsrc2=size={W}x{H}:rate=25", "-frames:v", "10",
+         "-c:v", "h263", "-q:v", "5", "-y", str(p)], check=True)
+    _compare(p)
+
+
+@requires_ref
+def test_h263_cif_rc(tmp_path):
+    p = tmp_path / "h263cif.avi"
+    subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "lavfi", "-i",
+         "testsrc2=size=352x288:rate=25", "-frames:v", "8",
+         "-c:v", "h263", "-b:v", "400k", "-y", str(p)], check=True)
+    _compare(p, w=352, h=288)
