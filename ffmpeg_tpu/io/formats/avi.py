@@ -114,6 +114,10 @@ class AviDemuxer(Demuxer):
         if par.codec_type == MediaType.VIDEO and len(d) >= 40:
             w, h = struct.unpack("<ii", d[4:12])
             par.width, par.height = w, abs(h)
+            # avienc extends biSize past the 40-byte
+            # BITMAPINFOHEADER to append codec extradata
+            if len(d) > 40:
+                par.extradata = d[40:]
         elif par.codec_type == MediaType.AUDIO and len(d) >= 16:
             wtag, ch, rate, _, ba, bits = struct.unpack("<HHIIHH", d[:16])
             from .wav import _TAG_TO_CODEC, _pcm_codec
@@ -123,6 +127,10 @@ class AviDemuxer(Demuxer):
             par.ch_layout = default_layout(ch)
             par.block_align = ba
             par.bits_per_coded_sample = bits
+            if len(d) >= 18:
+                cb = struct.unpack("<H", d[16:18])[0]
+                if cb and len(d) >= 18 + cb:
+                    par.extradata = d[18:18 + cb]
             st = self.streams[-1]
             st.time_base = Rational(1, rate)
         self._pending_par = None
