@@ -1,17 +1,21 @@
-"""AC-3 (ATSC A/52) decoder (reference: libavcodec/ac3dec.c,
-ac3_parser.c:288, ac3.c:180 bit allocation).
+"""AC-3 / E-AC-3 (ATSC A/52, ETSI TS 102 366) decoder (reference:
+libavcodec/ac3dec.c, eac3dec.c, ac3_parser.c, ac3.c:180 bit
+allocation).
 
 Host/device split follows the framework's audio pattern (see mp3.py):
-bit allocation, exponent/mantissa entropy decode and (un)coupling run
-on the host; the synthesis filterbank (256-pt half-IMDCT as an MXU
-matmul + KBD window overlap-add) runs batched on device via
-ops/ac3fb.py.
+bit allocation, exponent/mantissa entropy decode, (un)coupling,
+spectral extension and AHT run on the host; the synthesis filterbank
+(256-pt half-IMDCT as an MXU matmul + KBD window overlap-add) runs
+batched on device via ops/ac3fb.py.
 
-Scope: plain AC-3 (bsid ≤ 10), all channel modes incl. LFE, channel
-coupling, stereo rematrixing, dynamic range gains and dithered zero-bit
-mantissas (replicating the reference's lagged-Fibonacci dither PRNG so
-differential tests match to float rounding). E-AC-3 (bsid 16) is a
-later round."""
+Scope: plain AC-3 (bsid <= 10) and E-AC-3 (bsid 11-16) independent
+substream 0 — all channel modes incl. LFE, channel coupling, stereo
+rematrixing, dynamic range gains, dithered zero-bit mantissas
+(replicating the reference's lagged-Fibonacci dither PRNG so
+differential tests match to float rounding), spectral extension (SPX)
+and the adaptive hybrid transform (AHT: 6-block DCT + vector/gain
+adaptive quantization). Not supported (same as the reference):
+enhanced coupling, reduced sample rates, dependent substreams."""
 
 from __future__ import annotations
 
@@ -26,11 +30,15 @@ from ..io.stream import MediaType
 from ..utils.error import InvalidData, NotSupported
 from ..utils.rational import Rational
 from . import ac3_tables as T
+from . import eac3_tables as E
 from .bitstream import BitReader
 from .codec import Codec, register_decoder
 
 EXP_REUSE, EXP_D15, EXP_D25, EXP_D45 = 0, 1, 2, 3
 CPL = 0                     # coupling pseudo-channel index
+
+# E-AC-3 frame types
+FT_INDEPENDENT, FT_DEPENDENT, FT_AC3_CONVERT, FT_RESERVED = 0, 1, 2, 3
 
 
 class _Lfg:
@@ -56,6 +64,10 @@ class _Lfg:
         s[i & 63] = v
         self.index = i + 1
         return v
+
+    def get_signed(self) -> int:
+        v = self.get()
+        return v - (1 << 32) if v >= (1 << 31) else v
 
 
 def _calc_psd(exps, start, end):
@@ -162,8 +174,9 @@ def _calc_mask(ba, band_psd, start, end, fast_gain, is_lfe, dba):
     return mask
 
 
-def _calc_bap(mask, psd, start, end, snr_offset, floor):
-    """Masking → bit allocation pointers (ac3dsp.c bit_alloc_calc_bap)."""
+def _calc_bap(mask, psd, start, end, snr_offset, floor, bap_tab):
+    """Masking → bit allocation pointers (ac3dsp.c bit_alloc_calc_bap).
+    bap_tab is BAP_TAB for plain mantissas, HEBAP_TAB for AHT."""
     bap = np.zeros(256, np.uint8)
     if snr_offset == -960:
         return bap
@@ -175,11 +188,40 @@ def _calc_bap(mask, psd, start, end, snr_offset, floor):
         band_end = min(T.BAND_START_TAB[band], end)
         while b < band_end:
             addr = min(max((int(psd[b]) - m) >> 5, 0), 63)
-            bap[b] = T.BAP_TAB[addr]
+            bap[b] = bap_tab[addr]
             b += 1
         if end <= band_end:
             break
     return bap
+
+
+def _i32(v):
+    v &= 0xFFFFFFFF
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+def _idct6(pm):
+    """6-point IDCT of AHT pre-mantissas, 24-bit fixed point
+    (eac3dec.c:165 idct6)."""
+    C0, C1, C2 = 10273905, 11863283, 3070444
+    odd1 = pm[1] - pm[3] - pm[5]
+    even2 = (pm[2] * C0) >> 23
+    tmp = (pm[4] * C1) >> 23
+    odd0 = ((pm[1] + pm[5]) * C2) >> 23
+    even0 = pm[0] + (tmp >> 1)
+    even1 = pm[0] - tmp
+    t = even0
+    even0 = t + even2
+    even2 = t - even2
+    t = odd0
+    odd0 = t + pm[1] + pm[3]
+    odd2 = t + pm[5] - pm[3]
+    pm[0] = even0 + odd0
+    pm[1] = even1 + odd1
+    pm[2] = even2 + odd2
+    pm[3] = even2 - odd2
+    pm[4] = even1 - odd1
+    pm[5] = even0 - odd0
 
 
 @register_decoder
@@ -208,13 +250,25 @@ class Ac3Decoder(Codec):
             if f is None:
                 break
             frame, size = f
-            frames.append(frame)
+            if frame is not None:
+                frames.append(frame)
             pos += size
         return frames
 
     def _decode_frame(self, buf, pkt):
+        if len(buf) < 8:
+            raise InvalidData("ac3: short frame")
+        bsid = buf[5] >> 3
+        if bsid > 16:
+            raise InvalidData("ac3: bad bsid")
         b = BitReader(buf)
         b.skip(16)                  # sync word
+        if bsid <= 10:
+            return self._frame_ac3(b, buf, pkt, bsid)
+        return self._frame_eac3(b, buf, pkt)
+
+    # ---- AC-3 frame ---------------------------------------------------
+    def _frame_ac3(self, b, buf, pkt, bsid):
         b.skip(16)                  # crc1
         sr_code = b.get(2)
         if sr_code == 3:
@@ -222,9 +276,7 @@ class Ac3Decoder(Codec):
         frame_size_code = b.get(6)
         if frame_size_code > 37:
             raise InvalidData("ac3: bad frame size code")
-        bsid = b.get(5)
-        if bsid > 10:
-            raise NotSupported("ac3: E-AC-3 (bsid>10) not yet supported")
+        b.skip(5)                   # bsid (already read)
         sr_shift = max(bsid, 8) - 8
         sample_rate = T.SAMPLE_RATE_TAB[sr_code] >> sr_shift
         frame_size = T.FRAME_SIZE_TAB[frame_size_code][sr_code] * 2
@@ -242,8 +294,8 @@ class Ac3Decoder(Codec):
         lfe_on = b.get(1)
         fbw = T.CHANNELS_TAB[acmod]
         channels = fbw + lfe_on
-        lfe_ch = fbw + 1            # 1-based channel index of the LFE
-        # rest of BSI (A/52 §5.4.2; ac3_parser.c:240)
+        # rest of BSI (A/52 §5.4.2; ac3_parser.c:82 — the bsid==6 xbsi
+        # fields occupy the same 14-bit slots as the timecodes)
         for _ in range(2 if acmod == 0 else 1):
             b.skip(5)               # dialnorm
             if b.get(1):
@@ -253,16 +305,10 @@ class Ac3Decoder(Codec):
             if b.get(1):
                 b.skip(7)           # audio production info
         b.skip(2)                   # copyright + original
-        if bsid != 6:
-            if b.get(1):
-                b.skip(14)          # timecod1
-            if b.get(1):
-                b.skip(14)          # timecod2
-        else:
-            if b.get(1):
-                b.skip(14)
-            if b.get(1):
-                b.skip(14)
+        if b.get(1):
+            b.skip(14)              # timecod1 / xbsi1
+        if b.get(1):
+            b.skip(14)              # timecod2 / xbsi2
         if b.get(1):                # addbsie
             n = b.get(6)
             b.skip(8 * (n + 1))
@@ -273,166 +319,345 @@ class Ac3Decoder(Codec):
             self._delay = np.zeros((channels, 128), np.float32)
         for blk in range(6):
             self._decode_block(b, st, blk, pcm[:, blk * 256:(blk + 1) * 256])
+        return self._emit(st, pcm, sample_rate, pkt), frame_size
 
-        # channel order: AC-3 order matches SMPTE for mono/stereo; the
-        # LFE follows the fbw channels (full 5.1 remap is a TODO)
+    # ---- E-AC-3 frame -------------------------------------------------
+    def _frame_eac3(self, b, buf, pkt):
+        frame_type = b.get(2)
+        if frame_type == FT_RESERVED:
+            raise InvalidData("eac3: reserved frame type")
+        substreamid = b.get(3)
+        frame_size = (b.get(11) + 1) * 2
+        if len(buf) < frame_size:
+            raise InvalidData("eac3: truncated frame")
+        sr_code = b.get(2)
+        if sr_code == 3:
+            raise NotSupported("eac3: reduced sample rate")
+        num_blocks = E.EAC3_BLOCKS[b.get(2)]
+        sample_rate = T.SAMPLE_RATE_TAB[sr_code]
+        acmod = b.get(3)
+        lfe_on = b.get(1)
+        if frame_type == FT_DEPENDENT or substreamid:
+            # only independent substream 0 is decoded (eac3dec.c:306)
+            return None, frame_size
+        fbw = T.CHANNELS_TAB[acmod]
+        channels = fbw + lfe_on
+        self._eac3_bsi(b, frame_type, acmod, lfe_on, num_blocks)
+        st = _FrameState(channels, fbw, lfe_on, acmod, sr_code, 0,
+                         eac3=True, num_blocks=num_blocks,
+                         frame_type=frame_type)
+        self._eac3_audfrm(b, st, frame_size)
+        pcm = np.zeros((channels, num_blocks * 256), np.float32)
+        if self._delay is None or self._delay.shape[0] != channels:
+            self._delay = np.zeros((channels, 128), np.float32)
+        for blk in range(num_blocks):
+            self._decode_block(b, st, blk,
+                               pcm[:, blk * 256:(blk + 1) * 256])
+        return self._emit(st, pcm, sample_rate, pkt), frame_size
+
+    def _emit(self, st, pcm, sample_rate, pkt):
+        # decoded (AC-3 order, LFE last) → native output order
+        # (ff_ac3_dec_channel_map: out[i] = decoded[map[i]])
+        cmap = E.DEC_CHANNEL_MAP[st.acmod][st.lfe_on]
+        out = pcm[[cmap[i] for i in range(st.channels)]]
         from ..formats.channel_layout import default_layout
-        fr = Frame.audio(pcm, sample_rate, "fltp",
-                         default_layout(channels), pts=pkt.pts,
+        fr = Frame.audio(out, sample_rate, "fltp",
+                         default_layout(st.channels), pts=pkt.pts,
                          time_base=pkt.time_base or
                          Rational(1, sample_rate))
-        fr.duration = 6 * 256
-        return fr, frame_size
+        fr.duration = pcm.shape[1]
+        return fr
+
+    def _eac3_bsi(self, b, frame_type, acmod, lfe_on, num_blocks):
+        """E-AC-3 BSI metadata — parsed for bit position only
+        (ac3_parser.c:130 eac3_parse_header)."""
+        b.skip(5)                   # bsid (already read)
+        for _ in range(1 if acmod else 2):
+            b.skip(5)               # dialnorm
+            if b.get(1):
+                b.skip(8)           # compr
+        if b.get(1):                # mixing metadata
+            if acmod > 2:
+                b.skip(2)           # preferred_downmix
+                if acmod & 1:
+                    b.skip(6)       # ltrt/loro center mix levels
+                if acmod & 4:
+                    b.skip(6)       # ltrt/loro surround mix levels
+            if lfe_on and b.get(1):
+                b.skip(5)           # lfe mix level
+            if frame_type == FT_INDEPENDENT:
+                for _ in range(1 if acmod else 2):
+                    if b.get(1):
+                        b.skip(6)   # program scale factor
+                if b.get(1):
+                    b.skip(6)       # external program scale factor
+                mde = b.get(2)
+                if mde == 1:
+                    b.skip(5)
+                elif mde == 2:
+                    b.skip(12)
+                elif mde == 3:
+                    b.skip((b.get(5) + 2) * 8)
+                if acmod < 2:       # pan info for mono / dual mono
+                    for _ in range(1 if acmod else 2):
+                        if b.get(1):
+                            b.skip(14)
+                if b.get(1):        # mixing configuration
+                    for _ in range(num_blocks):
+                        if num_blocks == 1 or b.get(1):
+                            b.skip(5)
+        if b.get(1):                # informational metadata
+            b.skip(3 + 2)           # bsmod, copyright+original
+            if acmod == 2:
+                b.skip(4)           # dsurmod + dheadphonmod
+            if acmod >= 6:
+                b.skip(2)           # dsurexmod
+            for _ in range(1 if acmod else 2):
+                if b.get(1):
+                    b.skip(8)       # mix level / room type / adconv
+            b.skip(1)               # source sample rate code
+        if frame_type == FT_INDEPENDENT and num_blocks != 6:
+            b.skip(1)               # converter sync flag
+        if frame_type == FT_AC3_CONVERT and \
+                (num_blocks == 6 or b.get(1)):
+            b.skip(6)               # original frame size code
+        if b.get(1):                # additional BSI
+            n = b.get(6)
+            b.skip(8 * (n + 1))
+
+    def _eac3_audfrm(self, b, st, frame_size):
+        """Audio frame syntax flags + per-frame strategy data
+        (eac3dec.c:288 ff_eac3_parse_header, audfrm part)."""
+        nb = st.num_blocks
+        fbw = st.fbw
+        nch = st.channels
+        if nb == 6:
+            ac3_expstr = b.get(1)
+            parse_aht = b.get(1)
+        else:
+            ac3_expstr = 1
+            parse_aht = 0
+        st.snr_offset_strategy = b.get(2)
+        parse_transproc = b.get(1)
+        st.block_switch_syntax = b.get(1)
+        st.dither_flag_syntax = b.get(1)
+        if not st.dither_flag_syntax:
+            for ch in range(1, fbw + 1):
+                st.dither_flag[ch] = 1
+        st.bit_allocation_syntax = b.get(1)
+        if not st.bit_allocation_syntax:
+            st.ba["slow_decay"] = T.SLOW_DECAY_TAB[2]
+            st.ba["fast_decay"] = T.FAST_DECAY_TAB[1]
+            st.ba["slow_gain"] = T.SLOW_GAIN_TAB[1]
+            st.ba["db_per_bit"] = T.DB_PER_BIT_TAB[2]
+            st.ba["floor"] = T.FLOOR_TAB[7]
+        st.fast_gain_syntax = b.get(1)
+        st.dba_syntax = b.get(1)
+        st.skip_syntax = b.get(1)
+        parse_spx_atten = b.get(1)
+        # coupling use per block
+        num_cpl_blocks = 0
+        if st.acmod > 1:
+            for blk in range(nb):
+                st.cpl_strategy_exists[blk] = \
+                    1 if blk == 0 else b.get(1)
+                if st.cpl_strategy_exists[blk]:
+                    st.cpl_in_use[blk] = b.get(1)
+                else:
+                    st.cpl_in_use[blk] = st.cpl_in_use[blk - 1]
+                num_cpl_blocks += st.cpl_in_use[blk]
+        # exponent strategies
+        if ac3_expstr:
+            for blk in range(nb):
+                for ch in range(0 if st.cpl_in_use[blk] else 1,
+                                fbw + 1):
+                    st.exp_strategy[blk][ch] = b.get(2)
+        else:
+            first = 0 if (st.acmod > 1 and num_cpl_blocks) else 1
+            for ch in range(first, fbw + 1):
+                idx = b.get(5)
+                for blk in range(6):
+                    st.exp_strategy[blk][ch] = E.FRM_EXPSTR[idx][blk]
+        if st.lfe_on:
+            for blk in range(nb):
+                st.exp_strategy[blk][st.lfe_ch] = b.get(1)
+        if st.frame_type == FT_INDEPENDENT and \
+                (nb == 6 or b.get(1)):
+            b.skip(5 * fbw)         # converter exponent strategies
+        # AHT usage
+        if parse_aht:
+            st.channel_uses_aht[CPL] = 0
+            for ch in range(1 if num_cpl_blocks != 6 else 0, nch + 1):
+                use = 1
+                for blk in range(1, 6):
+                    if st.exp_strategy[blk][ch] != EXP_REUSE or \
+                            (ch == CPL and
+                             st.cpl_strategy_exists[blk]):
+                        use = 0
+                        break
+                st.channel_uses_aht[ch] = use and b.get(1)
+        # per-frame SNR offset
+        if st.snr_offset_strategy == 0:
+            csnr = (b.get(6) - 15) << 4
+            snr = (csnr + b.get(4)) << 2
+            for ch in range(0, nch + 1):
+                st.snr_offset[ch] = snr
+        # transient pre-noise processing (side info, ignored)
+        if parse_transproc:
+            for ch in range(1, fbw + 1):
+                if b.get(1):
+                    b.skip(18)
+        # spectral extension attenuation
+        for ch in range(1, fbw + 1):
+            if parse_spx_atten and b.get(1):
+                st.spx_atten_code[ch] = b.get(5)
+            else:
+                st.spx_atten_code[ch] = -1
+        # block start info (unused)
+        if nb > 1 and b.get(1):
+            b.skip((nb - 1) * (4 + max((frame_size - 2).bit_length()
+                                       - 1, 0)))
 
     # ------------------------------------------------------------------
     def _decode_block(self, b, st, blk, out):
         fbw = st.fbw
+        eac3 = st.eac3
+        nch = st.channels
+        lfe_ch = st.lfe_ch
         # block switch + dither flags
-        for ch in range(1, fbw + 1):
-            st.block_switch[ch] = b.get(1)
-        for ch in range(1, fbw + 1):
-            st.dither_flag[ch] = b.get(1)
-        # dynamic range
-        for i in range(2 if st.acmod == 0 else 1):
+        if st.block_switch_syntax:
+            for ch in range(1, fbw + 1):
+                st.block_switch[ch] = b.get(1)
+        if st.dither_flag_syntax:
+            for ch in range(1, fbw + 1):
+                st.dither_flag[ch] = b.get(1)
+        # dynamic range (read order: ch2 gain first in dual mono,
+        # matching the do/while in ac3dec.c:985)
+        for i in range((1 if st.acmod == 0 else 0), -1, -1):
             if b.get(1):
                 st.dynrng[i] = T.DYNAMIC_RANGE_TAB[b.get(8)]
             elif blk == 0:
                 st.dynrng[i] = 1.0
-        # coupling strategy
-        if b.get(1):
-            st.cpl_in_use = b.get(1)
-            if st.cpl_in_use:
-                if st.acmod in (0, 1):
-                    raise InvalidData("ac3: coupling in mono")
-                for ch in range(1, fbw + 1):
-                    st.channel_in_cpl[ch] = b.get(1)
-                if st.acmod == 2:
-                    st.phase_flags_in_use = b.get(1)
-                cpl_start = b.get(4)
-                cpl_end = b.get(4) + 3
-                if cpl_start >= cpl_end:
-                    raise InvalidData("ac3: bad coupling range")
-                st.start_freq[CPL] = cpl_start * 12 + 37
-                st.end_freq[CPL] = cpl_end * 12 + 37
-                # band structure (1 bit per subband boundary)
-                nsub = cpl_end - cpl_start
-                struct = [b.get(1) for _ in range(nsub - 1)]
-                sizes = [12]
-                for s_ in struct:
-                    if s_:
-                        sizes[-1] += 12
-                    else:
-                        sizes.append(12)
-                st.cpl_band_sizes = sizes
-            else:
-                for ch in range(1, fbw + 1):
-                    st.channel_in_cpl[ch] = 0
-                    st.first_cpl_coords[ch] = 1
-                st.phase_flags_in_use = 0
-        elif blk == 0:
-            raise InvalidData("ac3: coupling strategy missing in block 0")
-        # coupling coordinates
-        if st.cpl_in_use:
-            coords_exist = False
+        # spectral extension strategy (E-AC-3)
+        if eac3 and (blk == 0 or b.get(1)):
+            st.spx_in_use = b.get(1)
+            if st.spx_in_use:
+                self._spx_strategy(b, st, blk)
+        if not eac3 or not st.spx_in_use:
+            st.spx_in_use = 0
             for ch in range(1, fbw + 1):
-                if st.channel_in_cpl[ch]:
-                    if b.get(1):
-                        st.first_cpl_coords[ch] = 0
-                        coords_exist = True
-                        master = 3 * b.get(2)
-                        nb = len(st.cpl_band_sizes)
-                        for bnd in range(nb):
-                            cexp = b.get(4)
-                            cmant = b.get(4)
-                            if cexp == 15:
-                                v = cmant << 22
-                            else:
-                                v = (cmant + 16) << 21
-                            st.cpl_coords[ch][bnd] = v >> (cexp + master)
-                    elif blk == 0:
-                        raise InvalidData("ac3: cpl coords missing")
-                else:
-                    st.first_cpl_coords[ch] = 1
-            if st.acmod == 2 and coords_exist:
-                nb = len(st.cpl_band_sizes)
-                st.phase_flags = [b.get(1) if st.phase_flags_in_use else 0
-                                  for _ in range(nb)]
+                st.channel_uses_spx[ch] = 0
+                st.first_spx_coords[ch] = 1
+        if st.spx_in_use:
+            self._spx_coordinates(b, st)
+        # coupling strategy
+        if st.cpl_strategy_exists[blk] if eac3 else b.get(1):
+            self._coupling_strategy(b, st, blk)
+        elif not eac3:
+            if blk == 0:
+                raise InvalidData(
+                    "ac3: coupling strategy missing in block 0")
+            st.cpl_in_use[blk] = st.cpl_in_use[blk - 1]
+        cpl_in_use = st.cpl_in_use[blk]
+        if cpl_in_use:
+            self._coupling_coordinates(b, st, blk)
         # rematrixing
         if st.acmod == 2:
-            if b.get(1):
+            if (eac3 and blk == 0) or b.get(1):
                 nbands = 4
-                if st.cpl_in_use and st.start_freq[CPL] <= 61:
+                if cpl_in_use and st.start_freq[CPL] <= 61:
                     nbands -= 1 + (st.start_freq[CPL] == 37)
+                elif st.spx_in_use and st.spx_src_start_freq <= 61:
+                    nbands -= 1
                 st.num_rematrixing_bands = nbands
                 st.rematrixing_flags = [b.get(1) for _ in range(nbands)]
             elif blk == 0:
                 st.num_rematrixing_bands = 0
-        # exponent strategies
-        nch = st.channels
-        lfe_ch = st.lfe_ch
-        first = CPL if st.cpl_in_use else 1
-        exp_strategy = {}
-        for ch in range(first, nch + 1):
-            exp_strategy[ch] = b.get(1 if ch == lfe_ch and st.lfe_on
-                                     else 2)
+        # exponent strategies (AC-3: per block; E-AC-3: from frame hdr)
+        first = CPL if cpl_in_use else 1
+        if not eac3:
+            for ch in range(first, nch + 1):
+                st.exp_strategy[blk][ch] = b.get(
+                    1 if ch == lfe_ch and st.lfe_on else 2)
         # channel bandwidth
         for ch in range(1, fbw + 1):
             st.start_freq[ch] = 0
-            if exp_strategy[ch] != EXP_REUSE:
+            if st.exp_strategy[blk][ch] != EXP_REUSE:
                 if st.channel_in_cpl[ch]:
                     st.end_freq[ch] = st.start_freq[CPL]
+                elif st.channel_uses_spx[ch]:
+                    st.end_freq[ch] = st.spx_src_start_freq
                 else:
                     bw = b.get(6)
                     if bw > 60:
                         raise InvalidData("ac3: bad bandwidth code")
                     st.end_freq[ch] = bw * 3 + 73
-                gs = 3 << (exp_strategy[ch] - 1)
+                gs = 3 << (st.exp_strategy[blk][ch] - 1)
                 st.num_exp_groups[ch] = (st.end_freq[ch] + gs - 4) // gs
-        if st.cpl_in_use and exp_strategy[CPL] != EXP_REUSE:
+        if cpl_in_use and st.exp_strategy[blk][CPL] != EXP_REUSE:
             st.num_exp_groups[CPL] = \
                 (st.end_freq[CPL] - st.start_freq[CPL]) // \
-                (3 << (exp_strategy[CPL] - 1))
+                (3 << (st.exp_strategy[blk][CPL] - 1))
         if st.lfe_on:
             st.start_freq[lfe_ch] = 0
             st.end_freq[lfe_ch] = 7
             st.num_exp_groups[lfe_ch] = 2
         # exponents
         for ch in range(first, nch + 1):
-            if exp_strategy[ch] != EXP_REUSE:
+            if st.exp_strategy[blk][ch] != EXP_REUSE:
                 absexp = b.get(4) << (1 if ch == CPL else 0)
                 st.dexps[ch][0] = absexp
                 self._decode_exponents(
-                    b, exp_strategy[ch], st.num_exp_groups[ch], absexp,
-                    st.dexps[ch],
+                    b, st.exp_strategy[blk][ch], st.num_exp_groups[ch],
+                    absexp, st.dexps[ch],
                     st.start_freq[ch] + (1 if ch != CPL else 0))
                 if ch != CPL and ch != (lfe_ch if st.lfe_on else -1):
                     b.skip(2)       # gainrng
         # bit allocation info
-        if b.get(1):
-            st.ba["slow_decay"] = T.SLOW_DECAY_TAB[b.get(2)] >> st.sr_shift
-            st.ba["fast_decay"] = T.FAST_DECAY_TAB[b.get(2)] >> st.sr_shift
-            st.ba["slow_gain"] = T.SLOW_GAIN_TAB[b.get(2)]
-            st.ba["db_per_bit"] = T.DB_PER_BIT_TAB[b.get(2)]
-            st.ba["floor"] = T.FLOOR_TAB[b.get(3)]
-        elif blk == 0:
-            raise InvalidData("ac3: bit allocation info missing")
-        # snr offsets
-        if b.get(1):
-            csnr = (b.get(6) - 15) << 4
-            for ch in range(first, nch + 1):
-                st.snr_offset[ch] = (csnr + b.get(4)) << 2
-                st.fast_gain[ch] = T.FAST_GAIN_TAB[b.get(3)]
-        elif blk == 0:
-            raise InvalidData("ac3: snr offsets missing in block 0")
-        # coupling leak
-        if st.cpl_in_use:
+        if st.bit_allocation_syntax:
             if b.get(1):
+                st.ba["slow_decay"] = \
+                    T.SLOW_DECAY_TAB[b.get(2)] >> st.sr_shift
+                st.ba["fast_decay"] = \
+                    T.FAST_DECAY_TAB[b.get(2)] >> st.sr_shift
+                st.ba["slow_gain"] = T.SLOW_GAIN_TAB[b.get(2)]
+                st.ba["db_per_bit"] = T.DB_PER_BIT_TAB[b.get(2)]
+                st.ba["floor"] = T.FLOOR_TAB[b.get(3)]
+            elif blk == 0:
+                raise InvalidData("ac3: bit allocation info missing")
+        # snr offsets + (AC-3) fast gains
+        if not eac3 or blk == 0:
+            if st.snr_offset_strategy and b.get(1):
+                csnr = (b.get(6) - 15) << 4
+                snr = 0
+                for ch in range(first, nch + 1):
+                    if ch == first or st.snr_offset_strategy == 2:
+                        snr = (csnr + b.get(4)) << 2
+                    st.snr_offset[ch] = snr
+                    if not eac3:
+                        st.fast_gain[ch] = T.FAST_GAIN_TAB[b.get(3)]
+            elif not eac3 and blk == 0:
+                raise InvalidData("ac3: snr offsets missing in block 0")
+        # fast gain (E-AC-3)
+        if st.fast_gain_syntax and b.get(1):
+            for ch in range(first, nch + 1):
+                st.fast_gain[ch] = T.FAST_GAIN_TAB[b.get(3)]
+        elif eac3 and blk == 0:
+            for ch in range(first, nch + 1):
+                st.fast_gain[ch] = T.FAST_GAIN_TAB[4]
+        # E-AC-3 to AC-3 converter SNR offset
+        if st.frame_type == FT_INDEPENDENT and b.get(1):
+            b.skip(10)
+        # coupling leak
+        if cpl_in_use:
+            if st.first_cpl_leak or b.get(1):
                 st.ba["cpl_fast_leak"] = b.get(3)
                 st.ba["cpl_slow_leak"] = b.get(3)
-            elif blk == 0:
+            elif not eac3 and blk == 0:
                 raise InvalidData("ac3: coupling leak missing")
+            st.first_cpl_leak = 0
         # delta bit allocation
-        if b.get(1):
+        if st.dba_syntax and b.get(1):
             for ch in range(first, fbw + 1):
                 st.dba_mode[ch] = b.get(2)
                 if st.dba_mode[ch] == 3:
@@ -454,11 +679,13 @@ class Ac3Decoder(Codec):
             mask = _calc_mask(st.ba, band_psd, st.start_freq[ch],
                               st.end_freq[ch], st.fast_gain[ch],
                               ch == lfe_ch and st.lfe_on, dba)
+            bap_tab = E.HEBAP_TAB if st.channel_uses_aht[ch] else \
+                T.BAP_TAB
             st.bap[ch] = _calc_bap(mask, psd, st.start_freq[ch],
                                    st.end_freq[ch], st.snr_offset[ch],
-                                   st.ba["floor"])
+                                   st.ba["floor"], bap_tab)
         # skip field
-        if b.get(1):
+        if st.skip_syntax and b.get(1):
             b.skip(8 * b.get(9))
         # mantissas
         coeffs = np.zeros((nch + 1, 256), np.int64)
@@ -466,10 +693,10 @@ class Ac3Decoder(Codec):
              "b1v": [0, 0], "b2v": [0, 0], "b4v": 0}
         got_cpl = False
         for ch in range(1, nch + 1):
-            self._decode_mantissas(b, st, ch, coeffs[ch], m)
+            self._coeffs_ch(b, st, blk, ch, coeffs[ch], m)
             if st.channel_in_cpl.get(ch):
                 if not got_cpl:
-                    self._decode_mantissas(b, st, CPL, coeffs[CPL], m)
+                    self._coeffs_ch(b, st, blk, CPL, coeffs[CPL], m)
                     self._uncouple(st, coeffs)
                     got_cpl = True
         # zero dithered coupling bins for non-dithering channels
@@ -488,27 +715,252 @@ class Ac3Decoder(Codec):
                     t0 = coeffs[1][lo:hi].copy()
                     coeffs[1][lo:hi] = t0 + coeffs[2][lo:hi]
                     coeffs[2][lo:hi] = t0 - coeffs[2][lo:hi]
-        # gain + filterbank
-        from ..ops import ac3fb
+        # scale to float (headroom + dynamic range gain)
+        xf = np.zeros((nch + 1, 256), np.float32)
         for ch in range(1, nch + 1):
             gain = st.dynrng[2 - ch if st.acmod == 0 and ch <= 2 else 0]
-            xf = coeffs[ch].astype(np.float32) * np.float32(
+            xf[ch] = coeffs[ch].astype(np.float32) * np.float32(
                 gain / 4194304.0)
+        # spectral extension of the high bins (E-AC-3)
+        if st.spx_in_use:
+            self._apply_spx(st, xf)
+        # filterbank
+        from ..ops import ac3fb
+        for ch in range(1, nch + 1):
             d = self._delay[ch - 1]
-            if ch != st.lfe_ch or not st.lfe_on:
+            if ch != lfe_ch or not st.lfe_on:
                 bswitch = st.block_switch[ch]
             else:
                 bswitch = 0
             if bswitch:
-                h1 = ac3fb.imdct_half(xf[0::2])
-                h2 = ac3fb.imdct_half(xf[1::2])
+                h1 = ac3fb.imdct_half(xf[ch][0::2])
+                h2 = ac3fb.imdct_half(xf[ch][1::2])
                 out[ch - 1] = ac3fb.overlap_window(d, h1)
                 self._delay[ch - 1] = h2
             else:
-                h = ac3fb.imdct_half(xf)
+                h = ac3fb.imdct_half(xf[ch])
                 out[ch - 1] = ac3fb.overlap_window(d, h[:128])
                 self._delay[ch - 1] = h[128:]
 
+    # ---- coupling -----------------------------------------------------
+    def _decode_band_structure(self, b, st, blk, eac3, start_subband,
+                               end_subband, default, struct):
+        """Band structure for coupling / SPX (ac3dec.c:639): 1 per
+        subband boundary means merge with the previous band."""
+        n_sub = end_subband - start_subband
+        if blk == 0:
+            struct[:len(default)] = default
+        if not eac3 or b.get(1):
+            for sb in range(n_sub - 1):
+                struct[start_subband + 1 + sb] = b.get(1)
+        n_bands = n_sub
+        sizes = [12]
+        for sb in range(1, n_sub):
+            if struct[start_subband + sb]:
+                n_bands -= 1
+                sizes[-1] += 12
+            else:
+                sizes.append(12)
+        return n_bands, sizes
+
+    def _coupling_strategy(self, b, st, blk):
+        fbw = st.fbw
+        if not st.eac3:
+            st.cpl_in_use[blk] = b.get(1)
+        if st.cpl_in_use[blk]:
+            if st.acmod < 2:
+                raise InvalidData("ac3: coupling in mono")
+            if st.eac3 and b.get(1):
+                raise NotSupported("eac3: enhanced coupling")
+            if st.eac3 and st.acmod == 2:
+                st.channel_in_cpl[1] = 1
+                st.channel_in_cpl[2] = 1
+            else:
+                for ch in range(1, fbw + 1):
+                    st.channel_in_cpl[ch] = b.get(1)
+            if st.acmod == 2:
+                st.phase_flags_in_use = b.get(1)
+            cpl_start = b.get(4)
+            if st.spx_in_use:
+                cpl_end = (st.spx_src_start_freq - 37) // 12
+            else:
+                cpl_end = b.get(4) + 3
+            if cpl_start >= cpl_end:
+                raise InvalidData("ac3: bad coupling range")
+            st.start_freq[CPL] = cpl_start * 12 + 37
+            st.end_freq[CPL] = cpl_end * 12 + 37
+            nb, sizes = self._decode_band_structure(
+                b, st, blk, st.eac3, cpl_start, cpl_end,
+                E.DEFAULT_CPL_BAND_STRUCT, st.cpl_band_struct)
+            st.cpl_band_sizes = sizes
+        else:
+            for ch in range(1, fbw + 1):
+                st.channel_in_cpl[ch] = 0
+                st.first_cpl_coords[ch] = 1
+            st.first_cpl_leak = st.eac3
+            st.phase_flags_in_use = 0
+
+    def _coupling_coordinates(self, b, st, blk):
+        coords_exist = False
+        for ch in range(1, st.fbw + 1):
+            if st.channel_in_cpl[ch]:
+                if (st.eac3 and st.first_cpl_coords[ch]) or b.get(1):
+                    st.first_cpl_coords[ch] = 0
+                    coords_exist = True
+                    master = 3 * b.get(2)
+                    for bnd in range(len(st.cpl_band_sizes)):
+                        cexp = b.get(4)
+                        cmant = b.get(4)
+                        if cexp == 15:
+                            v = cmant << 22
+                        else:
+                            v = (cmant + 16) << 21
+                        st.cpl_coords[ch][bnd] = v >> (cexp + master)
+                elif blk == 0:
+                    raise InvalidData("ac3: cpl coords missing")
+            else:
+                st.first_cpl_coords[ch] = 1
+        if st.acmod == 2 and coords_exist:
+            nb = len(st.cpl_band_sizes)
+            st.phase_flags = [b.get(1) if st.phase_flags_in_use else 0
+                              for _ in range(nb)]
+
+    # ---- spectral extension ------------------------------------------
+    def _spx_strategy(self, b, st, blk):
+        """SPX channel set + frequency ranges (ac3dec.c:705)."""
+        fbw = st.fbw
+        if st.acmod == 1:
+            st.channel_uses_spx[1] = 1
+        else:
+            bits = b.get(fbw)
+            for ch in range(fbw, 0, -1):
+                st.channel_uses_spx[ch] = bits & 1
+                bits >>= 1
+        dst_start = b.get(2)
+        start_subband = b.get(3) + 2
+        if start_subband > 7:
+            start_subband += start_subband - 7
+        end_subband = b.get(3) + 5
+        if end_subband > 7:
+            end_subband += end_subband - 7
+        dst_start = dst_start * 12 + 25
+        src_start = start_subband * 12 + 25
+        dst_end = end_subband * 12 + 25
+        if start_subband >= end_subband:
+            raise InvalidData("eac3: bad spx range")
+        if dst_start >= src_start:
+            raise InvalidData("eac3: bad spx copy start")
+        st.spx_dst_start_freq = dst_start
+        st.spx_src_start_freq = src_start
+        st.spx_dst_end_freq = dst_end
+        nb, sizes = self._decode_band_structure(
+            b, st, blk, True, start_subband, end_subband,
+            E.DEFAULT_SPX_BAND_STRUCT, st.spx_band_struct)
+        st.num_spx_bands = nb
+        st.spx_band_sizes = sizes
+
+    def _spx_coordinates(self, b, st):
+        """Per-channel SPX blending coordinates (ac3dec.c:766)."""
+        f32 = np.float32
+        for ch in range(1, st.fbw + 1):
+            if st.channel_uses_spx[ch]:
+                if st.first_spx_coords[ch] or b.get(1):
+                    st.first_spx_coords[ch] = 0
+                    spx_blend = f32(b.get(5)) * f32(1.0 / 32)
+                    master = b.get(2) * 3
+                    bin_ = st.spx_src_start_freq
+                    for bnd in range(st.num_spx_bands):
+                        bandsize = st.spx_band_sizes[bnd]
+                        nratio = f32(
+                            f32(bin_ + (bandsize >> 1)) /
+                            f32(st.spx_dst_end_freq)) - spx_blend
+                        nratio = min(max(nratio, f32(0.0)), f32(1.0))
+                        nblend = np.sqrt(f32(3.0) * nratio,
+                                         dtype=np.float32)
+                        sblend = np.sqrt(f32(1.0) - nratio,
+                                         dtype=np.float32)
+                        bin_ += bandsize
+                        exp = b.get(4)
+                        mant = b.get(2)
+                        if exp == 15:
+                            mant <<= 1
+                        else:
+                            mant += 4
+                        mant <<= 25 - exp - master
+                        coord = f32(mant) * f32(1.0 / (1 << 23))
+                        st.spx_noise_blend[ch][bnd] = nblend * coord
+                        st.spx_signal_blend[ch][bnd] = sblend * coord
+            else:
+                st.first_spx_coords[ch] = 1
+
+    def _apply_spx(self, st, xf):
+        """Copy low-band coefficients into the extension region, then
+        blend with noise per band (eac3dec.c:56)."""
+        f32 = np.float32
+        # copy-section mapping + wrap flags
+        wrapflag = [0] * len(st.spx_band_sizes)
+        wrapflag[0] = 1
+        copy_sizes = []
+        bin_ = st.spx_dst_start_freq
+        for bnd, bandsize in enumerate(st.spx_band_sizes):
+            if bin_ + bandsize > st.spx_src_start_freq:
+                copy_sizes.append(bin_ - st.spx_dst_start_freq)
+                bin_ = st.spx_dst_start_freq
+                wrapflag[bnd] = 1
+            i = 0
+            while i < bandsize:
+                if bin_ == st.spx_src_start_freq:
+                    copy_sizes.append(bin_ - st.spx_dst_start_freq)
+                    bin_ = st.spx_dst_start_freq
+                csize = min(bandsize - i, st.spx_src_start_freq - bin_)
+                bin_ += csize
+                i += csize
+        copy_sizes.append(bin_ - st.spx_dst_start_freq)
+        for ch in range(1, st.fbw + 1):
+            if not st.channel_uses_spx[ch]:
+                continue
+            row = xf[ch]
+            bin_ = st.spx_src_start_freq
+            for cs in copy_sizes:
+                row[bin_:bin_ + cs] = \
+                    row[st.spx_dst_start_freq:
+                        st.spx_dst_start_freq + cs]
+                bin_ += cs
+            # RMS energy per band (C float accumulation order)
+            rms = []
+            bin_ = st.spx_src_start_freq
+            for bandsize in st.spx_band_sizes:
+                accum = f32(0.0)
+                for i in range(bandsize):
+                    c = row[bin_ + i]
+                    accum = f32(accum + f32(c * c))
+                bin_ += bandsize
+                rms.append(np.sqrt(f32(accum / f32(bandsize)),
+                                   dtype=np.float32))
+            # notch filter at copy-region wrap points
+            if st.spx_atten_code[ch] >= 0:
+                atten = E.SPX_ATTEN_TAB[st.spx_atten_code[ch]]
+                bin_ = st.spx_src_start_freq - 2
+                for bnd, bandsize in enumerate(st.spx_band_sizes):
+                    if wrapflag[bnd]:
+                        row[bin_] *= atten[0]
+                        row[bin_ + 1] *= atten[1]
+                        row[bin_ + 2] *= atten[2]
+                        row[bin_ + 3] *= atten[1]
+                        row[bin_ + 4] *= atten[0]
+                    bin_ += bandsize
+            # noise-blended scaling
+            bin_ = st.spx_src_start_freq
+            for bnd, bandsize in enumerate(st.spx_band_sizes):
+                nscale = f32(st.spx_noise_blend[ch][bnd] * rms[bnd] *
+                             f32(1.0 / -2147483648.0))
+                sscale = st.spx_signal_blend[ch][bnd]
+                for i in range(bandsize):
+                    noise = f32(nscale * f32(self._dith.get_signed()))
+                    row[bin_] = f32(row[bin_] * sscale) + noise
+                    bin_ += 1
+
+    # ---- exponents / mantissas ---------------------------------------
     @staticmethod
     def _decode_exponents(b, strategy, ngrps, absexp, dexps, start):
         group_size = strategy + (strategy == EXP_D45)
@@ -527,6 +979,89 @@ class Ac3Decoder(Codec):
             for _ in range(group_size):
                 dexps[j] = prev
                 j += 1
+
+    def _coeffs_ch(self, b, st, blk, ch, coeffs, m):
+        """decode_transform_coeffs_ch: AHT channels take all 6 blocks
+        of pre-mantissas from block 0 (ac3dec.c:491)."""
+        if not st.channel_uses_aht[ch]:
+            self._decode_mantissas(b, st, ch, coeffs, m)
+        else:
+            if blk == 0:
+                self._decode_aht_ch(b, st, ch)
+            pm = st.pre_mantissa[ch]
+            exps = st.dexps[ch]
+            for bin_ in range(st.start_freq[ch], st.end_freq[ch]):
+                coeffs[bin_] = int(pm[bin_][blk]) >> int(exps[bin_])
+
+    def _decode_aht_ch(self, b, st, ch):
+        """AHT: GAQ gains + 6 pre-mantissas per bin, then a 6-point
+        IDCT over the block axis (eac3dec.c:195)."""
+        gaq_mode = b.get(2)
+        end_bap = 12 if gaq_mode < 2 else 17
+        bap = st.bap[ch]
+        gaq_gain = []
+        if gaq_mode in (1, 2):          # EAC3_GAQ_12 / _14
+            for bin_ in range(st.start_freq[ch], st.end_freq[ch]):
+                if 7 < bap[bin_] < end_bap:
+                    gaq_gain.append(b.get(1) << (gaq_mode - 1))
+        elif gaq_mode == 3:             # EAC3_GAQ_124
+            gc = 2
+            for bin_ in range(st.start_freq[ch], st.end_freq[ch]):
+                if 7 < bap[bin_] < 17:
+                    if gc == 2:
+                        code = min(b.get(5), 26)
+                        gaq_gain.extend(T.UNGROUP_3_IN_5[code])
+                        gc = 0
+                    else:
+                        gc += 1
+        # NOTE the reference's gc++ == 2 post-increment: gc counts 2,
+        # then resets to 0 and counts 0,1,2 → one group per 3 bins
+        pm = st.pre_mantissa[ch]
+        gs = 0
+        for bin_ in range(st.start_freq[ch], st.end_freq[ch]):
+            hebap = int(bap[bin_])
+            bits = E.BITS_VS_HEBAP[hebap]
+            row = [0] * 6
+            if hebap == 0:
+                for blk in range(6):
+                    row[blk] = (self._dith.get() & 0x7FFFFF) - 0x400000
+            elif hebap < 8:
+                v = b.get(bits)
+                vq = E.MANTISSA_VQ[hebap][v]
+                for blk in range(6):
+                    row[blk] = int(vq[blk]) << 8
+            else:
+                if gaq_mode != 0 and hebap < end_bap:
+                    log_gain = gaq_gain[gs]
+                    gs += 1
+                else:
+                    log_gain = 0
+                gbits = bits - log_gain
+                for blk in range(6):
+                    mant = b.get_signed(gbits)
+                    if log_gain and mant == -(1 << (gbits - 1)):
+                        # large mantissa
+                        mbits = bits - (2 - log_gain)
+                        mant = b.get_signed(mbits)
+                        mant = _i32((mant & 0xFFFFFFFF) <<
+                                    (23 - (mbits - 1)))
+                        if mant >= 0:
+                            bb = 1 << (23 - log_gain)
+                        else:
+                            bb = E.GAQ_REMAP_2_4_B[hebap - 8][
+                                log_gain - 1] << 8
+                        mant = _i32(mant + ((
+                            E.GAQ_REMAP_2_4_A[hebap - 8][log_gain - 1]
+                            * mant) >> 15) + bb)
+                    else:
+                        mant *= 1 << (24 - bits)
+                        if not log_gain:
+                            mant = _i32(mant + (
+                                (E.GAQ_REMAP_1[hebap - 8] * mant)
+                                >> 15))
+                    row[blk] = mant
+            _idct6(row)
+            pm[bin_] = row
 
     def _decode_mantissas(self, b, st, ch, coeffs, m):
         """A/52 §7.3 mantissa quantization (ac3dec.c:395)."""
@@ -592,29 +1127,42 @@ class Ac3Decoder(Codec):
             bin_ = band_end
 
 
+@register_decoder
+class Eac3Decoder(Ac3Decoder):
+    codec_id = "eac3"
+
+
 class _FrameState:
-    def __init__(self, channels, fbw, lfe_on, acmod, sr_code, sr_shift):
+    def __init__(self, channels, fbw, lfe_on, acmod, sr_code, sr_shift,
+                 eac3=False, num_blocks=6, frame_type=FT_AC3_CONVERT):
         self.channels = channels
         self.fbw = fbw
         self.lfe_on = lfe_on
         self.lfe_ch = fbw + 1
         self.acmod = acmod
         self.sr_shift = sr_shift
+        self.eac3 = eac3
+        self.num_blocks = num_blocks
+        self.frame_type = frame_type if eac3 else FT_AC3_CONVERT
         self.block_switch = [0] * (channels + 1)
         self.dither_flag = [0] * (channels + 1)
         self.dynrng = [1.0, 1.0]
-        self.cpl_in_use = 0
+        self.cpl_strategy_exists = [0] * num_blocks
+        self.cpl_in_use = [0] * num_blocks
         self.channel_in_cpl = {ch: 0 for ch in range(1, fbw + 1)}
         self.first_cpl_coords = {ch: 1 for ch in range(1, fbw + 1)}
         self.phase_flags_in_use = 0
         self.phase_flags = [0] * 18
         self.cpl_band_sizes = []
+        self.cpl_band_struct = [0] * 18
         self.cpl_coords = {ch: [0] * 18 for ch in range(1, fbw + 1)}
         self.num_rematrixing_bands = 0
         self.rematrixing_flags = []
         self.start_freq = {CPL: 0}
         self.end_freq = {CPL: 0}
         self.num_exp_groups = {}
+        self.exp_strategy = [[EXP_REUSE] * (channels + 1)
+                             for _ in range(max(num_blocks, 6))]
         self.dexps = {ch: np.zeros(256, np.int8)
                       for ch in range(0, channels + 1)}
         self.bap = {ch: np.zeros(256, np.uint8)
@@ -627,3 +1175,31 @@ class _FrameState:
                    "slow_decay": 0, "fast_decay": 0, "slow_gain": 0,
                    "db_per_bit": 0, "floor": 0,
                    "cpl_fast_leak": 0, "cpl_slow_leak": 0}
+        # syntax flags: AC-3 fixed values (ac3dec.c:209-217) replaced
+        # by the E-AC-3 frame header when eac3
+        self.snr_offset_strategy = 2
+        self.block_switch_syntax = 1
+        self.dither_flag_syntax = 1
+        self.bit_allocation_syntax = 1
+        self.fast_gain_syntax = 0
+        self.first_cpl_leak = 1 if eac3 else 0   # eac3dec.c:511
+        self.dba_syntax = 1
+        self.skip_syntax = 1
+        # E-AC-3 extensions
+        self.channel_uses_aht = {ch: 0 for ch in range(0, channels + 1)}
+        self.pre_mantissa = {ch: np.zeros((256, 6), np.int64)
+                             for ch in range(0, channels + 1)}
+        self.spx_in_use = 0
+        self.channel_uses_spx = {ch: 0 for ch in range(1, fbw + 1)}
+        self.first_spx_coords = {ch: 1 for ch in range(1, fbw + 1)}
+        self.spx_atten_code = {ch: -1 for ch in range(1, fbw + 1)}
+        self.spx_src_start_freq = 0
+        self.spx_dst_start_freq = 0
+        self.spx_dst_end_freq = 0
+        self.num_spx_bands = 0
+        self.spx_band_sizes = []
+        self.spx_band_struct = [0] * 17
+        self.spx_noise_blend = {ch: np.zeros(18, np.float32)
+                                for ch in range(1, fbw + 1)}
+        self.spx_signal_blend = {ch: np.zeros(18, np.float32)
+                                 for ch in range(1, fbw + 1)}
