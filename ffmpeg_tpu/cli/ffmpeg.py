@@ -259,6 +259,22 @@ _VENC_DEFAULT = {"yuv4mpegpipe": "rawvideo", "rawvideo": "rawvideo",
                  "md5": "rawvideo", "crc": "rawvideo", "null": "rawvideo",
                  "mjpeg": "mjpeg", "image2": "mjpeg", "avi": "mjpeg",
                  "gif": "gif"}
+def _default_vcodec(fmt_name, mux):
+    """ffmpeg guesses image2 codecs from the output extension
+    (ff_guess_image2_codec analog)."""
+    if fmt_name == "image2" and getattr(mux, "url", None):
+        from ..io.formats.img_mjpeg import Image2Demuxer
+        url = str(mux.url)
+        if "." in url:
+            ext = url.rsplit(".", 1)[-1].lower()
+            c = Image2Demuxer._CODEC_BY_EXT.get(ext)
+            if c:
+                return c
+    return _VENC_DEFAULT.get(fmt_name,
+                             getattr(mux, "default_video_codec", None)
+                             or "rawvideo")
+
+
 _AENC_DEFAULT = {"wav": "pcm_s16le", "s16le": "pcm_s16le",
                  "adts": "aac",
                  "f32le": "pcm_f32le", "framecrc": "pcm_s16le",
@@ -353,9 +369,7 @@ def _build_fc_chain(label, media_type, out, mux) -> dict:
                 "enc": None, "opts": {}}
     if is_video:
         ch["graph"] = parse_graph(_video_extra_graph(out))
-        ch["enc_name"] = out.vcodec or _VENC_DEFAULT.get(
-            fmt_name, getattr(mux, "default_video_codec", None)
-            or "rawvideo")
+        ch["enc_name"] = out.vcodec or _default_vcodec(fmt_name, mux)
         if out.quality is not None:
             ch["opts"]["quality"] = int(max(2, min(97,
                                                    100 - out.quality * 3)))
@@ -400,9 +414,7 @@ def _build_chain(st, out, mux) -> dict:
     elif is_video:
         ch["copy"] = False
         ch["graph"] = parse_graph(_video_extra_graph(out))
-        ch["enc_name"] = out.vcodec or _VENC_DEFAULT.get(
-            fmt_name, getattr(mux, "default_video_codec", None)
-            or "rawvideo")
+        ch["enc_name"] = out.vcodec or _default_vcodec(fmt_name, mux)
         ch["enc"] = None             # opened lazily on first frame
         ch["opts"] = {}
         if out.quality is not None:

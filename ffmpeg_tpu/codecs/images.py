@@ -175,3 +175,146 @@ class BmpEncoder(Codec):
                            2835, 2835, 0, 0)
         return [Packet(data=hdr + info + body, pts=frame.pts, dts=frame.pts,
                        flags=PKT_FLAG_KEY, time_base=frame.time_base)]
+
+
+def _qoi_hash(r, g, b, a):
+    return (r * 3 + g * 5 + b * 7 + a * 11) & 63
+
+
+@register_decoder
+class QoiDecoder(Codec):
+    """QOI image (reference: libavcodec/qoidec.c; format spec is
+    public domain — qoiformat.org)."""
+
+    codec_id = "qoi"
+    codec_type = MediaType.VIDEO
+
+    def decode(self, pkt: Optional[Packet]) -> List[Frame]:
+        if pkt is None or not pkt.data:
+            return []
+        d = bytes(pkt.data)
+        if len(d) < 20 or d[:4] != b"qoif":
+            raise InvalidData("qoi: bad header")
+        w, h = struct.unpack(">II", d[4:12])
+        channels = d[12]
+        if d[13] > 1:
+            raise InvalidData("qoi: bad colorspace")
+        if channels not in (3, 4):
+            raise InvalidData("qoi: bad channel count")
+        out = np.zeros((h * w, channels), np.uint8)
+        index = [(0, 0, 0, 0)] * 64
+        r = g = b = 0
+        a = 255
+        pos = 14
+        n = 0
+        run = 0
+        total = w * h
+        while n < total:
+            if run > 0:
+                run -= 1
+            elif len(d) - pos > 4:
+                chunk = d[pos]
+                pos += 1
+                if chunk == 0xFE:                   # QOI_OP_RGB
+                    r, g, b = d[pos], d[pos + 1], d[pos + 2]
+                    pos += 3
+                elif chunk == 0xFF:                 # QOI_OP_RGBA
+                    r, g, b, a = d[pos], d[pos + 1], d[pos + 2], d[pos + 3]
+                    pos += 4
+                elif chunk & 0xC0 == 0x00:          # QOI_OP_INDEX
+                    r, g, b, a = index[chunk]
+                elif chunk & 0xC0 == 0x40:          # QOI_OP_DIFF
+                    r = (r + ((chunk >> 4) & 3) - 2) & 255
+                    g = (g + ((chunk >> 2) & 3) - 2) & 255
+                    b = (b + (chunk & 3) - 2) & 255
+                elif chunk & 0xC0 == 0x80:          # QOI_OP_LUMA
+                    b2 = d[pos]
+                    pos += 1
+                    vg = (chunk & 0x3F) - 32
+                    r = (r + vg - 8 + ((b2 >> 4) & 0x0F)) & 255
+                    g = (g + vg) & 255
+                    b = (b + vg - 8 + (b2 & 0x0F)) & 255
+                else:                               # QOI_OP_RUN
+                    run = chunk & 0x3F
+                index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+            else:
+                break
+            out[n, 0] = r
+            out[n, 1] = g
+            out[n, 2] = b
+            if channels == 4:
+                out[n, 3] = a
+            n += 1
+        px = out.reshape(h, w, channels)
+        planes = [np.ascontiguousarray(px[:, :, i])
+                  for i in range(channels)]
+        fmt = "rgb24" if channels == 3 else "rgba"
+        return [Frame.video(w, h, fmt, planes=planes, pts=pkt.pts,
+                            time_base=pkt.time_base)]
+
+
+@register_encoder
+class QoiEncoder(Codec):
+    """QOI encoder (reference: libavcodec/qoienc.c op-choice order,
+    so output is byte-identical)."""
+
+    codec_id = "qoi"
+    codec_type = MediaType.VIDEO
+    is_encoder = True
+
+    def encode(self, frame: Optional[Frame]) -> List[Packet]:
+        if frame is None:
+            return []
+        if frame.format not in ("rgb24", "rgba"):
+            raise NotSupported("qoi enc: rgb24/rgba only")
+        channels = 3 if frame.format == "rgb24" else 4
+        w, h = frame.width, frame.height
+        px = np.stack([np.asarray(p) for p in frame.planes],
+                      -1).reshape(-1, channels)
+        if channels == 3:
+            px = np.concatenate(
+                [px, np.full((px.shape[0], 1), 255, np.uint8)], 1)
+        out = bytearray(b"qoif" + struct.pack(">II", w, h) +
+                        bytes([channels, 0]))
+        index = [(0, 0, 0, 0)] * 64
+        prev = (0, 0, 0, 255)
+        run = 0
+        for row in px:
+            cur = (int(row[0]), int(row[1]), int(row[2]), int(row[3]))
+            if cur == prev:
+                run += 1
+                if run == 62:
+                    out.append(0xC0 | (run - 1))
+                    run = 0
+                continue
+            if run > 0:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            ipos = _qoi_hash(*cur)
+            if index[ipos] == cur:
+                out.append(ipos)
+            else:
+                index[ipos] = cur
+                if cur[3] == prev[3]:
+                    vr = (cur[0] - prev[0] + 128) % 256 - 128
+                    vg = (cur[1] - prev[1] + 128) % 256 - 128
+                    vb = (cur[2] - prev[2] + 128) % 256 - 128
+                    vg_r = (vr - vg + 128) % 256 - 128
+                    vg_b = (vb - vg + 128) % 256 - 128
+                    if -3 < vr < 2 and -3 < vg < 2 and -3 < vb < 2:
+                        out.append(0x40 | (vr + 2) << 4 |
+                                   (vg + 2) << 2 | (vb + 2))
+                    elif -9 < vg_r < 8 and -33 < vg < 32 and \
+                            -9 < vg_b < 8:
+                        out.append(0x80 | (vg + 32))
+                        out.append((vg_r + 8) << 4 | (vg_b + 8))
+                    else:
+                        out += bytes((0xFE, cur[0], cur[1], cur[2]))
+                else:
+                    out += bytes((0xFF,) + cur)
+            prev = cur
+        if run:
+            out.append(0xC0 | (run - 1))
+        out += (1).to_bytes(8, "big")
+        return [Packet(data=bytes(out), pts=frame.pts, dts=frame.pts,
+                       flags=PKT_FLAG_KEY, time_base=frame.time_base)]

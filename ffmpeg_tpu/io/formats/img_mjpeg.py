@@ -131,10 +131,11 @@ class ImagePipeDemuxer(Demuxer):
     demuxers): png/bmp/ppm/pgm files open without -f image2."""
 
     name = "image_pipe"
-    extensions = ("png", "bmp", "ppm", "pgm")
+    extensions = ("png", "bmp", "ppm", "pgm", "qoi", "tif", "tiff")
 
     _SIGS = ((b"\x89PNG\r\n\x1a\n", "png"), (b"BM", "bmp"),
-             (b"P6", "ppm"), (b"P5", "pgm"))
+             (b"P6", "ppm"), (b"P5", "pgm"), (b"qoif", "qoi"),
+             (b"II*\x00", "tiff"), (b"MM\x00*", "tiff"))
 
     @classmethod
     def probe(cls, head: bytes, filename: str = "") -> int:
@@ -172,7 +173,8 @@ class Image2Muxer(Muxer):
     """Writes each packet as its own file (img-%03d.jpg patterns)."""
 
     name = "image2"
-    extensions = ("jpg", "jpeg", "png", "bmp", "ppm", "pgm")
+    extensions = ("jpg", "jpeg", "png", "bmp", "ppm", "pgm", "qoi",
+                  "tif", "tiff")
     default_video_codec = "mjpeg"
     interleave = False
     flags_no_file = True
