@@ -21,7 +21,18 @@ _TAG_TO_CODEC = {
     0x0055: "mp3",
     0x2000: "ac3",
     0x00FF: "aac",
+    0x0002: "adpcm_ms",
+    0x0011: "adpcm_ima_wav",
 }
+
+
+def _samples_per_block(codec_id, block_align, channels):
+    """ADPCM packet durations are in samples, not blocks."""
+    if codec_id == "adpcm_ima_wav":
+        return (block_align - 4 * channels) // channels * 2 + 1
+    if codec_id == "adpcm_ms":
+        return (block_align - 7 * channels) * 2 // channels + 2
+    return 1
 
 
 def _pcm_codec(tag: int, bits: int) -> str:
@@ -35,6 +46,7 @@ _CODEC_TO_TAG = {
     "pcm_u8": (0x0001, 8), "pcm_s16le": (0x0001, 16), "pcm_s24le": (0x0001, 24),
     "pcm_s32le": (0x0001, 32), "pcm_f32le": (0x0003, 32), "pcm_f64le": (0x0003, 64),
     "pcm_alaw": (0x0006, 8), "pcm_mulaw": (0x0007, 8),
+    "adpcm_ima_wav": (0x0011, 4), "adpcm_ms": (0x0002, 4),
 }
 
 
@@ -90,9 +102,14 @@ class WavDemuxer(Demuxer):
             sample_rate=rate, ch_layout=default_layout(channels),
             block_align=block_align or (channels * max(1, bits // 8)),
             bits_per_coded_sample=bits, bit_rate=byte_rate * 8)
+        if codec.startswith("adpcm") and len(fmt) > 18:
+            cb = struct.unpack("<H", fmt[16:18])[0]
+            par.extradata = fmt[18:18 + cb]
         st = self.add_stream(codecpar=par, time_base=Rational(1, rate))
+        self._spb = _samples_per_block(codec, par.block_align,
+                                       channels)
         if self._data_left > 0 and block_align:
-            st.duration = self._data_left // block_align
+            st.duration = self._data_left // block_align * self._spb
             self.duration = st.duration * 1000000 // rate
         self._pts = 0
         self._data_start = r.tell()
@@ -111,7 +128,7 @@ class WavDemuxer(Demuxer):
             raise EndOfStream()
         if self._data_left > 0:
             self._data_left -= len(data)
-        n = len(data) // ba if ba else 0
+        n = (len(data) // ba if ba else 0) * self._spb
         pkt = Packet(data=data, pts=self._pts, dts=self._pts,
                      duration=n, stream_index=0, flags=PKT_FLAG_KEY,
                      time_base=st.time_base)
@@ -124,11 +141,12 @@ class WavDemuxer(Demuxer):
         if not self.r.seekable:
             raise InvalidData("wav: stream not seekable")
         ba = self.streams[0].codecpar.block_align or 1
-        off = max(0, ts) * ba
+        off = max(0, ts) // self._spb * ba if self._spb > 1 \
+            else max(0, ts) * ba
         if self._data_size > 0:
             off = min(off, self._data_size)
         self.r.seek(self._data_start + off)
-        self._pts = off // ba
+        self._pts = off // ba * self._spb
         if self._data_size > 0:
             self._data_left = self._data_size - off
 
@@ -147,20 +165,33 @@ class WavMuxer(Muxer):
             raise InvalidData(f"wav: cannot mux codec {par.codec_id}")
         tag, bits = _CODEC_TO_TAG[par.codec_id]
         ch = par.channels
-        ba = ch * bits // 8
+        if par.codec_id.startswith("adpcm"):
+            ba = par.block_align
+            ed = bytes(par.extradata or b"")
+            byte_rate = par.sample_rate * ba // max(
+                _samples_per_block(par.codec_id, ba, ch), 1)
+        else:
+            ba = ch * bits // 8
+            ed = b""
+            byte_rate = par.sample_rate * ba
         w = self.w
         w.tag("RIFF")
         self._riff_size_pos = w.tell()
         w.wl32(0)                      # patched in trailer
         w.tag("WAVE")
         w.tag("fmt ")
-        w.wl32(16)
+        w.wl32(16 if not ed and not par.codec_id.startswith("adpcm")
+               else 18 + len(ed))
         w.wl16(tag)
         w.wl16(ch)
         w.wl32(par.sample_rate)
-        w.wl32(par.sample_rate * ba)
+        w.wl32(byte_rate)
         w.wl16(ba)
         w.wl16(bits)
+        if ed or par.codec_id.startswith("adpcm"):
+            w.wl16(len(ed))
+            if ed:
+                w.write(ed)
         w.tag("data")
         self._data_size_pos = w.tell()
         w.wl32(0)
