@@ -17,6 +17,6 @@ test -f ffmpeg && exit 0
  --enable-decoder=wrapped_avframe,mjpeg,mpeg2video,mpeg4,prores,dnxhd,ffv1,flac,aac,pcm_s16le,pcm_s16be,pcm_f32le,png,rawvideo,h264,hevc,vp8,vp9,mpeg1video,mp3,vorbis,opus,ac3,msmpeg4v3,h263,gif,mp2,webp,eac3,qoi,tiff,adpcm_ima_wav,adpcm_ms,ssa,subrip \
  --enable-parser=h264,hevc,mjpeg,mpegvideo,mpeg4video,aac,flac,mpegaudio,vp8,vp9,png,gif \
  --enable-bsf=h264_mp4toannexb,hevc_mp4toannexb,extract_extradata,null \
- --enable-filter=scale,aresample,testsrc,testsrc2,sine,color,anull,null,format,aformat,fps,crop,pad,psnr,ssim,anoisesrc,mandelbrot,volume,atrim,trim,setpts,asetpts,split,asplit,hflip,vflip,overlay,amix,transpose,negate,amerge \
+ --enable-filter=scale,aresample,testsrc,testsrc2,sine,color,anull,null,format,aformat,fps,crop,pad,psnr,ssim,anoisesrc,mandelbrot,volume,atrim,trim,setpts,asetpts,split,asplit,hflip,vflip,overlay,amix,transpose,negate,amerge,fillborders,colorbalance,colorchannelmixer,lutyuv,lutrgb,hstack,vstack,tile,extractplanes,shuffleplanes,dilation,erosion,median,sobel,prewitt,tpad,loop,reverse,setsar,setdar,chromakey,colorkey,limiter,maskedmerge,deflate,inflate,afade,apad,tremolo,vibrato,extrastereo,crystalizer,stereowiden,channelmap,join,channelsplit,pan,eq,hue,drawbox,boxblur,unsharp,fade,gblur,avgblur,edgedetect \
  --enable-ffprobe
 make -j"$(nproc)"
