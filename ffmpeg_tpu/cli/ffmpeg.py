@@ -444,7 +444,9 @@ def transcode(o: CliOptions) -> None:
 
     # -filter_complex graphs: bind input labels to streams, collect
     # output labels with their media types
-    fc_in: Dict[str, tuple] = {}       # label → (graph, stream idx)
+    fc_in: List[tuple] = []            # (label, graph, stream idx) —
+    # a list, not a dict: several graphs may legally consume the same
+    # input label (e.g. two -filter_complex both reading [0:v])
     fc_out: Dict[str, tuple] = {}      # label → (graph, media type)
     fc_graphs = []
     for txt in o.filter_complex:
@@ -452,7 +454,7 @@ def transcode(o: CliOptions) -> None:
         fc_graphs.append(g)
         for lbl in g.inputs:
             st = _resolve_fc_input(demux, lbl)
-            fc_in[lbl] = (g, st.index)
+            fc_in.append((lbl, g, st.index))
         for lbl, node in g.outputs.items():
             fc_out[lbl] = (g, node.filter.media_type)
 
@@ -487,7 +489,7 @@ def transcode(o: CliOptions) -> None:
             if not ch["copy"] and st.index not in decoders:
                 decoders[st.index] = CodecContext.open_decoder(st.codecpar)
             chains.append(ch)
-    for lbl, (g, sidx) in fc_in.items():
+    for lbl, g, sidx in fc_in:
         if sidx not in decoders:
             decoders[sidx] = CodecContext.open_decoder(
                 demux.streams[sidx].codecpar)
@@ -596,7 +598,7 @@ def transcode(o: CliOptions) -> None:
             targets = [c for c in chains
                        if c["in_st"] is not None
                        and c["in_st"].index == pkt.stream_index]
-            fc_feeds = [(lbl, g) for lbl, (g, sidx) in fc_in.items()
+            fc_feeds = [(lbl, g) for lbl, g, sidx in fc_in
                         if sidx == pkt.stream_index]
             if not targets and not fc_feeds:
                 continue
@@ -655,25 +657,29 @@ def transcode(o: CliOptions) -> None:
             # (chains without limits run to EOF)
             if chains and all(c["done"] for c in chains):
                 break
-        # drain
-        for lbl, (g, sidx) in fc_in.items():
-            idx = sidx
-            if idx in decoders:
-                dec = decoders[idx]
-                # decoder tails are drained below for mapped chains;
-                # for fc-only streams, drain here
-                if not any(c["in_st"] is not None
-                           and c["in_st"].index == idx and not c["copy"]
-                           for c in chains):
+        # drain: flush each shared decoder ONCE, then fan its tail
+        # frames out to both the fc graph inputs and the directly-mapped
+        # chains (a stream may feed both; B-frame reorder tails must
+        # reach every consumer)
+        tails: Dict[int, list] = {}
+
+        def drain_decoder(idx):
+            if idx not in tails:
+                frames = []
+                if idx in decoders:
+                    dec = decoders[idx]
                     dec.send_packet(None)
-                    tail = []
                     while True:
                         try:
-                            tail.append(dec.receive_frame())
+                            frames.append(dec.receive_frame())
                         except (EndOfStream, TryAgain):
                             break
-                    for f in tail:
-                        g.feed(f, lbl)
+                tails[idx] = frames
+            return tails[idx]
+
+        for lbl, g, sidx in fc_in:
+            for f in drain_decoder(sidx):
+                g.feed(f, lbl)
             g.feed_eof(lbl)
         drain_fc_chains()
         for ch in chains:
@@ -682,25 +688,10 @@ def transcode(o: CliOptions) -> None:
                 for of in ch["graph"].pull():
                     emit_frame(ch, of)
                 emit_frame(ch, None)
-        drained = set()
         for ch in chains:
             if ch["copy"] or ch["in_st"] is None:
                 continue
-            idx = ch["in_st"].index
-            if idx not in drained:
-                drained.add(idx)
-                dec = decoders[idx]
-                dec.send_packet(None)
-                frames = []
-                while True:
-                    try:
-                        frames.append(dec.receive_frame())
-                    except (EndOfStream, TryAgain):
-                        break
-                for other in chains:
-                    if not other["copy"] and other["in_st"].index == idx:
-                        other["_tail"] = frames
-            run_frames(ch, ch.pop("_tail", []))
+            run_frames(ch, drain_decoder(ch["in_st"].index))
             ch["graph"].feed_eof()
             for of in ch["graph"].pull():
                 emit_frame(ch, of)

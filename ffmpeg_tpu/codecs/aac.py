@@ -274,17 +274,21 @@ class AacDecoder(Codec):
             if key[0] == "cpe" and key[2] == "r":
                 continue                  # handled with the pair
             elem_key = (key[0], key[1])
-            ctx = getattr(self, "_sbr", {}).get(elem_key)
+            if not hasattr(self, "_sbr"):
+                self._sbr = {}
+            ctx = self._sbr.get(elem_key)
+            if ctx is None:
+                # element without its own SBR data in an SBR stream:
+                # still run it through the QMF analysis/synthesis banks
+                # (SBRContext with no header decoded = zero high band =
+                # clean interpolating 2x upsample), matching the
+                # reference's sbr_apply on non-SBR elements
+                # (libavcodec/aacsbr_template.c ff_aac_sbr_apply).
+                from .aacsbr import SBRContext
+                ctx = self._sbr[elem_key] = SBRContext(self.sample_rate)
             nch = 2 if key[0] == "cpe" else 1
             chans = [pcm[idx + c] for c in range(nch)]
-            if ctx is not None:
-                out.extend(ctx.apply(key[0], chans))
-            else:
-                # element without SBR in an SBR stream: plain 2x
-                for c in chans:
-                    up = np.zeros(2048)
-                    up[::2] = c
-                    out.append(up)
+            out.extend(ctx.apply(key[0], chans))
             idx += nch
         return np.stack(out), self.sample_rate * 2, 2048
 

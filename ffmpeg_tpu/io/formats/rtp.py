@@ -322,8 +322,9 @@ class SdpDemuxer(Demuxer):
         medias = parse_sdp(text)
         if not medias:
             raise InvalidData("sdp: no media sections")
-        if any(m["enc"] == "MP2T" for m in medias):
-            self._read_mpegts(medias[0])
+        mp2t = next((m for m in medias if m["enc"] == "MP2T"), None)
+        if mp2t is not None:
+            self._read_mpegts(mp2t)
             return
         self._inner = None
         self._socks = []

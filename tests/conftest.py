@@ -22,6 +22,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import numpy as np
 import pytest
 
 REPO = Path(__file__).resolve().parent.parent
@@ -50,3 +51,75 @@ def ref_ffmpeg():
 
 requires_ref = pytest.mark.skipif(
     not have_ref(), reason="reference ffmpeg not built")
+
+
+def own_y4m_clip(path, size=(128, 96), nframes=5):
+    """Oracle-less fallback: generate a y4m clip with our own testsrc +
+    scaler + y4m muxer (fixtures must not hard-require the reference)."""
+    from ffmpeg_tpu.filters import get_filter
+    from ffmpeg_tpu.io import open_output
+    from ffmpeg_tpu.scale.swscale import scale_frame
+    from ffmpeg_tpu.io.stream import CodecParameters, MediaType
+    from ffmpeg_tpu.utils.rational import Rational
+
+    w, h = size
+    m = open_output(str(path), format="yuv4mpegpipe")
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="rawvideo",
+                          width=w, height=h, pix_fmt="yuv420p",
+                          framerate=Rational(25, 1))
+    m.add_stream(par, time_base=Rational(1, 25))
+    from ffmpeg_tpu.core.packet import Packet
+    for fr in get_filter("testsrc")(f"size={w}x{h}").generate(nframes):
+        yuv = scale_frame(fr, w, h, "yuv420p")
+        data = b"".join(np.ascontiguousarray(p).tobytes() for p in yuv.planes)
+        m.write_packet(Packet(data=data, pts=fr.pts, dts=fr.pts,
+                              stream_index=0, duration=1))
+    m.write_trailer()
+    m.close()
+    return path
+
+
+def own_avi_clip(path, size=(160, 120)):
+    """Oracle-less fallback: mjpeg+pcm_s16le AVI via our own encoder/muxer."""
+    from ffmpeg_tpu.codecs import CodecContext
+    from ffmpeg_tpu.filters import get_filter
+    from ffmpeg_tpu.io import open_output
+    from ffmpeg_tpu.scale.swscale import scale_frame
+    from ffmpeg_tpu.io.stream import CodecParameters, MediaType
+    from ffmpeg_tpu.utils.rational import Rational
+
+    w, h = size
+    m = open_output(str(path), format="avi")
+    from ffmpeg_tpu.formats.channel_layout import default_layout
+    vpar = CodecParameters(codec_type=MediaType.VIDEO, codec_id="mjpeg",
+                           width=w, height=h, pix_fmt="yuvj420p",
+                           framerate=Rational(25, 1))
+    apar = CodecParameters(codec_type=MediaType.AUDIO, codec_id="pcm_s16le",
+                           sample_rate=44100, sample_fmt="s16",
+                           ch_layout=default_layout(1), block_align=2,
+                           bits_per_coded_sample=16)
+    m.add_stream(vpar, time_base=Rational(1, 25))
+    m.add_stream(apar, time_base=Rational(1, 44100))
+    enc = CodecContext.open_encoder(vpar, options={"quality": 90})
+    from ffmpeg_tpu.core.packet import Packet
+    pkts = []
+    for fr in get_filter("testsrc")(f"size={w}x{h}").generate(25):
+        yuv = scale_frame(fr, w, h, "yuv420p", dst_range=True)
+        enc.send_frame(yuv)
+        pkt = enc.receive_packet()
+        pkt.stream_index = 0
+        pkt.pts = pkt.dts = fr.pts
+        pkt.duration = 1
+        pkts.append((fr.pts / 25.0, 0, pkt))
+    for i, fr in enumerate(get_filter("sine")(
+            "frequency=440:sample_rate=44100").generate(43)):
+        pcm = np.clip(np.asarray(fr.planes[0]).reshape(-1) * 32767,
+                      -32768, 32767).astype("<i2").tobytes()
+        pkts.append((fr.pts / 44100.0, 1,
+                     Packet(data=pcm, pts=fr.pts, dts=fr.pts,
+                            stream_index=1, duration=1024)))
+    for _, _, pkt in sorted(pkts, key=lambda t: (t[0], t[1])):
+        m.write_packet(pkt)
+    m.write_trailer()
+    m.close()
+    return path

@@ -16,13 +16,17 @@ from ffmpeg_tpu.io import open_input, open_output
 @pytest.fixture
 def avi_file(tmp_path):
     p = tmp_path / "t.avi"
-    subprocess.run([str(refutil.REF), "-v", "error",
-                    "-f", "lavfi", "-i", "testsrc2=size=160x120:rate=25",
-                    "-f", "lavfi", "-i", "sine=frequency=440:sample_rate=44100",
-                    "-t", "1", "-c:v", "mjpeg", "-q:v", "3",
-                    "-pix_fmt", "yuvj420p", "-c:a", "pcm_s16le",
-                    "-y", str(p)], check=True, capture_output=True)
-    return p
+    if refutil.REF.exists():
+        subprocess.run(
+            [str(refutil.REF), "-v", "error",
+             "-f", "lavfi", "-i", "testsrc2=size=160x120:rate=25",
+             "-f", "lavfi", "-i", "sine=frequency=440:sample_rate=44100",
+             "-t", "1", "-c:v", "mjpeg", "-q:v", "3",
+             "-pix_fmt", "yuvj420p", "-c:a", "pcm_s16le",
+             "-y", str(p)], check=True, capture_output=True)
+        return p
+    from conftest import own_avi_clip
+    return own_avi_clip(p)
 
 
 @requires_ref

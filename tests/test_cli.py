@@ -15,11 +15,15 @@ from ffmpeg_tpu.cli.ffprobe import main as probe_main
 @pytest.fixture
 def y4m_clip(tmp_path):
     p = tmp_path / "in.y4m"
-    data = refutil.run(["-f", "lavfi", "-i", "testsrc2=size=128x96:rate=25",
-                        "-frames:v", "5", "-pix_fmt", "yuv420p",
-                        "-f", "yuv4mpegpipe", "-"])
-    p.write_bytes(data)
-    return p
+    if refutil.REF.exists():
+        data = refutil.run(["-f", "lavfi", "-i",
+                            "testsrc2=size=128x96:rate=25",
+                            "-frames:v", "5", "-pix_fmt", "yuv420p",
+                            "-f", "yuv4mpegpipe", "-"])
+        p.write_bytes(data)
+        return p
+    from conftest import own_y4m_clip
+    return own_y4m_clip(p)
 
 
 @requires_ref

@@ -84,3 +84,15 @@ def test_fc_two_outputs(tmp_path):
     args = ["-i", str(src), "-filter_complex", g,
             "-map", "[outv]", "-map", "[outa]"]
     assert _crc_rows(_ours(args)) == _crc_rows(_ref(args))
+
+
+@requires_ref
+def test_fc_two_graphs_same_input_label(tmp_path):
+    """Two separate -filter_complex graphs both consuming [0:v] (legal in
+    the reference CLI): each must be fed the stream independently."""
+    src = _make_src(tmp_path)
+    args = ["-i", str(src),
+            "-filter_complex", "[0:v]crop=96:64:0:0[a]",
+            "-filter_complex", "[0:v]hflip[b]",
+            "-map", "[a]", "-map", "[b]"]
+    assert _crc_rows(_ours(args)) == _crc_rows(_ref(args))
