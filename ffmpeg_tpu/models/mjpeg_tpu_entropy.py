@@ -22,7 +22,8 @@ from dataclasses import dataclass
 import numpy as np
 
 from .. import native
-from ..ops.huffman import build_jpeg_luts9, jpeg_scan_decode9
+from ..ops.huffman import (build_jpeg_luts9, jpeg_scan_decode9,
+                           jpeg_scan_decode9_pl)
 from ..ops.idct import jpeg_plane_reconstruct
 from ..scale.ops import compile_ops
 from ..scale.swscale import ScaleSpec, build_ops
@@ -45,8 +46,7 @@ class TpuEntropySpec:
         return -(-self.width // 16), -(-self.height // 16)
 
 
-def _build_program(spec: TpuEntropySpec, luts9: np.ndarray,
-                   qy: np.ndarray, qc: np.ndarray):
+def _build_program(spec: TpuEntropySpec, qy: np.ndarray, qc: np.ndarray):
     import jax
     import jax.numpy as jnp
 
@@ -57,7 +57,6 @@ def _build_program(spec: TpuEntropySpec, luts9: np.ndarray,
     KLONG = max(256, L // spec.long_frac)
     W, H = spec.width, spec.height
     ly, lx = mcus_y * 2, mcus_x * 2
-    lut = jnp.asarray(luts9)
     qyd = jnp.asarray(qy)
     qcd = jnp.asarray(qc)
     scale_fn = compile_ops(build_ops(ScaleSpec(
@@ -65,9 +64,22 @@ def _build_program(spec: TpuEntropySpec, luts9: np.ndarray,
         dst_w=spec.out_w, dst_h=spec.out_h, dst_fmt=spec.out_fmt,
         filter=spec.filter, src_range=True, src_chroma_loc="center")))
 
-    def run(rows):
-        """rows: (L, stride) uint8 destuffed segments."""
-        out = jpeg_scan_decode9(rows, jnp.ones(L, bool), lut)
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+
+    def run(rows, lens, luts):
+        """rows (L, stride) u8 destuffed segments; lens (L,) i32;
+        luts (B, 512, 12) i8 per-frame tables (DHTs may vary, e.g.
+        huffman=optimal re-derives tables every frame)."""
+        if on_tpu:
+            # Pallas kernel: state + output resident in VMEM, lanes
+            # sorted by length into uniform per-frame blocks
+            # (see ops/huffman.py jpeg_scan_decode9_pl)
+            out = jpeg_scan_decode9_pl(rows, lens, luts)
+        else:
+            outs = [jpeg_scan_decode9(rows[b * nmcu:(b + 1) * nmcu],
+                                      jnp.ones(nmcu, bool), luts[b])
+                    for b in range(B)]
+            out = jnp.concatenate(outs)
         out = out.reshape(B, mcus_y, mcus_x, 6, 64)
         ycf = out[:, :, :, :4].reshape(B, mcus_y, mcus_x, 2, 2, 64) \
             .transpose(0, 1, 3, 2, 4, 5).reshape(B, ly, lx, 64)
@@ -91,22 +103,27 @@ class MjpegTpuEntropyPipeline:
         self._State = _JpegState
         st = _JpegState()
         _parse_until_scan(first_packet, st)
-        qy = st.qtabs[st.components[0].q_idx].astype(np.int32)
-        qc = st.qtabs[st.components[1].q_idx].astype(np.int32)
-        self.fn, self.klong = _build_program(
-            spec, build_jpeg_luts9(st), qy, qc)
+        self._qy = st.qtabs[st.components[0].q_idx].astype(np.int32)
+        self._qc = st.qtabs[st.components[1].q_idx].astype(np.int32)
+        self.fn, self.klong = _build_program(spec, self._qy, self._qc)
         self.lib = native.get()
         mcus_x, mcus_y = spec.mcus
         self.nmcu = mcus_x * mcus_y
         L = spec.batch * self.nmcu
         self.rows = np.zeros((L, spec.stride), np.uint8)
         self.lens = np.zeros(L, np.int32)
+        self.luts = np.zeros((spec.batch, 512, 12), np.int8)
 
     def prep_frame(self, data: bytes, slot: int) -> None:
         """Host work for one frame: headers + destuff/split into the
         batch buffer row range [slot*nmcu, (slot+1)*nmcu)."""
         st = self._State()
         off, _ = self._parse(data, st)
+        qy = st.qtabs[st.components[0].q_idx].astype(np.int32)
+        if not np.array_equal(qy, self._qy):
+            raise ValueError("mjpeg_tpu_entropy: quant tables changed "
+                             "mid-stream (rebuild the pipeline)")
+        self.luts[slot] = build_jpeg_luts9(st)
         scan = data[off:]
         base = slot * self.nmcu
         n = self.lib.mjpeg_split_segments_strided(
@@ -122,4 +139,6 @@ class MjpegTpuEntropyPipeline:
     def run_batch(self):
         """Decode the prepared batch; returns device output planes."""
         import jax
-        return self.fn(jax.device_put(self.rows))
+        return self.fn(jax.device_put(self.rows),
+                       jax.device_put(self.lens),
+                       jax.device_put(self.luts))

@@ -283,3 +283,199 @@ def jpeg_scan_decode(buf, bitpos0, valid, luts, blocks_per_seg: int = 6,
             jnp.zeros(L * NBLK * 64, np.int32))
     *_, out = jax.lax.while_loop(cond, body, init)
     return out.reshape(L, NBLK, 64)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel variant
+# ---------------------------------------------------------------------------
+
+NL_PL = 1024          # lanes per kernel block: 8 sublanes x 128 VPU lanes
+
+
+def _make_pl_kernel(stride: int, max_iter: int, nblk: int):
+    """Kernel factory for jpeg_scan_decode9_pl.
+
+    All decode state lives in VMEM for a block of 1024 segments laid
+    out as an (8, 128) lane tile, so each while-loop iteration decodes
+    one Huffman symbol on every lane with zero HBM traffic: the 32-bit
+    window read is a masked reduction over the (S, 8, 128) byte-window
+    scratch, the (run,size,len) lookup is a 512-wide one-hot int8
+    matmul on the MXU, and coefficient emission is a one-hot
+    accumulate into the (8, 128, nblk*64) output tile. Iterations per
+    block = max symbols over its 1024 lanes, which is why callers sort
+    lanes by segment length first (uniform blocks exit early).
+
+    Sequential semantics being vectorized: libavcodec/mjpegdec.c
+    decode_block / ITU T.81 F.2.2 (same as jpeg_scan_decode9).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    S = stride
+    NCOEF = nblk * 64
+    CHUNK = 8              # body steps per while-loop condition check
+
+    def kernel(rows_ref, end_ref, lut_ref, out_ref, rows32_ref):
+        # rows_ref (1,S,8,128) u8; end_ref (1,8,128) i32;
+        # lut_ref (1,512,16) i8 (this block's frame); out_ref
+        # (1,8,128,NCOEF) i16; rows32_ref scratch (S,8,128) i32
+        lut_const = lut_ref[0]
+        r = rows_ref[0].astype(jnp.int32)
+        r1 = pltpu.roll(r, S - 1, 0)
+        r2 = pltpu.roll(r, S - 2, 0)
+        r3 = pltpu.roll(r, S - 3, 0)
+        rows32_ref[:] = (r << 24) | (r1 << 16) | (r2 << 8) | r3
+        end = end_ref[0]
+        out_ref[0] = jnp.zeros((8, 128, NCOEF), jnp.int16)
+
+        def cond(c):
+            it, cur, blk, k, p0, p1, p2 = c
+            return (it < max_iter) & jnp.any(blk < end)
+
+        def body(c):
+            it, cur, blk, k, p0, p1, p2 = c
+            done = blk >= end
+            cb = jnp.clip(cur >> 3, 0, S - 1)
+            pos_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 8, 128), 0)
+            w32 = jnp.sum(jnp.where(pos_iota == cb[None],
+                                    rows32_ref[:], 0), axis=0)
+            sh = cur & 7
+            look9 = (w32 >> (23 - sh)) & 0x1FF
+            oh_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 512), 2)
+            oh = (oh_iota == look9[..., None]).astype(jnp.int8)
+            res = jax.lax.dot_general(
+                oh, lut_const, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)        # (8,128,16)
+            b6 = jnp.clip(blk, 0, nblk - 1) % 6
+            comp = (b6 >= 4).astype(jnp.int32) + (b6 >= 5)
+            is_dc = k < 0
+            sel = jnp.where(is_dc, 0, 2) + (comp > 0)
+
+            def pick(col0):
+                return jnp.where(
+                    sel == 0, res[..., col0],
+                    jnp.where(sel == 1, res[..., col0 + 3],
+                              jnp.where(sel == 2, res[..., col0 + 6],
+                                        res[..., col0 + 9])))
+
+            ln = pick(0)
+            run = pick(1)
+            sz = pick(2)
+            mag = (w32 >> (32 - sh - ln - sz)) & ((1 << sz) - 1)
+            half = (1 << sz) >> 1
+            val = jnp.where((sz > 0) & (mag < half),
+                            mag - (1 << sz) + 1, mag)
+            cur = jnp.where(done, cur, cur + ln + sz)
+            predc = jnp.where(comp == 0, p0,
+                              jnp.where(comp == 1, p1, p2))
+            pred_new = predc + val
+            coef_val = jnp.where(is_dc, pred_new, val)
+            pos = jnp.where(is_dc, 0, k + run)
+            eob = (~is_dc) & (sz == 0) & (run == 0)
+            zrl = (~is_dc) & (sz == 0) & (run == 15)
+            write = (is_dc | (sz > 0)) & (~done) & (pos < 64)
+            slot = jnp.clip(blk, 0, nblk - 1) * 64 + jnp.clip(pos, 0, 63)
+            wslot = jnp.where(write, slot, NCOEF)
+            emit_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (8, 128, NCOEF), 2)
+            emit = jnp.where(emit_iota == wslot[..., None],
+                             coef_val[..., None], 0).astype(jnp.int16)
+            out_ref[0] += emit
+            upd = is_dc & (~done)
+            p0 = jnp.where(upd & (comp == 0), pred_new, p0)
+            p1 = jnp.where(upd & (comp == 1), pred_new, p1)
+            p2 = jnp.where(upd & (comp == 2), pred_new, p2)
+            k_new = jnp.where(is_dc, 1, jnp.where(zrl, k + 16, pos + 1))
+            bdone = (~is_dc) & (eob | (k_new >= 64))
+            blk = jnp.where((~done) & bdone, blk + 1, blk)
+            k = jnp.where(done, k, jnp.where(bdone, -1, k_new))
+            return (it + 1, cur, blk, k, p0, p1, p2)
+
+        def chunk_body(c):
+            for _ in range(CHUNK):
+                c = body(c)
+            return c
+
+        z = jnp.zeros((8, 128), jnp.int32)
+        jax.lax.while_loop(cond, chunk_body,
+                           (jnp.int32(0), z, z, z - 1, z, z, z))
+
+    return kernel
+
+
+def jpeg_scan_decode9_pl(rows, lens, lut9, blocks_per_seg: int = 6,
+                         max_iter: int = 0, interpret: bool = False):
+    """Pallas-TPU segment-parallel scan decode (traceable).
+
+    rows: (L, S) uint8 strided destuffed segments; lens: (L,) int32
+    segment byte lengths (used to sort lanes into uniform-length kernel
+    blocks; 0 marks an invalid/padding lane); lut9: (512, 12) int8 from
+    build_jpeg_luts9, or (F, 512, 12) per-frame tables with L divisible
+    by F (frames then never share a kernel block and each block reads
+    its own frame's table — DHTs may differ per frame, e.g. our
+    encoder's huffman=optimal). Returns (L, blocks_per_seg, 64) int32,
+    same contract as jpeg_scan_decode9.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, S = rows.shape
+    NBLK = blocks_per_seg
+    NCOEF = NBLK * 64
+    if max_iter <= 0:
+        max_iter = S * 8              # >= 1 bit per symbol: safe bound
+
+    lut9 = jnp.asarray(lut9, jnp.int8)
+    if lut9.ndim == 2:
+        lut9 = lut9[None]
+    F = lut9.shape[0]
+    if L % F:
+        raise ValueError("jpeg_scan_decode9_pl: L not divisible by F")
+    npf = L // F                       # lanes per frame
+    bpf = -(-npf // NL_PL)             # kernel blocks per frame
+    npf_p = bpf * NL_PL
+    nb = F * bpf
+
+    lens = jnp.asarray(lens, jnp.int32).reshape(F, npf)
+    rows = jnp.asarray(rows).reshape(F, npf, S)
+    if npf_p != npf:
+        rows = jnp.pad(rows, ((0, 0), (0, npf_p - npf), (0, 0)))
+        lens = jnp.pad(lens, ((0, 0), (0, npf_p - npf)))
+    # sort lanes by length (descending) WITHIN each frame so every
+    # 1024-lane block is near-uniform; padding lanes (len 0) sort last
+    perm = jnp.argsort(-lens, axis=1)
+    rows_s = jnp.take_along_axis(rows, perm[:, :, None], axis=1)
+    end_s = jnp.where(jnp.take_along_axis(lens, perm, axis=1) > 0,
+                      NBLK, 0).astype(jnp.int32)
+
+    r4 = rows_s.reshape(nb, 8, 128, S).transpose(0, 3, 1, 2)
+    e3 = end_s.reshape(nb, 8, 128)
+    lutpad = jnp.zeros((F, 512, 16), jnp.int8).at[:, :, :12].set(lut9)
+    kernel = _make_pl_kernel(S, max_iter, NBLK)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, S, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 512, 16), lambda i: (i // bpf, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, 128, NCOEF),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, 8, 128, NCOEF), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((S, 8, 128), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(r4, e3, lutpad)
+    out = out.reshape(F, npf_p, NCOEF)
+    inv = jnp.argsort(perm, axis=1)
+    out = jnp.take_along_axis(out, inv[:, :, None], axis=1)[:, :npf]
+    return out.astype(jnp.int32).reshape(L, NBLK, 64)

@@ -205,3 +205,56 @@ def test_device_huffman_matches_host(w, h, quality, ri):
     np.testing.assert_array_equal(got_y, ys.astype(np.int32))
     np.testing.assert_array_equal(got_u, us.astype(np.int32))
     np.testing.assert_array_equal(got_v, vs.astype(np.int32))
+
+
+def test_pallas_scan_decode_interpret_matches_xla():
+    """jpeg_scan_decode9_pl (the Pallas TPU kernel, run in interpreter
+    mode on CPU) must agree with the XLA jpeg_scan_decode9 path,
+    including per-frame Huffman tables and the length-sorted lanes."""
+    import jax
+    import jax.numpy as jnp
+    from ffmpeg_tpu.ops.huffman import (build_jpeg_luts9,
+                                        jpeg_scan_decode9,
+                                        jpeg_scan_decode9_pl)
+    from ffmpeg_tpu import native
+    import ctypes
+
+    w, h = 96, 64
+    nmcu = (w // 16) * (h // 16)        # 24 lanes/frame
+    lib = native.get()
+    S = 192
+    F = 2
+    rows = np.zeros((F * nmcu, S), np.uint8)
+    lens = np.zeros(F * nmcu, np.int32)
+    luts = []
+    for fidx, q in enumerate((90, 35)):   # different tables per frame
+        par = CodecParameters(codec_type=MediaType.VIDEO,
+                              codec_id="mjpeg", width=w, height=h)
+        enc = CodecContext.open_encoder(
+            par, options={"quality": q, "restart_interval": 1,
+                          "huffman": "optimal"})
+        src = get_filter("testsrc")(f"size={w}x{h}")
+        yuv = scale_frame(list(src.generate(1))[0], w, h, "yuv420p",
+                          dst_range=True)
+        enc.send_frame(yuv)
+        data = enc.receive_packet().data
+        st = _JpegState()
+        off, _ = _parse_until_scan(data, st)
+        scan = data[off:]
+        base = fidx * nmcu
+        n = lib.mjpeg_split_segments_strided(
+            scan, len(scan),
+            rows[base:].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            S, nmcu + 1,
+            lens[base:].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        assert n == nmcu
+        luts.append(build_jpeg_luts9(st))
+
+    ref = np.concatenate([
+        np.asarray(jpeg_scan_decode9(rows[f * nmcu:(f + 1) * nmcu],
+                                     jnp.ones(nmcu, bool),
+                                     jnp.asarray(luts[f])))
+        for f in range(F)])
+    out = np.asarray(jpeg_scan_decode9_pl(
+        rows, lens, np.stack(luts), interpret=True))
+    assert np.array_equal(out, ref)
