@@ -5,29 +5,29 @@ locally on the same clip (BASELINE.md row 1).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Comparison policy (round-2 honesty fixes):
-- value = our DCT-domain reduced decode (lowres=2, 12 coefficients,
-  gated >=45 dB vs the reference full-res path by tests/test_pipeline).
-- vs_baseline divides by the CPU running the SAME reduced-resolution
-  strategy (`-lowres 1`, which also clears 45 dB at 224px output), i.e.
-  like-for-like. The asymmetric r01 figure (ours-lowres / cpu-fullres)
-  is reported in extra for continuity, not as the headline.
-- extra also reports the full-res-vs-full-res pair, including the
-  TPU-side-entropy pipeline (models/mjpeg_tpu_entropy: restart-interval
-  segment-parallel Huffman ON the chip).
+Headline (round-3): the FULL-RESOLUTION decode with the entropy stage
+ON the TPU (models/mjpeg_tpu_entropy + the Pallas kernel in
+ops/huffman.py), versus the CPU reference full-res decode of the SAME
+file — a strict like-for-like comparison (identical input, identical
+output resolution path). The host's only per-frame work is header
+parse + destuff/split (~1.5 ms), so the number no longer depends on
+host CPU contention the way the r01/r02 host-entropy path did.
 
-Why the 5x target is out of reach on THIS host (documented for the
-record): the host has ONE CPU core shared by our entropy stage and the
-baseline; CPU full decode ~14 ms/frame of which entropy ~3 ms, so even
-with everything else free the speedup ceiling is ~4.8x, and the
-tunneled-TPU dispatch overhead (~5 ms/call) plus a ~1.3 GB/s host-device
-link take a further slice. On a standard TPU-VM (many host cores,
-PCIe-local chips) the same code clears the bar by parallel per-frame
-entropy; nothing in the pipeline below is single-host-core by design.
+Measurement discipline (r02 verdict fixes):
+- median of per-window rates over a >=30 s steady state (not best-of-2
+  of one short window); window list + relative spread in `extra`;
+- dispatch-latency and host->device transfer self-probes in `extra`
+  so environment degradation is visible in the record;
+- a correctness gate (pipeline output vs our host decoder, which is
+  itself <=1 LSB-gated vs the reference in tests/) — value is zeroed
+  if the outputs diverge;
+- persistent XLA compilation cache so repeated runs skip the one-time
+  Mosaic/XLA compile.
 """
 
 import ctypes
 import json
+import statistics
 import subprocess
 import sys
 import time
@@ -41,12 +41,20 @@ import numpy as np  # noqa: E402
 W, H = 1920, 1080
 OUT = 224
 NFRAMES = 48            # distinct frames in the clip
-LOOPS = 6               # clip repeats for steady-state measurement
 BATCH = 8
 REF = Path("/tmp/ffbuild/ffmpeg")
 CLIP = Path(f"/tmp/bench_{W}x{H}.mjpeg")
 CLIP_RST = Path(f"/tmp/bench_rst9_{W}x{H}.mjpeg")
 BASELINE_CACHE = REPO / "tests" / "data" / "cpu_baseline.json"
+MIN_MEASURE_S = 30.0    # steady-state duration for the headline
+WINDOW_BATCHES = 6      # ~48 frames per window
+
+
+def _jax():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
 
 
 def ensure_clip() -> bool:
@@ -66,7 +74,7 @@ def ensure_clip() -> bool:
         # both standard JPEG (the reference decodes the same file)
         _encode_ours(CLIP_RST, {"restart_interval": 1,
                                 "huffman": "optimal"})
-    return CLIP.exists()
+    return CLIP.exists() and CLIP_RST.exists()
 
 
 def _encode_ours(path: Path, extra_opts: dict) -> None:
@@ -86,12 +94,13 @@ def _encode_ours(path: Path, extra_opts: dict) -> None:
             f.write(enc.receive_packet().data)
 
 
-def cpu_fps(clip: Path, lowres: bool) -> float:
-    """ffmpeg -benchmark on the decode+scale→RGB path, best-of-2."""
+def cpu_fps(clip: Path, lowres: bool, cache_key: str) -> float:
+    """ffmpeg decode+scale→RGB wall rate, best-of-2 (CPU gets its best
+    number; ours is a median — conservative in the CPU's favour)."""
     if not (REF.exists() and clip.exists()):
         if BASELINE_CACHE.exists():
             d = json.loads(BASELINE_CACHE.read_text())
-            return float(d.get("lowres1" if lowres else "full", 0.0))
+            return float(d.get(cache_key, 0.0))
         return 0.0
     best = 0.0
     lr = ["-lowres", "1"] if lowres else []
@@ -107,15 +116,139 @@ def cpu_fps(clip: Path, lowres: bool) -> float:
     return best
 
 
-def run_ours_lowres() -> float:
-    """Host C++ entropy → batched 12-coefficient tensors → one fused
-    XLA program (dequant+IDCT+upsample+CSC+resize), pipelined."""
+def probes() -> dict:
+    """Dispatch-latency + host->device transfer self-probes."""
+    jax = _jax()
+    import jax.numpy as jnp
+    out = {}
+    x = jnp.zeros((8, 128), jnp.int32)
+    f = jax.jit(lambda v: v + 1)
+    r = f(x)
+    jax.block_until_ready(r)
+    ts = []
+    for _ in range(20):
+        t0 = time.monotonic()
+        r = f(r)
+        jax.block_until_ready(r)
+        ts.append(time.monotonic() - t0)
+    out["dispatch_ms"] = round(statistics.median(ts) * 1e3, 3)
+    buf = np.random.default_rng(0).integers(
+        0, 255, (1 << 20, 12), np.uint8)     # 12 MB
+    ts = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        d = jax.device_put(buf)
+        jax.block_until_ready(d)
+        ts.append(time.monotonic() - t0)
+    out["h2d_GBps"] = round(buf.nbytes / statistics.median(ts) / 1e9, 2)
+    return out
+
+
+def run_fullres_tpu_entropy() -> dict:
+    """Headline path: full-res decode, Huffman ON the chip."""
+    jax = _jax()
+    from ffmpeg_tpu.io import open_input
+    from ffmpeg_tpu.models.mjpeg_tpu_entropy import (
+        MjpegTpuEntropyPipeline, TpuEntropySpec)
+
+    d = open_input(str(CLIP_RST), format="mjpeg")
+    pkts = [p.data for p in d.packets()]
+    spec = TpuEntropySpec(W, H, OUT, OUT, batch=BATCH, stride=192)
+    pipe = MjpegTpuEntropyPipeline(spec, pkts[0])
+
+    # triple-buffered host staging so prep/transfer/compute overlap
+    NRING = 3
+    ring = [(np.zeros_like(pipe.rows), np.zeros_like(pipe.lens),
+             np.zeros_like(pipe.luts)) for _ in range(NRING)]
+
+    def prep_batch(r):
+        rows, lens, luts = ring[r % NRING]
+        pipe.rows, pipe.lens, pipe.luts = rows, lens, luts
+        for i in range(BATCH):
+            pipe.prep_frame(pkts[(r * BATCH + i) % NFRAMES], i)
+        return rows, lens, luts
+
+    t0 = time.monotonic()
+    prep_batch(0)
+    warm = pipe.run_batch()
+    jax.block_until_ready(warm)
+    compile_s = time.monotonic() - t0
+
+    # correctness gate: batch of frame 0 vs our host decoder
+    from ffmpeg_tpu.codecs import CodecContext
+    from ffmpeg_tpu.core.packet import Packet
+    from ffmpeg_tpu.io.stream import CodecParameters, MediaType
+    from ffmpeg_tpu.scale.swscale import scale_frame
+    for i in range(BATCH):
+        pipe.prep_frame(pkts[0], i)
+    ours0 = np.stack([np.asarray(p) for p in pipe.run_batch()], -1)[0]
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="mjpeg")
+    dec = CodecContext.open_decoder(par)
+    (f0,) = dec.decode_all([Packet(data=pkts[0], pts=0)])
+    want = scale_frame(f0.numpy(), OUT, OUT, "rgb24", src_range=True)
+    wrgb = np.stack([np.asarray(p) for p in want.planes], -1)
+    e = ours0.astype(np.float64) - wrgb.astype(np.float64)
+    psnr = 10 * np.log10(255 ** 2 / max((e * e).mean(), 1e-9))
+
+    # device-only rate (inputs pre-staged; rotate sets to defeat any
+    # transparent result caching in the runtime)
+    staged = []
+    for r in range(NRING):
+        rows, lens, luts = prep_batch(r)
+        staged.append((jax.device_put(rows), jax.device_put(lens),
+                       jax.device_put(luts)))
+    outs = [pipe.fn(*staged[k % NRING]) for k in range(6)]
+    jax.block_until_ready(outs)
+    t0 = time.monotonic()
+    outs = [pipe.fn(*staged[k % NRING]) for k in range(12)]
+    jax.block_until_ready(outs)
+    device_fps = 12 * BATCH / (time.monotonic() - t0)
+
+    # steady-state e2e: windows until >= MIN_MEASURE_S measured
+    windows = []
+    r = 0
+    t_measure0 = time.monotonic()
+    pending = []
+    while time.monotonic() - t_measure0 < MIN_MEASURE_S or \
+            len(windows) < 5:
+        tw = time.monotonic()
+        for _ in range(WINDOW_BATCHES):
+            rows, lens, luts = prep_batch(r)
+            pending.append(pipe.fn(jax.device_put(rows),
+                                   jax.device_put(lens),
+                                   jax.device_put(luts)))
+            if len(pending) > 2:
+                jax.block_until_ready(pending.pop(0))
+            r += 1
+        for o in pending:
+            jax.block_until_ready(o)
+        pending = []
+        windows.append(WINDOW_BATCHES * BATCH
+                       / (time.monotonic() - tw))
+        if len(windows) >= 20:
+            break
+    med = statistics.median(windows)
+    spread = (max(windows) - min(windows)) / med if med else 1.0
+    return {
+        "fps": med if psnr > 40 else 0.0,
+        "windows": [round(w, 1) for w in windows],
+        "spread": round(spread, 3),
+        "device_only_fps": round(device_fps, 1),
+        "gate_psnr_vs_host_db": round(psnr, 1),
+        "compile_or_cache_s": round(compile_s, 1),
+    }
+
+
+def run_lowres_host_entropy() -> float:
+    """r01/r02 path: host C++ entropy → DCT-domain reduced decode (kept
+    as a secondary row; it IS host-CPU sensitive)."""
     from ffmpeg_tpu.io import open_input
     from ffmpeg_tpu.codecs.mjpeg import _parse_until_scan, _JpegState
     from ffmpeg_tpu import native
     from ffmpeg_tpu.models.mjpeg_pipeline import (
         DecodeScaleSpec, pack_coeffs, jitted_decode_scale)
     from ffmpeg_tpu.parallel.pipeline import Pipeline, batched
+    jax = _jax()
 
     lib = native.get()
     d = open_input(str(CLIP), format="mjpeg")
@@ -125,12 +258,13 @@ def run_ours_lowres() -> float:
     fn = jitted_decode_scale(spec)
     ly, lx = spec.luma_blocks
     cy, cx = spec.chroma_blocks
-    L = spec.ncoeff
+    Lc = spec.ncoeff
 
     NRING = 4
-    ring = [(np.empty((BATCH, ly, lx, L), np.int16),
-             np.empty((BATCH, cy, cx, L), np.int16),
-             np.empty((BATCH, cy, cx, L), np.int16)) for _ in range(NRING)]
+    ring = [(np.empty((BATCH, ly, lx, Lc), np.int16),
+             np.empty((BATCH, cy, cx, Lc), np.int16),
+             np.empty((BATCH, cy, cx, Lc), np.int16))
+            for _ in range(NRING)]
     qtabs_holder = {}
 
     def entropy(item):
@@ -146,16 +280,17 @@ def run_ours_lowres() -> float:
             bw = (lx if comp.h == 2 else cx)
             specs.append((comp.dc_tab, comp.ac_tab, comp.h, comp.v, bw))
             arr = ring[slot][ci][row]
-            ptrs.append(arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+            ptrs.append(arr.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int16)))
         spec_arr = (ctypes.c_int * (5 * len(specs)))(
             *[v for s in specs for v in s])
         out_ptrs = (ctypes.POINTER(ctypes.c_int16) * len(ptrs))(*ptrs)
         scan = data[off:]
         ret = lib.mjpeg_decode_scan(
-            scan, len(scan), st.dc_counts.tobytes(), st.dc_values.tobytes(),
-            st.ac_counts.tobytes(), st.ac_values.tobytes(),
-            spec_arr, len(specs), lx // 2, ly // 2, st.restart_interval,
-            L, out_ptrs)
+            scan, len(scan), st.dc_counts.tobytes(),
+            st.dc_values.tobytes(), st.ac_counts.tobytes(),
+            st.ac_values.tobytes(), spec_arr, len(specs),
+            lx // 2, ly // 2, st.restart_interval, Lc, out_ptrs)
         if ret != 0:
             raise RuntimeError(f"entropy decode failed {ret}")
         if not qtabs_holder:
@@ -163,14 +298,16 @@ def run_ours_lowres() -> float:
             qtabs_holder["qc"] = st.qtabs[comps[1].q_idx].astype(np.int32)
         return i
 
-    def tpu_stage(slot, n):
+    def tpu_stage(slot):
         ys, us, vs = ring[slot]
         return fn(pack_coeffs(ys), pack_coeffs(us), pack_coeffs(vs),
                   qtabs_holder["qy"], qtabs_holder["qc"])
 
     entropy((0, pkts[0]))
-    warm = tpu_stage(0, BATCH)
+    warm = tpu_stage(0)
     warm[0].block_until_ready()
+
+    LOOPS = 6
 
     def source():
         i = 0
@@ -179,45 +316,20 @@ def run_ours_lowres() -> float:
                 yield (i, p)
                 i += 1
 
-    t0 = time.monotonic()
-    pipe = Pipeline(source(), [entropy], queue_size=BATCH)
-    n_done = 0
-    last = None
-    for group in batched(pipe.run(), BATCH):
-        slot = (group[0] // BATCH) % NRING
-        last = tpu_stage(slot, len(group))
-        n_done += len(group)
-    for o in last:
-        o.block_until_ready()
-    return n_done / (time.monotonic() - t0)
-
-
-def run_ours_tpu_entropy() -> float:
-    """Full-resolution decode with the Huffman stage ON the TPU
-    (segment-parallel over restart intervals)."""
-    import jax
-    from ffmpeg_tpu.io import open_input
-    from ffmpeg_tpu.models.mjpeg_tpu_entropy import (
-        MjpegTpuEntropyPipeline, TpuEntropySpec)
-
-    d = open_input(str(CLIP_RST), format="mjpeg")
-    pkts = [p.data for p in d.packets()]
-    spec = TpuEntropySpec(W, H, OUT, OUT, batch=BATCH, stride=192)
-    pipe = MjpegTpuEntropyPipeline(spec, pkts[0])
-    for i in range(BATCH):
-        pipe.prep_frame(pkts[i], i)
-    warm = pipe.run_batch()
-    jax.block_until_ready(warm)
-    t0 = time.monotonic()
-    n = 0
-    last = None
-    for r in range(LOOPS * NFRAMES // BATCH):
-        for i in range(BATCH):
-            pipe.prep_frame(pkts[(r * BATCH + i) % NFRAMES], i)
-        last = pipe.run_batch()
-        n += BATCH
-    jax.block_until_ready(last)
-    return n / (time.monotonic() - t0)
+    rates = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        pipe = Pipeline(source(), [entropy], queue_size=BATCH)
+        n_done = 0
+        last = None
+        for group in batched(pipe.run(), BATCH):
+            slot = (group[0] // BATCH) % NRING
+            last = tpu_stage(slot)
+            n_done += len(group)
+        for o in last:
+            o.block_until_ready()
+        rates.append(n_done / (time.monotonic() - t0))
+    return statistics.median(rates)
 
 
 def main():
@@ -227,32 +339,44 @@ def main():
                           "vs_baseline": 0.0,
                           "error": "no clip available"}))
         return
-    cpu_low = cpu_fps(CLIP, lowres=True)
-    cpu_full = cpu_fps(CLIP, lowres=False)
-    cpu_rst_full = cpu_fps(CLIP_RST, lowres=False)
+    cpu_full_rst = cpu_fps(CLIP_RST, lowres=False, cache_key="full_rst")
+    cpu_full = cpu_fps(CLIP, lowres=False, cache_key="full")
+    cpu_low = cpu_fps(CLIP, lowres=True, cache_key="lowres1")
     if REF.exists():
         BASELINE_CACHE.parent.mkdir(parents=True, exist_ok=True)
         BASELINE_CACHE.write_text(json.dumps(
-            {"full": cpu_full, "lowres1": cpu_low}))
-    ours = max(run_ours_lowres() for _ in range(2))
+            {"full": cpu_full, "lowres1": cpu_low,
+             "full_rst": cpu_full_rst}))
+    prb = probes()
     try:
-        ours_dev_entropy = run_ours_tpu_entropy()
-    except Exception:
-        ours_dev_entropy = 0.0
+        full = run_fullres_tpu_entropy()
+    except Exception as exc:            # noqa: BLE001 — record, degrade
+        full = {"fps": 0.0, "error": f"{type(exc).__name__}: {exc}"}
+    try:
+        lowres_fps = run_lowres_host_entropy()
+    except Exception as exc:            # noqa: BLE001
+        lowres_fps = 0.0
+        prb["lowres_error"] = f"{type(exc).__name__}: {exc}"
+
+    value = full.get("fps", 0.0)
+    denom = cpu_full_rst
     print(json.dumps({
         "metric": "1080p_mjpeg_decode_scale224_rgb24",
-        "value": round(ours, 2),
+        "value": round(value, 2),
         "unit": "frames/sec/chip",
-        # like-for-like: both sides use a reduced-resolution decode
-        # strategy that clears 45 dB at the 224px output
-        "vs_baseline": round(ours / cpu_low, 2) if cpu_low else 0.0,
+        # like-for-like: full-resolution decode+scale of the SAME clip
+        "vs_baseline": round(value / denom, 2) if denom else 0.0,
         "extra": {
-            "comparison": "ours lowres(DCT-domain,>=45dB) vs cpu -lowres 1",
+            "comparison": "full-res TPU-entropy decode vs cpu full-res,"
+                          " same file; median of windows over >=30 s",
+            "cpu_fullres_fps": round(cpu_full_rst, 1),
+            "cpu_fullres_plainclip_fps": round(cpu_full, 1),
             "cpu_lowres1_fps": round(cpu_low, 1),
-            "cpu_fullres_fps": round(cpu_full, 1),
-            "vs_cpu_fullres": round(ours / cpu_full, 2) if cpu_full else 0,
-            "tpu_side_entropy_fullres_fps": round(ours_dev_entropy, 1),
-            "cpu_fullres_restart_clip_fps": round(cpu_rst_full, 1),
+            "lowres_path_fps": round(lowres_fps, 1),
+            "lowres_vs_cpu_lowres1": round(lowres_fps / cpu_low, 2)
+            if cpu_low else 0.0,
+            **prb,
+            **{k: v for k, v in full.items() if k != "fps"},
         },
     }))
 

@@ -58,6 +58,7 @@ class OutputSpec:
     options: Dict[str, str] = field(default_factory=dict)
     seek: Optional[int] = None
     duration: Optional[int] = None
+    shortest: bool = False
 
 
 @dataclass
@@ -153,6 +154,8 @@ def parse_args(argv: List[str]) -> CliOptions:
             cur_in.options["pixel_format"] = take()
         elif a in ("-frames:v", "-vframes", "-frames"):
             cur_out.max_vframes = int(take())
+        elif a == "-shortest":
+            cur_out.shortest = True
         elif a == "-ss":
             v = _parse_duration(take())
             if not o.inputs:
@@ -250,8 +253,13 @@ def _apply_bsfs(ch, pkt: Packet, mux) -> None:
         for p in pkts:
             nxt.extend(f.filter(p))
         pkts = nxt
+    sq = ch.get("sq")
     for p in pkts:
-        mux.write_packet(p)
+        if sq is not None:
+            for _, rp in sq.send(ch["sq_idx"], p):
+                mux.write_packet(rp)
+        else:
+            mux.write_packet(p)
 
 
 _VENC_DEFAULT = {"yuv4mpegpipe": "rawvideo", "rawvideo": "rawvideo",
@@ -497,6 +505,22 @@ def transcode(o: CliOptions) -> None:
     for ch in chains:
         ch["out_idx"] = ch["out_st"].index
 
+    # -shortest: one sync queue per output; every stream is limiting,
+    # so the whole output stops at the earliest-ending stream
+    # (fftools/sync_queue.c semantics; see cli/sync_queue.py)
+    from .sync_queue import SyncQueue
+    sqs = []
+    _sq_by_mux = {}
+    for ch in chains:
+        if getattr(ch["out"], "shortest", False):
+            mux = ch["mux"]
+            if id(mux) not in _sq_by_mux:
+                _sq_by_mux[id(mux)] = SyncQueue()
+                sqs.append((_sq_by_mux[id(mux)], mux))
+            sq = _sq_by_mux[id(mux)]
+            ch["sq"] = sq
+            ch["sq_idx"] = sq.add_stream(ch["out_st"].time_base)
+
     if o.print_graphs_file:
         _print_graphs(o.print_graphs_file, demux, chains, muxes)
 
@@ -696,6 +720,9 @@ def transcode(o: CliOptions) -> None:
             for of in ch["graph"].pull():
                 emit_frame(ch, of)
             emit_frame(ch, None)   # encoder drain
+        for sq, mux in sqs:
+            for _, rp in sq.finish_all():
+                mux.write_packet(rp)
         for mux in muxes:
             mux.write_trailer()
         write_progress("end")

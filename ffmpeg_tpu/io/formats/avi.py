@@ -58,6 +58,7 @@ class AviDemuxer(Demuxer):
             raise InvalidData("avi: not AVI")
         self._movi_start = None
         self._movi_end = None
+        self._pending = None
         self._rates: List[Rational] = []
         while not r.at_eof():
             tag = r.tag()
@@ -192,6 +193,7 @@ class AviDemuxer(Demuxer):
         self.r.seek(self._movi_start - 4 + best[1])
         # reset per-stream counters to the index's packet numbering by
         # replaying counts up to the seek point
+        self._pending = None
         self._counts = {}
         for sid, ents in self._idx1.items():
             n = 0
@@ -202,8 +204,31 @@ class AviDemuxer(Demuxer):
             self._counts[sid] = n
         self._counts[stream_index] = best[0]
 
+    def _emit(self, sid: int, data: bytes) -> Packet:
+        st = self.streams[sid]
+        n = self._counts.get(sid, 0)
+        if st.codecpar.codec_type == MediaType.AUDIO and \
+                st.codecpar.block_align:
+            dur = len(data) // st.codecpar.block_align
+        else:
+            dur = 1
+        pkt = Packet(data=data, pts=n, dts=n,
+                     duration=dur, stream_index=sid,
+                     flags=PKT_FLAG_KEY, time_base=st.time_base)
+        self._counts[sid] = n + dur
+        return pkt
+
     def read_packet(self) -> Packet:
         r = self.r
+        if self._pending:
+            sid, data, off = self._pending
+            ba = self.streams[sid].codecpar.block_align
+            end = off + 1024 * ba
+            if end >= len(data):
+                self._pending = None
+                return self._emit(sid, data[off:])
+            self._pending = (sid, data, end)
+            return self._emit(sid, data[off:end])
         while True:
             if self._movi_end is not None and r.tell() >= self._movi_end:
                 raise EndOfStream()
@@ -231,17 +256,16 @@ class AviDemuxer(Demuxer):
             if sid >= len(self.streams):
                 continue
             st = self.streams[sid]
-            n = self._counts.get(sid, 0)
-            if st.codecpar.codec_type == MediaType.AUDIO and \
-                    st.codecpar.block_align:
-                dur = len(data) // st.codecpar.block_align
-            else:
-                dur = 1
-            pkt = Packet(data=data, pts=n, dts=n,
-                         duration=dur, stream_index=sid,
-                         flags=PKT_FLAG_KEY, time_base=st.time_base)
-            self._counts[sid] = n + dur
-            return pkt
+            # PCM-style small constant sample size: split big chunks into
+            # <=1024-sample packets like the reference
+            # (avidec.c:1510-1516 — "arbitrary multiplier to avoid tiny
+            # packets for raw PCM data")
+            ba = st.codecpar.block_align or 0
+            if (st.codecpar.codec_type == MediaType.AUDIO and
+                    1 < ba < 32 and len(data) > 1024 * ba):
+                self._pending = (sid, data, 1024 * ba)
+                return self._emit(sid, data[:1024 * ba])
+            return self._emit(sid, data)
 
 
 # ---------------------------------------------------------------------------

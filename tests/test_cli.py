@@ -241,3 +241,62 @@ def test_print_graphs_file(y4m_clip, tmp_path):
     assert doc["inputs"][0]["format"] == "yuv4mpegpipe"
     assert doc["chains"][0]["mode"] == "transcode"
     assert doc["outputs"][0]["streams"] == 1
+
+
+@requires_ref
+def test_shortest_trims_to_earliest_stream(tmp_path):
+    """-shortest: output stops at the earliest-ending stream
+    (sync_queue.c limiting-stream semantics). 0.5 s of video + 1.5 s of
+    audio in, -shortest out → audio trimmed to video's end, matching
+    the reference's packet counts."""
+    vsrc = tmp_path / "v.avi"
+    asrc = tmp_path / "a.wav"
+    src = tmp_path / "in.avi"
+    subprocess.run(
+        [str(refutil.REF), "-v", "error",
+         "-f", "lavfi", "-i", "testsrc2=size=128x96:rate=25",
+         "-t", "0.5", "-c:v", "mjpeg", "-q:v", "4",
+         "-pix_fmt", "yuvj420p", "-y", str(vsrc)],
+        check=True, capture_output=True)
+    subprocess.run(
+        [str(refutil.REF), "-v", "error",
+         "-f", "lavfi", "-i", "sine=frequency=440:sample_rate=44100",
+         "-t", "1.5", "-c:a", "pcm_s16le", "-y", str(asrc)],
+        check=True, capture_output=True)
+    subprocess.run(
+        [str(refutil.REF), "-v", "error", "-i", str(vsrc),
+         "-i", str(asrc), "-map", "0:v", "-map", "1:a", "-c", "copy",
+         "-y", str(src)], check=True, capture_output=True)
+
+    def counts(path):
+        out = subprocess.run(
+            [str(refutil.REF), "-v", "error", "-i", str(path),
+             "-c", "copy", "-fflags", "+bitexact",
+             "-f", "framecrc", "-"],
+            check=True, capture_output=True, text=True).stdout
+        c = {}
+        for l in out.splitlines():
+            if l and l[0].isdigit():
+                sid = int(l.split(",")[0])
+                c[sid] = c.get(sid, 0) + 1
+        return c
+
+    ref_out = tmp_path / "ref.avi"
+    subprocess.run(
+        [str(refutil.REF), "-v", "error", "-i", str(src),
+         "-c", "copy", "-shortest", "-y", str(ref_out)],
+        check=True, capture_output=True)
+    ours_out = tmp_path / "ours.avi"
+    rc = fftpu_main(["-v", "error", "-i", str(src), "-c", "copy",
+                     "-shortest", "-y", str(ours_out)])
+    assert rc == 0
+    rc_counts = counts(ref_out)
+    our_counts = counts(ours_out)
+    # video kept in full
+    assert our_counts[0] == rc_counts[0]
+    # audio trimmed to ~0.5 s like the reference (the reference's
+    # muxer-side interleaving may differ by one packet)
+    assert abs(our_counts[1] - rc_counts[1]) <= 1, \
+        (our_counts, rc_counts)
+    # and decisively shorter than the untrimmed 1.5 s
+    assert our_counts[1] < counts(src)[1] * 0.6

@@ -1,10 +1,21 @@
 #!/usr/bin/env python
-"""Per-kernel benchmark runner (analog of checkasm --bench): times each TPU
-kernel with realistic shapes on the current default device and prints a
-table of per-call wall time + achieved throughput. Run on TPU (default) or
-CPU (--cpu)."""
+"""Per-kernel benchmark runner (analog of checkasm --bench): times each
+TPU kernel with realistic shapes and prints wall time, achieved
+throughput, GB/s, GFLOP/s and **MFU / roofline position** — achieved
+FLOPs over the dtype-appropriate peak of the chip, and achieved
+bytes over peak HBM bandwidth; whichever is higher tells you which
+wall the kernel sits against.
+
+FLOP models are stated per kernel below (they count the algorithm's
+mathematical work, not XLA's instruction count). Peaks default to the
+TPU v5e datasheet figures and can be overridden:
+  --peak-f32/--peak-bf16/--peak-int8 (TFLOP/s), --peak-bw (GB/s).
+
+Run on TPU (default) or CPU (--cpu).
+"""
 
 import argparse
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -13,10 +24,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+# TPU v5e single-chip peaks (datasheet)
+PEAK = {"f32": 49.4e12, "bf16": 197e12, "int8": 394e12, "bw": 819e9}
+
 
 def timeit(fn, *args, n=10, warmup=2):
-    """Time fn with inputs pre-placed on device (kernel time, not PCIe).
-    Alternates two input sets so runtimes cannot memoize identical calls."""
+    """Median wall time with inputs pre-placed on device. Alternates
+    two input sets so runtimes cannot memoize identical calls."""
     import jax
     import numpy as _np
     sets = []
@@ -26,29 +40,42 @@ def timeit(fn, *args, n=10, warmup=2):
             b = _np.asarray(a).copy()
             if b.size and k:
                 flat = b.reshape(-1)
-                flat[0] = flat[0] ^ 1 if b.dtype.kind in "iu" else flat[0] + 1
+                flat[0] = flat[0] ^ 1 if b.dtype.kind in "iu" \
+                    else flat[0] + 1
             alt.append(jax.device_put(b))
         jax.block_until_ready(alt)
         sets.append(alt)
     for _ in range(warmup):
         r = fn(*sets[0])
     jax.block_until_ready(r)
-    t0 = time.monotonic()
-    out = []
+    ts = []
     for i in range(n):
-        out.append(fn(*sets[i & 1]))
-    jax.block_until_ready(out)
-    return (time.monotonic() - t0) / n
+        t0 = time.monotonic()
+        r = fn(*sets[i & 1])
+        jax.block_until_ready(r)
+        ts.append(time.monotonic() - t0)
+    return statistics.median(ts)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--peak-f32", type=float,
+                    default=PEAK["f32"] / 1e12)
+    ap.add_argument("--peak-bf16", type=float,
+                    default=PEAK["bf16"] / 1e12)
+    ap.add_argument("--peak-int8", type=float,
+                    default=PEAK["int8"] / 1e12)
+    ap.add_argument("--peak-bw", type=float, default=PEAK["bw"] / 1e9)
     args = ap.parse_args()
+    peaks = {"f32": args.peak_f32 * 1e12, "bf16": args.peak_bf16 * 1e12,
+             "int8": args.peak_int8 * 1e12, "bw": args.peak_bw * 1e9}
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from ffmpeg_tpu.ops import tx, me, mc
     from ffmpeg_tpu.ops.idct import jpeg_block_transform
@@ -57,52 +84,137 @@ def main():
     print(f"device: {jax.devices()[0]}")
     rows = []
 
-    # 8x8 IDCT plane reconstruction, 1080p luma (batch 8)
+    def add(name, dt, thr, flops=0, byts=0, peak="f32"):
+        gfs = flops / dt / 1e9
+        gbs = byts / dt / 1e9
+        mfu = flops / dt / peaks[peak] * 100 if flops else 0.0
+        bwu = byts / dt / peaks["bw"] * 100 if byts else 0.0
+        rows.append((name, dt, thr, gfs, gbs, mfu, bwu, peak))
+
+    # --- 8x8 IDCT plane reconstruction, 1080p 4:2:0 luma (batch 8) ----
+    # FLOPs: per block 2 separable 8x8x8 matmuls (2*2*512) + 64 dequant
+    nblk = 135 * 240 * 8
     coeffs = np.random.default_rng(0).integers(
         -128, 128, (8, 135, 240, 64)).astype(np.int16)
     q = np.ones(64, np.int32) * 16
-    f = jax.jit(lambda c, q: jpeg_block_transform(c, q, 1080, 1920))
+    f = jax.jit(lambda c, qq: jpeg_block_transform(c, qq, 1080, 1920))
     dt = timeit(f, coeffs, q)
-    rows.append(("jpeg idct+reassemble 1080p x8", dt,
-                 f"{8 / dt:.0f} frames/s"))
+    flops = nblk * (2 * 2 * 512 + 64)
+    byts = coeffs.nbytes + nblk * 64      # in i16 + out u8
+    add("jpeg idct+reassemble 1080p x8", dt, f"{8 / dt:.0f} fr/s",
+        flops, byts, "f32")
 
-    # scaler 1080p->224 rgb (batch 8)
+    # --- scaler 1080p->224 rgb24 (batch 8) ----------------------------
+    # FLOPs: separable H+V taps on each plane + 3x3 CSC per out pixel
     sc = Scaler(src_w=1920, src_h=1080, src_fmt="yuv420p",
                 dst_w=224, dst_h=224, dst_fmt="rgb24")
     y = np.zeros((8, 1080, 1920), np.uint8)
     u = np.zeros((8, 540, 960), np.uint8)
     v = np.zeros((8, 540, 960), np.uint8)
     dt = timeit(lambda a, b, c: sc.run([a, b, c]), y, u, v)
-    rows.append(("scale 1080p->224 rgb24 x8", dt, f"{8 / dt:.0f} frames/s"))
+    taps = 4
+    fl_h = 8 * (224 * 1080 + 2 * 224 * 540) * taps * 2     # H pass
+    fl_v = 8 * (224 * 224 + 2 * 224 * 224) * taps * 2      # V pass
+    fl_csc = 8 * 224 * 224 * (9 * 2 + 3)
+    byts = y.nbytes + u.nbytes + v.nbytes + 8 * 224 * 224 * 3
+    add("scale 1080p->224 rgb24 x8", dt, f"{8 / dt:.0f} fr/s",
+        fl_h + fl_v + fl_csc, byts, "f32")
 
-    # MDCT 1024 batched x1024
+    # --- Pallas segment-parallel JPEG Huffman decode ------------------
+    # Throughput metric: symbols/s. "MFU" is not meaningful for a
+    # bit-twiddling kernel; we report the useful-work rate plus the
+    # byte rate of its VMEM-resident working set per iteration.
+    try:
+        from ffmpeg_tpu.ops.huffman import (build_jpeg_luts9,
+                                            jpeg_scan_decode9_pl)
+        from ffmpeg_tpu.codecs.mjpeg import _JpegState, _parse_until_scan
+        from ffmpeg_tpu.codecs import CodecContext
+        from ffmpeg_tpu.filters import get_filter
+        from ffmpeg_tpu.io.stream import CodecParameters, MediaType
+        from ffmpeg_tpu.scale.swscale import scale_frame
+        from ffmpeg_tpu import native
+        import ctypes
+        w, h = 1920, 1080
+        par = CodecParameters(codec_type=MediaType.VIDEO,
+                              codec_id="mjpeg", width=w, height=h)
+        enc = CodecContext.open_encoder(
+            par, options={"quality": 88, "restart_interval": 1,
+                          "huffman": "optimal"})
+        fr = list(get_filter("testsrc")(
+            f"size={w}x{h}").generate(1))[0]
+        yuv = scale_frame(fr, w, h, "yuv420p", dst_range=True)
+        enc.send_frame(yuv)
+        data = enc.receive_packet().data
+        st = _JpegState()
+        off, _ = _parse_until_scan(data, st)
+        lut9 = build_jpeg_luts9(st)
+        lib = native.get()
+        nmcu = (w // 16) * -(-h // 16)
+        S = 192
+        B = 8
+        rows_a = np.zeros((B * nmcu, S), np.uint8)
+        lens_a = np.zeros(B * nmcu, np.int32)
+        scan = data[off:]
+        for b in range(B):
+            base = b * nmcu
+            lib.mjpeg_split_segments_strided(
+                scan, len(scan),
+                rows_a[base:].ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint8)), S, nmcu + 1,
+                lens_a[base:].ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int32)))
+        pf = jax.jit(lambda r, l: jpeg_scan_decode9_pl(
+            r, l, jnp.asarray(lut9)))
+        dt = timeit(pf, rows_a, lens_a, n=6)
+        # symbols ~= nonzero coeffs + per-block DC/EOB; estimate from a
+        # host decode-free proxy: bits/2 is a tight upper bound
+        nsym = int(lens_a.sum()) * 8 // 4
+        add("pallas jpeg huffman 1080p x8", dt, f"{B / dt:.0f} fr/s",
+            0, int(lens_a.sum()) + rows_a.shape[0] * 384 * 2, "int8")
+        rows[-1] = rows[-1][:2] + (
+            f"{B / dt:.0f} fr/s ~{nsym / dt / 1e6:.0f} Msym/s",
+        ) + rows[-1][3:]
+    except Exception as exc:            # noqa: BLE001
+        print(f"  (pallas huffman skipped: {exc})")
+
+    # --- MDCT 1024 batched x1024 (matmul codelets, bf16-eligible) -----
     x = np.zeros((1024, 2048), np.float32)
-    fmdct = jax.jit(lambda x: tx.mdct(x, 1024))
+    fmdct = jax.jit(lambda z: tx.mdct(z, 1024))
     dt = timeit(fmdct, x)
-    rows.append(("mdct1024 x1024", dt, f"{1024 / dt / 1e3:.0f} k transforms/s"))
+    flops = 1024 * (2048 * 1024 * 2)      # matmul-form MDCT
+    add("mdct1024 x1024", dt, f"{1024 / dt / 1e3:.0f} k tr/s",
+        flops, x.nbytes + 1024 * 1024 * 4, "f32")
 
-    # FFT 4096 (4-step) x256
+    # --- FFT 4096 (4-step) x256 ---------------------------------------
     z = np.zeros((256, 4096, 2), np.float32)
     ffft = jax.jit(tx.tx_init("fft", 4096))
     dt = timeit(ffft, z)
-    rows.append(("fft4096 x256", dt, f"{256 / dt / 1e3:.1f} k transforms/s"))
+    flops = 256 * 5 * 4096 * 12           # 5N log2 N
+    add("fft4096 x256", dt, f"{256 / dt / 1e3:.1f} k tr/s",
+        flops, 2 * z.nbytes, "f32")
 
-    # motion search 1080p, +-8, 16x16
+    # --- motion search 1080p, +-8, 16x16 ------------------------------
     cur = np.zeros((1088, 1920), np.float32)
     ref = np.zeros((1088, 1920), np.float32)
     dt = timeit(lambda a, b: me.motion_search(a, b, 16, 8), cur, ref)
     mbs = (1088 // 16) * (1920 // 16)
-    rows.append(("full-search SAD 1080p +-8", dt, f"{mbs / dt / 1e6:.1f} M MB/s"))
+    flops = mbs * 17 * 17 * 256 * 2       # |a-b| + add per candidate
+    add("full-search SAD 1080p +-8", dt, f"{mbs / dt / 1e6:.1f} M MB/s",
+        flops, cur.nbytes * 2, "f32")
 
-    # qpel MC 1080p
+    # --- qpel MC 1080p -------------------------------------------------
     mvs = np.zeros((68, 120, 2), np.int32)
     fmc = jax.jit(lambda r, m: mc.mc_blocks(r, m, 16))
     dt = timeit(fmc, ref, mvs)
-    rows.append(("qpel MC 1080p", dt, f"{1 / dt:.0f} frames/s"))
+    flops = 1088 * 1920 * (8 * 2 * 2)     # 8-tap H+V per pixel
+    add("qpel MC 1080p", dt, f"{1 / dt:.0f} fr/s",
+        flops, ref.nbytes * 2, "f32")
 
-    print(f"{'kernel':<36}{'ms/call':>10}   throughput")
-    for name, dt, thr in rows:
-        print(f"{name:<36}{dt * 1e3:>10.2f}   {thr}")
+    print(f"{'kernel':<34}{'ms':>8}{'GFLOP/s':>9}{'GB/s':>7}"
+          f"{'MFU%':>6}{'BW%':>6}  throughput")
+    for name, dt, thr, gfs, gbs, mfu, bwu, peak in rows:
+        print(f"{name:<34}{dt * 1e3:>8.2f}{gfs:>9.0f}{gbs:>7.1f}"
+              f"{mfu:>6.1f}{bwu:>6.1f}  {thr} (peak={peak})")
 
 
 if __name__ == "__main__":
