@@ -154,22 +154,29 @@ def run_fullres_tpu_entropy() -> dict:
     d = open_input(str(CLIP_RST), format="mjpeg")
     pkts = [p.data for p in d.packets()]
     spec = TpuEntropySpec(W, H, OUT, OUT, batch=BATCH, stride=192)
-    pipe = MjpegTpuEntropyPipeline(spec, pkts[0])
+    pipe = MjpegTpuEntropyPipeline(spec, max(pkts, key=len))
 
-    # triple-buffered host staging so prep/transfer/compute overlap
+    # window staging: WINDOW_BATCHES batches prep into one pinned host
+    # buffer and ship as ONE device_put per window (the tunnel h2d has
+    # a large fixed latency, so fewer+bigger transfers win); the next
+    # window preps on a worker thread while this one computes.
     NRING = 3
-    ring = [(np.zeros_like(pipe.rows), np.zeros_like(pipe.lens),
-             np.zeros_like(pipe.luts)) for _ in range(NRING)]
+    ring = [np.zeros((WINDOW_BATCHES,) + pipe.regions.shape, np.uint8)
+            for _ in range(NRING)]
+
+    def prep_window(r):
+        buf = ring[r % NRING]
+        for b in range(WINDOW_BATCHES):
+            for i in range(BATCH):
+                fno = ((r * WINDOW_BATCHES + b) * BATCH + i) % NFRAMES
+                pipe.prep_frame(pkts[fno], i, regions=buf[b])
+        return buf
 
     def prep_batch(r):
-        rows, lens, luts = ring[r % NRING]
-        pipe.rows, pipe.lens, pipe.luts = rows, lens, luts
-        for i in range(BATCH):
-            pipe.prep_frame(pkts[(r * BATCH + i) % NFRAMES], i)
-        return rows, lens, luts
+        return prep_window(r)[0]
 
     t0 = time.monotonic()
-    prep_batch(0)
+    pipe.regions[...] = prep_batch(0)
     warm = pipe.run_batch()
     jax.block_until_ready(warm)
     compile_s = time.monotonic() - t0
@@ -192,41 +199,46 @@ def run_fullres_tpu_entropy() -> dict:
 
     # device-only rate (inputs pre-staged; rotate sets to defeat any
     # transparent result caching in the runtime)
-    staged = []
-    for r in range(NRING):
-        rows, lens, luts = prep_batch(r)
-        staged.append((jax.device_put(rows), jax.device_put(lens),
-                       jax.device_put(luts)))
-    outs = [pipe.fn(*staged[k % NRING]) for k in range(6)]
+    staged = [jax.device_put(prep_batch(r)) for r in range(NRING)]
+    outs = [pipe.fn(staged[k % NRING]) for k in range(6)]
     jax.block_until_ready(outs)
     t0 = time.monotonic()
-    outs = [pipe.fn(*staged[k % NRING]) for k in range(12)]
+    outs = [pipe.fn(staged[k % NRING]) for k in range(12)]
     jax.block_until_ready(outs)
     device_fps = 12 * BATCH / (time.monotonic() - t0)
 
-    # steady-state e2e: windows until >= MIN_MEASURE_S measured
+    # steady-state e2e: windows until >= MIN_MEASURE_S measured, after
+    # NWARM unmeasured warm-up windows (allocator/tunnel ramp)
+    from concurrent.futures import ThreadPoolExecutor
+    NWARM = 3
     windows = []
+    pool = ThreadPoolExecutor(1)
+    nxt = pool.submit(prep_window, 0)
     r = 0
-    t_measure0 = time.monotonic()
+    t_measure0 = None
     pending = []
-    while time.monotonic() - t_measure0 < MIN_MEASURE_S or \
-            len(windows) < 5:
+    while True:
         tw = time.monotonic()
-        for _ in range(WINDOW_BATCHES):
-            rows, lens, luts = prep_batch(r)
-            pending.append(pipe.fn(jax.device_put(rows),
-                                   jax.device_put(lens),
-                                   jax.device_put(luts)))
+        dev = jax.device_put(nxt.result())
+        nxt = pool.submit(prep_window, r + 1)
+        for b in range(WINDOW_BATCHES):
+            pending.append(pipe.fn(dev[b]))
             if len(pending) > 2:
                 jax.block_until_ready(pending.pop(0))
-            r += 1
         for o in pending:
             jax.block_until_ready(o)
         pending = []
+        r += 1
+        if r <= NWARM:
+            if r == NWARM:
+                t_measure0 = time.monotonic()
+            continue
         windows.append(WINDOW_BATCHES * BATCH
                        / (time.monotonic() - tw))
-        if len(windows) >= 20:
+        if (time.monotonic() - t_measure0 >= MIN_MEASURE_S
+                and len(windows) >= 5) or len(windows) >= 20:
             break
+    pool.shutdown(wait=False)
     med = statistics.median(windows)
     spread = (max(windows) - min(windows)) / med if med else 1.0
     return {

@@ -72,9 +72,12 @@ class FrameDec:
         self.refs = refs or [[], []]
         self.rpl = rpl or [[], []]
         W, H = sps.width, sps.height
-        self.y = np.zeros((H, W), np.uint8)
-        self.u = np.zeros((H // 2, W // 2), np.uint8)
-        self.v = np.zeros((H // 2, W // 2), np.uint8)
+        self.bd = sps.bit_depth
+        self.pmax = (1 << self.bd) - 1
+        dt = np.uint8 if self.bd == 8 else np.uint16
+        self.y = np.zeros((H, W), dt)
+        self.u = np.zeros((H // 2, W // 2), dt)
+        self.v = np.zeros((H // 2, W // 2), dt)
         # per-4x4 (min PU/TB) intra mode map, default DC (=1)
         self.ipm = np.ones(((H + 3) // 4, (W + 3) // 4), np.int32)
         ncb = 1 << (sps.log2_ctb - sps.log2_min_cb)
@@ -232,16 +235,17 @@ class CtuCoder:
             dec.sao_offset[ry, rx, c] = vals
 
     def _sao_offset_abs(self, v=None):
-        """TR binarization, cMax = 7 (8-bit), all bypass."""
+        """TR binarization, cMax = (1 << (min(bd,10)-5)) - 1, bypass."""
         io = self.io
+        cmax = (1 << (min(self.dec.bd, 10) - 5)) - 1
         if io.encode:
             for _ in range(v):
                 io.byp(1)
-            if v < 7:
+            if v < cmax:
                 io.byp(0)
             return v
         i = 0
-        while i < 7 and io.byp():
+        while i < cmax and io.byp():
             i += 1
         return i
 
@@ -784,14 +788,16 @@ class CtuCoder:
 
     def _intra_pred(self, plane, x, y, size, mode, c_idx, avail):
         l, bl, t, tr, tl = avail
+        bd = self.dec.bd
         pic_h, pic_w = plane.shape
         left, top = recon.build_refs(plane, x, y, size, l, bl, t, tr,
-                                     tl, pic_w, pic_h)
+                                     tl, pic_w, pic_h, bd=bd)
         if recon.smoothing_applies(mode, size, c_idx):
             strong = self.dec.sps.strong_intra_smoothing and \
                 c_idx == 0 and size == 32
-            left, top = recon.filter_refs(left, top, size, strong)
-        return recon.pred_intra(left, top, size, mode, c_idx)
+            left, top = recon.filter_refs(left, top, size, strong,
+                                          bd=bd)
+        return recon.pred_intra(left, top, size, mode, c_idx, bd=bd)
 
     def transform_unit(self, x0, y0, xBase, yBase, log2, blk_idx,
                        cbf_luma, cbf_cb, cbf_cr, mode):
@@ -803,7 +809,8 @@ class CtuCoder:
         if self._cu_intra and not self.io.encode:
             avail = self._avail(x0, y0, size)
             pred = self._intra_pred(dec.y, x0, y0, size, mode, 0, avail)
-            dec.y[y0:y0 + size, x0:x0 + size] = np.clip(pred, 0, 255)
+            dec.y[y0:y0 + size, x0:x0 + size] = np.clip(pred, 0,
+                                                        dec.pmax)
         scan = SCAN_DIAG
         scan_c = SCAN_DIAG
         if self._cu_intra and log2 < 4:   # mode-based scans: intra only
@@ -839,7 +846,8 @@ class CtuCoder:
                 avail = self._avail(xc * 2, yc * 2, sizec * 2)
                 pred = self._intra_pred(pl, xc, yc, sizec, mode_c,
                                         c_idx, avail)
-                pl[yc:yc + sizec, xc:xc + sizec] = np.clip(pred, 0, 255)
+                pl[yc:yc + sizec, xc:xc + sizec] = np.clip(pred, 0,
+                                                           dec.pmax)
             if cbf:
                 self.residual(xc, yc, log2c, scan_c, c_idx)
 
@@ -1082,16 +1090,16 @@ class CtuCoder:
                 if c_idx == 1 else \
                 (dec.pps.cr_qp_offset + dec.sh.cr_qp_offset)
             qp = recon.chroma_qp(dec.qp, off)
-        scale, shift, add = recon.dequant_factors(qp, log2)
+        scale, shift, add = recon.dequant_factors(qp, log2, dec.bd)
         coef = np.clip((out * scale * 16 + add) >> shift,
                        -32768, 32767)
         if c_idx == 0 and log2 == 2 and self._cu_intra:
-            res = recon.idst4(coef)       # DST-VII: intra luma 4x4 only
+            res = recon.idst4(coef, dec.bd)  # DST-VII: intra luma 4x4
         else:
-            res = recon.idct(coef)
+            res = recon.idct(coef, dec.bd)
         pl = (dec.y, dec.u, dec.v)[c_idx]
         blk = pl[y0:y0 + n, x0:x0 + n].astype(np.int64)
-        pl[y0:y0 + n, x0:x0 + n] = np.clip(blk + res, 0, 255)
+        pl[y0:y0 + n, x0:x0 + n] = np.clip(blk + res, 0, dec.pmax)
 
     # ------------------------------------------------------------------
     def _last_prefix_suffix(self, lx, ly, log2, c_idx):

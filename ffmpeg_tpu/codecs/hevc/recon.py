@@ -13,29 +13,31 @@ def _clip16(x):
     return np.clip(x, -32768, 32767)
 
 
-def idct(coef: np.ndarray) -> np.ndarray:
+def idct(coef: np.ndarray, bd: int = 8) -> np.ndarray:
     """Inverse DCT-II, any size in {4, 8, 16, 32}. coef: (n, n) int.
-    Two passes: vertical (shift 7) then horizontal (shift 12 for
-    8-bit), int16 clipping between and after (dsp_template.c IDCT)."""
+    Two passes: vertical (shift 7) then horizontal (shift 20 - bd),
+    int16 clipping between and after (dsp_template.c IDCT)."""
     n = coef.shape[0]
     t = {4: T.T4, 8: T.T8, 16: T.T16, 32: T.T32}[n].astype(np.int64)
     c = coef.astype(np.int64)
+    sh2 = 20 - bd
     tmp = _clip16((t.T @ c + 64) >> 7)
-    return _clip16((tmp @ t + 2048) >> 12)
+    return _clip16((tmp @ t + (1 << (sh2 - 1))) >> sh2)
 
 
-def idst4(coef: np.ndarray) -> np.ndarray:
+def idst4(coef: np.ndarray, bd: int = 8) -> np.ndarray:
     """4x4 inverse DST-VII (intra luma 4x4; transform_4x4_luma)."""
     s = T.DST4.astype(np.int64)
     c = coef.astype(np.int64)
+    sh2 = 20 - bd
     tmp = _clip16((s.T @ c + 64) >> 7)
-    return _clip16((tmp @ s + 2048) >> 12)
+    return _clip16((tmp @ s + (1 << (sh2 - 1))) >> sh2)
 
 
-def dequant_factors(qp: int, log2_size: int):
+def dequant_factors(qp: int, log2_size: int, bd: int = 8):
     """→ (scale, shift, add): level' = clip16((level*scale*16+add)>>shift)
     for flat scaling (spec 8.6.3 with m = 16)."""
-    shift = 8 + log2_size - 5
+    shift = bd + log2_size - 5
     add = 1 << (shift - 1)
     scale = T.LEVEL_SCALE[qp % 6] << (qp // 6)
     return scale, shift, add
@@ -56,10 +58,11 @@ def chroma_qp(qp_y: int, offset: int) -> int:
 
 
 def build_refs(plane, x, y, size, cand_l, cand_bl, cand_t, cand_tr,
-               cand_tl, pic_w, pic_h):
+               cand_tl, pic_w, pic_h, bd: int = 8):
     """→ (left, top) int arrays of length 2*size+1; index 0 is the
     corner sample (-1, -1), entries 1.. are the side samples."""
     n = size
+    dc_fill = 1 << (bd - 1)
     left = np.zeros(2 * n + 1, np.int64)
     top = np.zeros(2 * n + 1, np.int64)
     p = plane
@@ -95,9 +98,9 @@ def build_refs(plane, x, y, size, cand_l, cand_bl, cand_t, cand_tr,
             left[1:] = left[0]
             cand_t = cand_tl = cand_l = True
         else:
-            left[0] = 128
-            top[:] = 128
-            left[:] = 128
+            left[0] = dc_fill
+            top[:] = dc_fill
+            left[:] = dc_fill
     if not cand_l:
         left[1:n + 1] = left[n + 1]
     if not cand_tl:
@@ -110,12 +113,12 @@ def build_refs(plane, x, y, size, cand_l, cand_bl, cand_t, cand_tr,
     return left, top
 
 
-def filter_refs(left, top, size, strong_ok):
+def filter_refs(left, top, size, strong_ok, bd: int = 8):
     """[1 2 1] reference smoothing (+ optional 32x32 strong bilinear).
     Arrays are the (2n+1)-layout of build_refs. Returns new arrays."""
     n = size
     if strong_ok:
-        threshold = 8                  # 1 << (bitdepth - 5)
+        threshold = 1 << (bd - 5)
         if abs(int(top[0]) + int(top[2 * n]) - 2 * int(top[n])) < \
                 threshold and \
                 abs(int(left[0]) + int(left[2 * n]) - 2 * int(left[n])) \
@@ -146,10 +149,11 @@ def filter_refs(left, top, size, strong_ok):
     return fl, ft
 
 
-def pred_intra(left, top, size, mode, c_idx):
+def pred_intra(left, top, size, mode, c_idx, bd: int = 8):
     """Prediction block (size, size) int64 from (possibly filtered)
     refs in the (2n+1)-layout."""
     n = size
+    pmax = (1 << bd) - 1
     out = np.zeros((n, n), np.int64)
     l = left[1:]                       # l[0..2n-1]
     t = top[1:]
@@ -197,7 +201,7 @@ def pred_intra(left, top, size, mode, c_idx):
             else:
                 out[yy] = seg[:n]
         if mode == 26 and c_idx == 0 and n < 32:
-            out[:, 0] = np.clip(t[0] + ((l[:n] - corner) >> 1), 0, 255)
+            out[:, 0] = np.clip(t[0] + ((l[:n] - corner) >> 1), 0, pmax)
         return out
     ref[OFF - 1] = corner
     ref[OFF:OFF + 2 * n] = l[:2 * n]
@@ -217,7 +221,7 @@ def pred_intra(left, top, size, mode, c_idx):
         else:
             out[:, xx] = seg[:n]
     if mode == 10 and c_idx == 0 and n < 32:
-        out[0, :] = np.clip(l[0] + ((t[:n] - corner) >> 1), 0, 255)
+        out[0, :] = np.clip(l[0] + ((t[:n] - corner) >> 1), 0, pmax)
     return out
 
 

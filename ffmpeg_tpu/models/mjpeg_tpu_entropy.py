@@ -1,16 +1,29 @@
 """1080p-class MJPEG decode with the ENTROPY STAGE ON THE TPU.
 
 The host's only per-frame work is destuffing the scan and splitting it
-at restart markers (csrc mjpeg_split_segments_strided, ~0.3 ms/frame);
-the raw segment bytes (~150 KB/frame instead of ~6 MB of coefficients)
-ship to the device, where ops/huffman.jpeg_scan_decode9 decodes all
-segments in parallel and one fused program does dequant + IDCT +
-upsample + colorspace + resize. This is the pipeline for hosts whose
-single CPU core cannot feed the chip (the usual TPU-VM shape).
+at restart markers (csrc mjpeg_split_segments, ~0.3 ms/frame); the raw
+segment bytes ship to the device, where ops/huffman.jpeg_scan_decode9
+decodes all segments in parallel and one fused program does dequant +
+IDCT + upsample + colorspace + resize. This is the pipeline for hosts
+whose single CPU core cannot feed the chip (the usual TPU-VM shape).
 
-Requires streams with restart markers and <= 9-bit Huffman codes — what
-our encoder emits with huffman=optimal + restart_interval (both fully
-standard JPEG; the reference decodes the same files).
+Wire format (v2 — sized for hosts behind a slow/high-latency PCIe or
+tunnel link; one contiguous uint8 region per frame, so a whole window
+of batches ships as ONE transfer):
+
+    region[0 : 2*nmcu]              u16le per-segment byte lengths
+    region[2*nmcu : 2*nmcu+6144]    (512,12) int8 Huffman LUT
+                                    (build_jpeg_luts9 — DHTs may vary
+                                    per frame with huffman=optimal)
+    region[hdr : ]                  destuffed segments, tightly packed
+
+The device reassembles the strided (L, S) lane layout with one gather
+(segment starts = exclusive cumsum of the lens), so the transfer costs
+~the entropy-coded size (~150 KB/frame) instead of the ~1.6 MB/frame
+the padded lane layout used to ship.  Requires streams with restart
+markers and <= 9-bit Huffman codes — what our encoder emits with
+huffman=optimal + restart_interval (both fully standard JPEG; the
+reference decodes the same files).
 """
 
 from __future__ import annotations
@@ -28,6 +41,8 @@ from ..ops.idct import jpeg_plane_reconstruct
 from ..scale.ops import compile_ops
 from ..scale.swscale import ScaleSpec, build_ops
 
+_LUT_BYTES = 512 * 12
+
 
 @dataclass(frozen=True)
 class TpuEntropySpec:
@@ -40,13 +55,16 @@ class TpuEntropySpec:
     long_frac: int = 16          # 1/long_frac of lanes go to the long call
     out_fmt: str = "rgb24"
     filter: str = "bicubic"
+    packed_cap: int = 0          # bytes per frame region; 0 = auto from
+                                 # the first packet (x1.3 + slack)
 
     @property
     def mcus(self):
         return -(-self.width // 16), -(-self.height // 16)
 
 
-def _build_program(spec: TpuEntropySpec, qy: np.ndarray, qc: np.ndarray):
+def _build_program(spec: TpuEntropySpec, cap: int,
+                   qy: np.ndarray, qc: np.ndarray):
     import jax
     import jax.numpy as jnp
 
@@ -54,7 +72,8 @@ def _build_program(spec: TpuEntropySpec, qy: np.ndarray, qc: np.ndarray):
     nmcu = mcus_x * mcus_y
     B = spec.batch
     L = B * nmcu
-    KLONG = max(256, L // spec.long_frac)
+    S = spec.stride
+    hdr = 2 * nmcu + _LUT_BYTES
     W, H = spec.width, spec.height
     ly, lx = mcus_y * 2, mcus_x * 2
     qyd = jnp.asarray(qy)
@@ -66,18 +85,43 @@ def _build_program(spec: TpuEntropySpec, qy: np.ndarray, qc: np.ndarray):
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
 
-    def run(rows, lens, luts):
-        """rows (L, stride) u8 destuffed segments; lens (L,) i32;
-        luts (B, 512, 12) i8 per-frame tables (DHTs may vary, e.g.
-        huffman=optimal re-derives tables every frame)."""
+    G = 64                       # window alignment granularity (bytes)
+    S2 = G + S                   # lane row incl. alignment slack
+
+    def run(regions):
+        """regions (B, cap) u8 — one packed frame per row (see module
+        docstring for the layout).
+
+        Expansion strategy: element-wise XLA gathers cost ~100 ms for
+        the 12.5 MB lane layout on TPU, but whole-row take_along_axis
+        is fast. So: build overlapping S2-byte windows at G=64-byte
+        steps with static slices, row-gather ONE window per segment
+        (start >> 6), and hand the decoder the residual bit offset
+        (start & 63) * 8 as its initial bit cursor."""
+        lw = regions[:, :2 * nmcu].reshape(B, nmcu, 2).astype(jnp.int32)
+        lens = lw[..., 0] | (lw[..., 1] << 8)            # (B, nmcu)
+        luts = jax.lax.bitcast_convert_type(
+            regions[:, 2 * nmcu:hdr], jnp.int8).reshape(B, 512, 12)
+        # tight packing => segment starts are the exclusive cumsum
+        starts = jnp.cumsum(lens, axis=1) - lens + hdr
+        f64 = regions.reshape(B, cap // G, G)
+        nwin = cap // G - (S2 // G - 1)
+        win = jnp.concatenate([f64[:, c:c + nwin] for c in range(S2 // G)],
+                              axis=2)                    # (B, nwin, S2)
+        win_idx = jnp.clip(starts >> 6, 0, nwin - 1)
+        rows = jnp.take_along_axis(win, win_idx[:, :, None],
+                                   axis=1).reshape(L, S2)
+        cur0 = ((starts & (G - 1)) * 8).reshape(L)
+        lensf = lens.reshape(L)
         if on_tpu:
             # Pallas kernel: state + output resident in VMEM, lanes
             # sorted by length into uniform per-frame blocks
             # (see ops/huffman.py jpeg_scan_decode9_pl)
-            out = jpeg_scan_decode9_pl(rows, lens, luts)
+            out = jpeg_scan_decode9_pl(rows, lensf, luts, cur0=cur0)
         else:
             outs = [jpeg_scan_decode9(rows[b * nmcu:(b + 1) * nmcu],
-                                      jnp.ones(nmcu, bool), luts[b])
+                                      jnp.ones(nmcu, bool), luts[b],
+                                      cur0=cur0[b * nmcu:(b + 1) * nmcu])
                     for b in range(B)]
             out = jnp.concatenate(outs)
         out = out.reshape(B, mcus_y, mcus_x, 6, 64)
@@ -90,11 +134,18 @@ def _build_program(spec: TpuEntropySpec, qy: np.ndarray, qc: np.ndarray):
                                    H // 2, W // 2, scale=1)
         return scale_fn([y, u, v])
 
-    return jax.jit(run), KLONG
+    return jax.jit(run)
 
 
 class MjpegTpuEntropyPipeline:
-    """Stateful batch decoder: feed scan packets, get scaled RGB batches."""
+    """Stateful batch decoder: feed scan packets, get scaled RGB batches.
+
+    `prep_frame` stages one frame into `self.regions[slot]`; `run_batch`
+    decodes the staged batch.  Callers that overlap host prep with
+    device compute can swap `self.regions` for ring/window buffers of
+    shape (..., batch, cap) and ship a whole window with one
+    jax.device_put (see bench.py).
+    """
 
     def __init__(self, spec: TpuEntropySpec, first_packet: bytes):
         from ..codecs.mjpeg import _JpegState, _parse_until_scan
@@ -102,43 +153,61 @@ class MjpegTpuEntropyPipeline:
         self._parse = _parse_until_scan
         self._State = _JpegState
         st = _JpegState()
-        _parse_until_scan(first_packet, st)
+        off, _ = _parse_until_scan(first_packet, st)
         self._qy = st.qtabs[st.components[0].q_idx].astype(np.int32)
         self._qc = st.qtabs[st.components[1].q_idx].astype(np.int32)
-        self.fn, self.klong = _build_program(spec, self._qy, self._qc)
-        self.lib = native.get()
         mcus_x, mcus_y = spec.mcus
         self.nmcu = mcus_x * mcus_y
-        L = spec.batch * self.nmcu
-        self.rows = np.zeros((L, spec.stride), np.uint8)
-        self.lens = np.zeros(L, np.int32)
-        self.luts = np.zeros((spec.batch, 512, 12), np.int8)
+        self.hdr = 2 * self.nmcu + _LUT_BYTES
+        scan_len = len(first_packet) - off
+        cap = spec.packed_cap or (
+            self.hdr + int(scan_len * 1.3) + 4096)
+        self.cap = -(-cap // 128) * 128
+        self.fn = _build_program(spec, self.cap, self._qy, self._qc)
+        self.lib = native.get()
+        self.regions = np.zeros((spec.batch, self.cap), np.uint8)
+        self._offs = np.zeros(self.nmcu + 2, np.int32)
 
-    def prep_frame(self, data: bytes, slot: int) -> None:
-        """Host work for one frame: headers + destuff/split into the
-        batch buffer row range [slot*nmcu, (slot+1)*nmcu)."""
+    def prep_frame(self, data: bytes, slot: int,
+                   regions: np.ndarray | None = None) -> None:
+        """Host work for one frame: headers + destuff/split packed into
+        region `slot` of `regions` (default self.regions)."""
+        if regions is None:
+            regions = self.regions
         st = self._State()
         off, _ = self._parse(data, st)
         qy = st.qtabs[st.components[0].q_idx].astype(np.int32)
         if not np.array_equal(qy, self._qy):
             raise ValueError("mjpeg_tpu_entropy: quant tables changed "
                              "mid-stream (rebuild the pipeline)")
-        self.luts[slot] = build_jpeg_luts9(st)
+        region = regions[slot]
+        region[2 * self.nmcu:self.hdr] = \
+            build_jpeg_luts9(st).view(np.uint8).reshape(-1)
         scan = data[off:]
-        base = slot * self.nmcu
-        n = self.lib.mjpeg_split_segments_strided(
+        dst = region[self.hdr:]
+        n = self.lib.mjpeg_split_segments(
             scan, len(scan),
-            self.rows[base:].ctypes.data_as(
-                ctypes.POINTER(ctypes.c_uint8)),
-            self.spec.stride, self.nmcu + 1,
-            self.lens[base:].ctypes.data_as(
-                ctypes.POINTER(ctypes.c_int32)))
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(dst),
+            self._offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self.nmcu)
         if n != self.nmcu:
-            raise ValueError(f"segment split failed: {n}")
+            raise ValueError(
+                f"segment split failed: {n} (packed_cap too small for "
+                f"this frame?)" if n < 0 else f"segment count {n} != "
+                f"{self.nmcu}")
+        lens = np.diff(self._offs[:self.nmcu + 1])
+        if lens.max(initial=0) > self.spec.stride - 5:
+            raise ValueError("segment longer than stride - 5 "
+                             "(increase TpuEntropySpec.stride)")
+        if self.hdr + self._offs[self.nmcu] > self.cap - 64 - \
+                self.spec.stride:
+            raise ValueError("packed frame too close to region end "
+                             "(increase TpuEntropySpec.packed_cap)")
+        region[:2 * self.nmcu] = \
+            lens.astype(np.uint16).view(np.uint8).reshape(-1)
 
     def run_batch(self):
         """Decode the prepared batch; returns device output planes."""
         import jax
-        return self.fn(jax.device_put(self.rows),
-                       jax.device_put(self.lens),
-                       jax.device_put(self.luts))
+        return self.fn(jax.device_put(self.regions))

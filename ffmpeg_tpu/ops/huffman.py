@@ -88,13 +88,15 @@ def build_jpeg_luts9(st) -> np.ndarray:
 
 def jpeg_scan_decode9(rows, valid, lut9, blocks_per_seg: int = 6,
                       comp_of_blk=(0, 0, 0, 0, 1, 2), max_iter: int = 0,
-                      blk_end=None):
+                      blk_end=None, cur0=None):
     """One-hot/MXU fast path of jpeg_scan_decode for streams whose
     Huffman codes are <= 9 bits (our encoder's huffman=optimal default).
 
     rows:  (L, S) uint8 — each lane's destuffed segment at a fixed
            stride (mjpeg_split_segments_strided), >= 4 trailing pad.
     lut9:  (512, 8) float32 from build_jpeg_luts9.
+    cur0:  optional (L,) int32 initial bit position per lane (lanes cut
+           from a shared window at coarse alignment start mid-row).
     Returns (L, blocks_per_seg, 64) int32.
 
     Random gathers cost ~0.5 ms per step inside a TPU loop; every lookup
@@ -185,7 +187,8 @@ def jpeg_scan_decode9(rows, valid, lut9, blocks_per_seg: int = 6,
         return (it + 1, cur, blk, k, p0, p1, p2, out)
 
     z = jnp.zeros(L, np.int32)
-    init = (jnp.int32(0), z,
+    init = (jnp.int32(0),
+            z if cur0 is None else jnp.asarray(cur0, np.int32),
             jnp.where(valid, 0, end).astype(np.int32),
             z - 1, z, z, z,
             jnp.zeros((L, NBLK * 64), np.int16))
@@ -316,10 +319,11 @@ def _make_pl_kernel(stride: int, max_iter: int, nblk: int):
     NCOEF = nblk * 64
     CHUNK = 8              # body steps per while-loop condition check
 
-    def kernel(rows_ref, end_ref, lut_ref, out_ref, rows32_ref):
-        # rows_ref (1,S,8,128) u8; end_ref (1,8,128) i32;
-        # lut_ref (1,512,16) i8 (this block's frame); out_ref
-        # (1,8,128,NCOEF) i16; rows32_ref scratch (S,8,128) i32
+    def kernel(rows_ref, end_ref, cur0_ref, lut_ref, out_ref, rows32_ref):
+        # rows_ref (1,S,8,128) u8; end_ref (1,8,128) i32; cur0_ref
+        # (1,8,128) i32 initial bit positions; lut_ref (1,512,16) i8
+        # (this block's frame); out_ref (1,8,128,NCOEF) i16;
+        # rows32_ref scratch (S,8,128) i32
         lut_const = lut_ref[0]
         r = rows_ref[0].astype(jnp.int32)
         r1 = pltpu.roll(r, S - 1, 0)
@@ -399,13 +403,14 @@ def _make_pl_kernel(stride: int, max_iter: int, nblk: int):
 
         z = jnp.zeros((8, 128), jnp.int32)
         jax.lax.while_loop(cond, chunk_body,
-                           (jnp.int32(0), z, z, z - 1, z, z, z))
+                           (jnp.int32(0), cur0_ref[0], z, z - 1, z, z, z))
 
     return kernel
 
 
 def jpeg_scan_decode9_pl(rows, lens, lut9, blocks_per_seg: int = 6,
-                         max_iter: int = 0, interpret: bool = False):
+                         max_iter: int = 0, interpret: bool = False,
+                         cur0=None):
     """Pallas-TPU segment-parallel scan decode (traceable).
 
     rows: (L, S) uint8 strided destuffed segments; lens: (L,) int32
@@ -441,18 +446,25 @@ def jpeg_scan_decode9_pl(rows, lens, lut9, blocks_per_seg: int = 6,
 
     lens = jnp.asarray(lens, jnp.int32).reshape(F, npf)
     rows = jnp.asarray(rows).reshape(F, npf, S)
+    if cur0 is None:
+        cur0 = jnp.zeros((F, npf), jnp.int32)
+    else:
+        cur0 = jnp.asarray(cur0, jnp.int32).reshape(F, npf)
     if npf_p != npf:
         rows = jnp.pad(rows, ((0, 0), (0, npf_p - npf), (0, 0)))
         lens = jnp.pad(lens, ((0, 0), (0, npf_p - npf)))
+        cur0 = jnp.pad(cur0, ((0, 0), (0, npf_p - npf)))
     # sort lanes by length (descending) WITHIN each frame so every
     # 1024-lane block is near-uniform; padding lanes (len 0) sort last
     perm = jnp.argsort(-lens, axis=1)
     rows_s = jnp.take_along_axis(rows, perm[:, :, None], axis=1)
     end_s = jnp.where(jnp.take_along_axis(lens, perm, axis=1) > 0,
                       NBLK, 0).astype(jnp.int32)
+    cur0_s = jnp.take_along_axis(cur0, perm, axis=1)
 
     r4 = rows_s.reshape(nb, 8, 128, S).transpose(0, 3, 1, 2)
     e3 = end_s.reshape(nb, 8, 128)
+    c3 = cur0_s.reshape(nb, 8, 128)
     lutpad = jnp.zeros((F, 512, 16), jnp.int8).at[:, :, :12].set(lut9)
     kernel = _make_pl_kernel(S, max_iter, NBLK)
     out = pl.pallas_call(
@@ -460,6 +472,8 @@ def jpeg_scan_decode9_pl(rows, lens, lut9, blocks_per_seg: int = 6,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, S, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -474,7 +488,7 @@ def jpeg_scan_decode9_pl(rows, lens, lut9, blocks_per_seg: int = 6,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(r4, e3, lutpad)
+    )(r4, e3, c3, lutpad)
     out = out.reshape(F, npf_p, NCOEF)
     inv = jnp.argsort(perm, axis=1)
     out = jnp.take_along_axis(out, inv[:, :, None], axis=1)[:, :npf]

@@ -258,3 +258,15 @@ def test_pallas_scan_decode_interpret_matches_xla():
     out = np.asarray(jpeg_scan_decode9_pl(
         rows, lens, np.stack(luts), interpret=True))
     assert np.array_equal(out, ref)
+
+    # cur0 path (packed wire format v2): shift every lane right by a
+    # per-lane byte offset and hand the kernel the residual bit cursor,
+    # as models/mjpeg_tpu_entropy does after its window gather.
+    rng = np.random.default_rng(7)
+    offs = rng.integers(0, 64, rows.shape[0]).astype(np.int32)
+    rows2 = np.zeros((rows.shape[0], S + 64), np.uint8)
+    for i, o in enumerate(offs):
+        rows2[i, o:o + S] = rows[i]
+    out2 = np.asarray(jpeg_scan_decode9_pl(
+        rows2, lens, np.stack(luts), interpret=True, cur0=offs * 8))
+    assert np.array_equal(out2, ref)
