@@ -167,6 +167,21 @@ class MjpegTpuEntropyPipeline:
         self.lib = native.get()
         self.regions = np.zeros((spec.batch, self.cap), np.uint8)
         self._offs = np.zeros(self.nmcu + 2, np.int32)
+        self._fn_window = {}
+        self._lut_cache = {}
+
+    def fn_window(self, nbatches: int):
+        """One jitted dispatch for a whole (nbatches, batch, cap) window
+        — lax.map over batches so VMEM stays bounded but the host pays a
+        single dispatch per window (the tunnel's per-op latency is the
+        tax this amortises)."""
+        if nbatches not in self._fn_window:
+            import jax
+            from jax import lax
+            fn = self.fn
+            self._fn_window[nbatches] = jax.jit(
+                lambda w: lax.map(fn, w))
+        return self._fn_window[nbatches]
 
     def prep_frame(self, data: bytes, slot: int,
                    regions: np.ndarray | None = None) -> None:
@@ -181,8 +196,17 @@ class MjpegTpuEntropyPipeline:
             raise ValueError("mjpeg_tpu_entropy: quant tables changed "
                              "mid-stream (rebuild the pipeline)")
         region = regions[slot]
-        region[2 * self.nmcu:self.hdr] = \
-            build_jpeg_luts9(st).view(np.uint8).reshape(-1)
+        # LUT build is ~0.2 ms; frames usually repeat DHTs, so cache on
+        # the raw table bytes (bounded — JPEG DHTs are tiny)
+        key = (st.dc_counts.tobytes() + st.dc_values.tobytes()
+               + st.ac_counts.tobytes() + st.ac_values.tobytes())
+        lut = self._lut_cache.get(key)
+        if lut is None:
+            lut = build_jpeg_luts9(st).view(np.uint8).reshape(-1)
+            if len(self._lut_cache) > 64:
+                self._lut_cache.clear()
+            self._lut_cache[key] = lut
+        region[2 * self.nmcu:self.hdr] = lut
         scan = data[off:]
         dst = region[self.hdr:]
         n = self.lib.mjpeg_split_segments(
