@@ -149,7 +149,9 @@ class HevcDecoder(Codec):
             sao_frame(dec)
         y, u, v = dec.y.copy(), dec.u.copy(), dec.v.copy()
         self.dpb.append({"poc": poc, "y": y, "u": u, "v": v})
-        f = Frame.video(sps.width, sps.height, "yuv420p",
+        fmt = {8: "yuv420p", 10: "yuv420p10le",
+               12: "yuv420p12le"}[sps.bit_depth]
+        f = Frame.video(sps.width, sps.height, fmt,
                         planes=[y, u, v],
                         pts=pkt.pts if pkt else 0,
                         time_base=(pkt.time_base if pkt else None)

@@ -1082,14 +1082,17 @@ class CtuCoder:
 
         if io.encode:
             return None
-        # dequant + inverse transform + add
+        # dequant + inverse transform + add. Dequant runs at
+        # Qp' = Qp + QpBdOffset (6*(bd-8), spec 8.6.1); deblock keeps
+        # the un-offset QpY.
+        qpbd = 6 * (dec.bd - 8)
         if c_idx == 0:
-            qp = dec.qp
+            qp = dec.qp + qpbd
         else:
             off = (dec.pps.cb_qp_offset + dec.sh.cb_qp_offset) \
                 if c_idx == 1 else \
                 (dec.pps.cr_qp_offset + dec.sh.cr_qp_offset)
-            qp = recon.chroma_qp(dec.qp, off)
+            qp = recon.chroma_qp(dec.qp, off, bd=dec.bd) + qpbd
         scale, shift, add = recon.dequant_factors(qp, log2, dec.bd)
         coef = np.clip((out * scale * 16 + add) >> shift,
                        -32768, 32767)

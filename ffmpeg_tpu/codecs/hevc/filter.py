@@ -20,8 +20,12 @@ TCTABLE = np.asarray(T.TC_TABLE, np.int32)
 assert len(BETATABLE) == 52 and len(TCTABLE) == 54
 
 
-def _clip255(v):
-    return max(0, min(255, v))
+_PMAX = 255          # module-level sample max, set per call by the
+                     # frame drivers below (host path is single-thread)
+
+
+def _clipP(v):
+    return max(0, min(_PMAX, v))
 
 
 def _clip3(lo, hi, v):
@@ -78,19 +82,19 @@ def _luma_edge(get, put, tc, beta, no_p=False, no_q=False):
             continue
         delta = _clip3(-tc, tc, delta)
         if not no_p:
-            put(i, -1, _clip255(P[0] + delta))
+            put(i, -1, _clipP(P[0] + delta))
             if filt_p:
                 dp = _clip3(-(tc >> 1), tc >> 1,
                             (((P[2] + P[0] + 1) >> 1) - P[1] + delta)
                             >> 1)
-                put(i, -2, _clip255(P[1] + dp))
+                put(i, -2, _clipP(P[1] + dp))
         if not no_q:
-            put(i, 0, _clip255(Q[0] - delta))
+            put(i, 0, _clipP(Q[0] - delta))
             if filt_q:
                 dq = _clip3(-(tc >> 1), tc >> 1,
                             (((Q[2] + Q[0] + 1) >> 1) - Q[1] - delta)
                             >> 1)
-                put(i, 1, _clip255(Q[1] + dq))
+                put(i, 1, _clipP(Q[1] + dq))
 
 
 def _chroma_edge(get, put, tc, no_p=False, no_q=False):
@@ -100,9 +104,9 @@ def _chroma_edge(get, put, tc, no_p=False, no_q=False):
         q0, q1 = get(i, 0), get(i, 1)
         delta = _clip3(-tc, tc, ((((q0 - p0) * 4) + p1 - q1 + 4) >> 3))
         if not no_p:
-            put(i, -1, _clip255(p0 + delta))
+            put(i, -1, _clipP(p0 + delta))
         if not no_q:
-            put(i, 0, _clip255(q0 - delta))
+            put(i, 0, _clipP(q0 - delta))
 
 
 def deblock_frame(dec):
@@ -112,15 +116,19 @@ def deblock_frame(dec):
     sh, sps = dec.sh, dec.sps
     if sh.deblocking_disabled:
         return
+    global _PMAX
+    bd = sps.bit_depth
+    _PMAX = (1 << bd) - 1
+    bdsh = bd - 8        # beta/tc scale (spec 8.7.2.5.3: << (bd-8))
     W, H = sps.width, sps.height
     qp = dec.qp
     from .recon import chroma_qp
 
     def luma_params(bs):
         idxb = _clip3(0, 51, qp + sh.beta_offset)
-        beta = int(BETATABLE[idxb])
+        beta = int(BETATABLE[idxb]) << bdsh
         idxt = _clip3(0, 53, qp + 2 * (bs - 1) + sh.tc_offset)
-        return beta, int(TCTABLE[idxt])
+        return beta, int(TCTABLE[idxt]) << bdsh
 
     y = dec.y.astype(np.int32)
 
@@ -156,7 +164,7 @@ def deblock_frame(dec):
                        lambda i, k, v: y.__setitem__((yy + k, x0 + i),
                                                      v),
                        tc, beta)
-    dec.y[:] = y.astype(np.uint8)
+    dec.y[:] = y.astype(dec.y.dtype)
 
     # --- chroma (4:2:0): edges on 16-luma grid, bS == 2 only
     for c_idx, pl in ((1, dec.u), (2, dec.v)):
@@ -165,7 +173,7 @@ def deblock_frame(dec):
         off += (dec.sh.cb_qp_offset if c_idx == 1
                 else dec.sh.cr_qp_offset)
         qpc = chroma_qp(qp, off)
-        tc = int(TCTABLE[_clip3(0, 53, qpc + 2 + sh.tc_offset)])
+        tc = int(TCTABLE[_clip3(0, 53, qpc + 2 + sh.tc_offset)]) << bdsh
         if not tc:
             continue
         c = pl.astype(np.int32)
@@ -192,7 +200,7 @@ def deblock_frame(dec):
                     lambda i, k: int(c[yc + k, (x0 >> 1) + i]),
                     lambda i, k, v: c.__setitem__(
                         (yc + k, (x0 >> 1) + i), v), tc)
-        pl[:] = c.astype(np.uint8)
+        pl[:] = c.astype(pl.dtype)
 
 
 # EO class -> (neighbour a dy,dx ; neighbour b dy,dx)  (spec 8.7.3)
@@ -208,6 +216,11 @@ def sao_frame(dec):
     sps, sh = dec.sps, dec.sh
     if not (sh.sao_luma or sh.sao_chroma):
         return
+    bd = sps.bit_depth
+    pmax = (1 << bd) - 1
+    # spec 7.4.9.3: offsets are coded at min(bd,10) precision and
+    # scaled up by (bd - min(bd, 10)) — nonzero only for Main12
+    osc = bd - min(bd, 10)
     ctb = 1 << sps.log2_ctb
     for c_idx, pl in enumerate((dec.y, dec.u, dec.v)):
         if c_idx == 0 and not sh.sao_luma:
@@ -227,16 +240,16 @@ def sao_frame(dec):
                 y0 = (ry << sps.log2_ctb) >> shift
                 x1 = min(x0 + (ctb >> shift), W)
                 y1 = min(y0 + (ctb >> shift), H)
-                vals = dec.sao_offset[ry, rx, c_idx]
+                vals = dec.sao_offset[ry, rx, c_idx] << osc
                 blk = src[y0:y1, x0:x1]
                 if t == 1:               # band offset
-                    band = blk >> 3      # bitdepth 8: 32 bands
+                    band = blk >> (bd - 5)       # 32 bands
                     pos = int(dec.sao_band_pos[ry, rx, c_idx])
                     lut = np.zeros(32, np.int32)
                     for i in range(4):
                         lut[(pos + i) & 31] = vals[i + 1]
                     out[y0:y1, x0:x1] = np.clip(blk + lut[band],
-                                                0, 255)
+                                                0, pmax)
                     continue
                 # edge offset: neighbours from the pre-SAO picture
                 ady, adx, bdy, bdx = _EO_NEIGH[
@@ -258,6 +271,6 @@ def sao_frame(dec):
                 cat = np.where(edge == 2, 0,
                                np.where(edge < 2, edge + 1, edge))
                 res = np.clip(blk + np.asarray(vals, np.int32)[cat],
-                              0, 255)
+                              0, pmax)
                 out[y0:y1, x0:x1] = np.where(ok, res, blk)
-        pl[:] = out.astype(np.uint8)
+        pl[:] = out.astype(pl.dtype)

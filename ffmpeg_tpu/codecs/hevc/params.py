@@ -1,7 +1,7 @@
 """HEVC parameter sets + slice header (ITU-T H.265 7.3.2/7.3.6;
 reference: libavcodec/hevc/ps.c, hevcdec.c hls_slice_header).
 
-Scope: Main profile, 8-bit 4:2:0, frame pictures, no tiles/WPP.
+Scope: Main/Main10/Main12 profiles, 4:2:0, frame pictures.
 The NAL escape format is identical to H.264 (emulation prevention)."""
 
 from __future__ import annotations
@@ -101,8 +101,8 @@ def parse_sps(rbsp: bytes) -> HevcSPS:
         b.ue(), b.ue(), b.ue(), b.ue()
         raise NotSupported("hevc: conformance window cropping")
     s.bit_depth = b.ue() + 8
-    if b.ue() + 8 != s.bit_depth or s.bit_depth != 8:
-        raise NotSupported("hevc: only 8-bit")
+    if b.ue() + 8 != s.bit_depth or s.bit_depth not in (8, 10, 12):
+        raise NotSupported("hevc: bit depth (Main/Main10/Main12 only)")
     s.log2_max_poc_lsb = b.ue() + 4
     sub_ordering = b.get1()
     for _ in range(max_sub if sub_ordering else 1):

@@ -43,8 +43,8 @@ def dequant_factors(qp: int, log2_size: int, bd: int = 8):
     return scale, shift, add
 
 
-def chroma_qp(qp_y: int, offset: int) -> int:
-    qp_i = max(-0, min(57, qp_y + offset))
+def chroma_qp(qp_y: int, offset: int, bd: int = 8) -> int:
+    qp_i = max(-6 * (bd - 8), min(57, qp_y + offset))
     if qp_i < 30:
         return qp_i
     if qp_i > 43:

@@ -40,12 +40,12 @@ def hnal(ntype: int, rbsp: bytes) -> bytes:
         + _escape(rbsp)
 
 
-def _ptl(w):
+def _ptl(w, profile=1):
     w.u(0, 2)            # profile_space
     w.u(0, 1)            # tier
-    w.u(1, 5)            # Main profile
-    for _ in range(32):
-        w.u(0, 1)   # profile compatibility flags
+    w.u(profile, 5)      # 1 = Main, 2 = Main10
+    for i in range(32):
+        w.u(1 if i == profile else 0, 1)  # compatibility flags
     w.u(1, 1)            # progressive_source
     w.u(0, 1)            # interlaced
     w.u(0, 1)            # non_packed
@@ -55,7 +55,7 @@ def _ptl(w):
     w.u(120, 8)          # level 4.0
 
 
-def make_vps():
+def make_vps(profile=1):
     w = BW()
     w.u(0, 4)            # vps_id
     w.u(1, 1)            # base_layer_internal
@@ -64,7 +64,7 @@ def make_vps():
     w.u(0, 3)            # max_sub_layers - 1
     w.u(1, 1)            # temporal_id_nesting
     w.u(0xFFFF, 16)      # reserved
-    _ptl(w)
+    _ptl(w, profile)
     w.u(0, 1)            # sub_layer_ordering_info_present
     w.ue(1)              # max_dec_pic_buffering - 1
     w.ue(0)              # num_reorder_pics
@@ -79,19 +79,19 @@ def make_vps():
 def make_sps(width=W, height=H, log2_ctb=5, log2_min_cb=3,
              log2_min_tb=2, log2_max_tb=5, max_td_intra=0,
              strong_smoothing=False, sao=False, max_td_inter=0,
-             num_reorder=0):
+             num_reorder=0, bit_depth=8):
     w = BW()
     w.u(0, 4)            # vps_id
     w.u(0, 3)            # max_sub_layers - 1
     w.u(1, 1)            # temporal_id_nesting
-    _ptl(w)
+    _ptl(w, 2 if bit_depth > 8 else 1)
     w.ue(0)              # sps_id
     w.ue(1)              # chroma_format_idc
     w.ue(width)
     w.ue(height)
     w.u(0, 1)            # conformance_window
-    w.ue(0)              # bit_depth_luma - 8
-    w.ue(0)              # bit_depth_chroma - 8
+    w.ue(bit_depth - 8)  # bit_depth_luma - 8
+    w.ue(bit_depth - 8)  # bit_depth_chroma - 8
     w.ue(4)              # log2_max_poc_lsb - 4
     w.u(1, 1)            # sub_layer_ordering_info_present
     w.ue(4)              # max_dec_pic_buffering - 1
@@ -250,7 +250,8 @@ def craft_frame(plan, qp_delta=0, width=W, height=H, pps_kw=None,
                 **sps_kw):
     sps_kw = dict(sps_kw, width=width, height=height)
     pps_kw = pps_kw or {}
-    sps_nal = make_vps() + make_sps(**sps_kw)
+    sps_nal = make_vps(2 if sps_kw.get("bit_depth", 8) > 8
+                       else 1) + make_sps(**sps_kw)
     pps_nal = make_pps(**pps_kw)
     from ffmpeg_tpu.codecs.h264 import nal as N
     sps = HP.parse_sps(N.unescape(make_sps(**sps_kw)[6:]))
@@ -270,13 +271,14 @@ def craft_frame(plan, qp_delta=0, width=W, height=H, pps_kw=None,
     return sps_nal + pps_nal + hnal(HP.NAL_IDR_W_RADL, payload)
 
 
-def _decode_vs_ref(stream, tmp_path, width=W, height=H):
+def _decode_vs_ref(stream, tmp_path, width=W, height=H, bit_depth=8):
     p = tmp_path / "s.h265"
     p.write_bytes(stream)
     raw = subprocess.run(
         [str(refutil.REF), "-v", "error", "-f", "hevc", "-i", str(p),
          "-f", "rawvideo", "-"], check=True, capture_output=True).stdout
-    sz = width * height * 3 // 2
+    dt = np.uint8 if bit_depth == 8 else np.uint16
+    sz = width * height * 3 // 2 * dt().nbytes
     assert len(raw) == sz, f"reference produced {len(raw)} bytes"
     par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="hevc")
     dec = CodecContext.open_decoder(par)
@@ -285,7 +287,7 @@ def _decode_vs_ref(stream, tmp_path, width=W, height=H):
     assert len(frames) == 1
     got = np.concatenate([np.asarray(pl).ravel()
                           for pl in frames[0].planes])
-    want = np.frombuffer(raw, np.uint8)
+    want = np.frombuffer(raw, dt)
     np.testing.assert_array_equal(got, want)
 
 
@@ -522,7 +524,8 @@ def craft_gop(plan_factory, n_frames=4, gop_kind="P", width=W,
     pps_kw = pps_kw or {}
     sao = sps_kw.get("sao", False)
     deblock = pps_kw.get("deblock", False)
-    sps_nal = make_vps() + make_sps(**sps_kw)
+    sps_nal = make_vps(2 if sps_kw.get("bit_depth", 8) > 8
+                       else 1) + make_sps(**sps_kw)
     pps_nal = make_pps(**pps_kw)
     sps = HP.parse_sps(N.unescape(make_sps(**sps_kw)[6:]))
     pps = HP.parse_pps(N.unescape(pps_nal[6:]))
@@ -594,13 +597,15 @@ def craft_gop(plan_factory, n_frames=4, gop_kind="P", width=W,
     return stream, len(pocs)
 
 
-def _decode_gop_vs_ref(stream, n_frames, tmp_path, width=W, height=H):
+def _decode_gop_vs_ref(stream, n_frames, tmp_path, width=W, height=H,
+                       bit_depth=8):
     p = tmp_path / "s.h265"
     p.write_bytes(stream)
     raw = subprocess.run(
         [str(refutil.REF), "-v", "error", "-f", "hevc", "-i", str(p),
          "-f", "rawvideo", "-"], check=True, capture_output=True).stdout
-    sz = width * height * 3 // 2
+    dt = np.uint8 if bit_depth == 8 else np.uint16
+    sz = width * height * 3 // 2 * dt().nbytes
     assert len(raw) == sz * n_frames, \
         f"reference produced {len(raw)} bytes, want {sz * n_frames}"
     par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="hevc")
@@ -610,7 +615,7 @@ def _decode_gop_vs_ref(stream, n_frames, tmp_path, width=W, height=H):
     assert len(frames) == n_frames
     got = np.concatenate([np.asarray(pl).ravel()
                           for f in frames for pl in f.planes])
-    want = np.frombuffer(raw, np.uint8)
+    want = np.frombuffer(raw, dt)
     np.testing.assert_array_equal(got, want)
 
 
@@ -677,3 +682,44 @@ def test_hevc_p_ctb16_small_cu(tmp_path):
     stream, n = craft_gop(lambda: InterPlan(rng, split_p=0.6),
                           n_frames=3, log2_ctb=4, log2_max_tb=4)
     _decode_gop_vs_ref(stream, n, tmp_path)
+
+
+# ---------------------------------------------------------------------------
+# Main10 / Main12 (bit depths > 8)
+
+
+@requires_ref
+@pytest.mark.parametrize("bd", [10, 12])
+@pytest.mark.parametrize("seed", [2, 7])
+def test_hevc_i_highbit(tmp_path, bd, seed):
+    rng = np.random.default_rng(seed)
+    _decode_vs_ref(craft_frame(Plan(rng, amp=40), bit_depth=bd),
+                   tmp_path, bit_depth=bd)
+
+
+@requires_ref
+def test_hevc_i_10bit_sao_deblock(tmp_path):
+    rng = np.random.default_rng(11)
+    _decode_vs_ref(craft_frame(Plan(rng, maxn=10, amp=80), sao=True,
+                               bit_depth=10,
+                               pps_kw=dict(deblock=True)),
+                   tmp_path, bit_depth=10)
+
+
+@requires_ref
+def test_hevc_p_gop_10bit(tmp_path):
+    """IPPP at 10 bit: MC shifts, deblock tc/beta scaling."""
+    rng = np.random.default_rng(41)
+    stream, n = craft_gop(lambda: InterPlan(rng, maxn=8, amp=60),
+                          n_frames=4, bit_depth=10,
+                          pps_kw=dict(deblock=True))
+    _decode_gop_vs_ref(stream, n, tmp_path, bit_depth=10)
+
+
+@requires_ref
+def test_hevc_b_reorder_10bit(tmp_path):
+    rng = np.random.default_rng(43)
+    stream, n = craft_gop(lambda: InterPlan(rng), n_frames=5,
+                          gop_kind="B", bit_depth=10, sao=True,
+                          pps_kw=dict(deblock=True))
+    _decode_gop_vs_ref(stream, n, tmp_path, bit_depth=10)
