@@ -140,8 +140,9 @@ class HevcDecoder(Codec):
         if sh.slice_type != 2:
             refs, rpl = self._ref_lists(sps, sh, poc)
         dec = FrameDec(sps, pps, sh, poc=poc, refs=refs, rpl=rpl)
-        core = CabacDecoder(rbsp[sh.data_bit_pos // 8:])
-        CtuCoder(dec, core).code_slice_data()
+        payload = rbsp[sh.data_bit_pos // 8:]
+        core = CabacDecoder(payload)
+        CtuCoder(dec, core, payload=payload).code_slice_data()
         from .filter import deblock_frame, sao_frame
         if not sh.deblocking_disabled:
             deblock_frame(dec)

@@ -84,13 +84,31 @@ class FrameDec:
         self.ct_depth = np.zeros((sps.ctb_height * ncb + 1,
                                   sps.ctb_width * ncb + 1), np.int32)
         self.qp = sh.qp
-        # per-min-TB z-scan address (CTB raster major, morton minor)
+        # tile structure (spec 6.5.1): per-CTB tile id + tile-scan
+        # order (raster within tile, tiles in raster order)
+        cw, ch = sps.ctb_width, sps.ctb_height
+        col_bd, row_bd = pps.tile_bounds(sps)
+        self.col_bd, self.row_bd = col_bd, row_bd
+        self.tile_id = np.zeros((ch, cw), np.int32)
+        self.ts_order = []                # rs addrs in tile-scan order
+        tid = 0
+        for tr in range(len(row_bd) - 1):
+            for tc in range(len(col_bd) - 1):
+                for yy in range(row_bd[tr], row_bd[tr + 1]):
+                    for xx in range(col_bd[tc], col_bd[tc + 1]):
+                        self.tile_id[yy, xx] = tid
+                        self.ts_order.append(yy * cw + xx)
+                tid += 1
+        # per-min-TB z-scan address (tile-scan CTB major, morton
+        # minor — spec 6.5.2 MinTbAddrZs)
         d = sps.log2_ctb - 2
-        n4x = sps.ctb_width << d
-        n4y = sps.ctb_height << d
+        n4x = cw << d
+        n4y = ch << d
         xs = np.arange(n4x)
         ys = np.arange(n4y)
-        ctb = (ys[:, None] >> d) * sps.ctb_width + (xs[None, :] >> d)
+        ts_of_rs = np.empty(cw * ch, np.int64)
+        ts_of_rs[np.asarray(self.ts_order)] = np.arange(cw * ch)
+        ctb = ts_of_rs[(ys[:, None] >> d) * cw + (xs[None, :] >> d)]
         m = np.zeros((1 << d, 1 << d), np.int64)
         for yy in range(1 << d):
             for xx in range(1 << d):
@@ -117,39 +135,104 @@ class FrameDec:
         self.sao_band_pos = np.zeros((ch, cw, 3), np.int32)
         self.sao_eo_class = np.zeros((ch, cw, 3), np.int32)
 
+    def same_tile(self, x0, y0, xn, yn):
+        """True iff the pixel coords lie in the same tile (both must
+        be inside the picture)."""
+        sh = self.sps.log2_ctb
+        return self.tile_id[y0 >> sh, x0 >> sh] == \
+            self.tile_id[yn >> sh, xn >> sh]
+
 
 class CtuCoder:
-    def __init__(self, dec: FrameDec, core, encode=False, plan=None):
+    def __init__(self, dec: FrameDec, core, encode=False, plan=None,
+                 payload=None):
         self.dec = dec
         self.io = _IO(core, encode)
         self.plan = plan
         # initType (spec 9.3.2.2): I=0; P=1, B=2 with cabac_init_flag
         # off (cabac_init_present unsupported)
-        init_type = {2: 0, 1: 1, 0: 2}[dec.sh.slice_type]
-        self.ctx = init_contexts(T.init_mn(init_type),
-                                 max(0, min(51, dec.qp)))
+        self._init_type = {2: 0, 1: 1, 0: 2}[dec.sh.slice_type]
+        self.ctx = self._fresh_ctx()
         self._cu_intra = True
         self._cu_skip = False
         self._cu_depth = 0
         self._inter_split = False
+        # substreams (tiles / WPP): decode jumps to entry-point byte
+        # offsets in `payload`; encode collects one CabacEncoder per
+        # substream in enc_substreams
+        self._payload = payload
+        self.enc_substreams = [core] if encode else None
+
+    def _fresh_ctx(self):
+        return init_contexts(T.init_mn(self._init_type),
+                             max(0, min(51, self.dec.qp)))
 
     # ------------------------------------------------------------------
     def code_slice_data(self):
+        """Walk CTUs in tile-scan order, managing CABAC substreams at
+        tile starts (fresh contexts) and WPP row starts (contexts
+        synced from after the 2nd CTU of the row above — spec 9.3.2.3;
+        hevcdec.c:1118,2717)."""
         dec = self.dec
-        sps = dec.sps
-        sh = dec.sh
-        n = sps.ctb_width * sps.ctb_height
-        for addr in range(n):
-            rx = addr % sps.ctb_width
-            ry = addr // sps.ctb_width
+        sps, pps, sh = dec.sps, dec.pps, dec.sh
+        cw = sps.ctb_width
+        order = dec.ts_order
+        n = len(order)
+        wpp = pps.entropy_coding_sync
+
+        def new_substream(ts):
+            if ts == 0 or ts >= n:
+                return False
+            a, b = order[ts - 1], order[ts]
+            if pps.tiles_enabled:
+                return dec.tile_id[b // cw, b % cw] != \
+                    dec.tile_id[a // cw, a % cw]
+            if wpp:
+                return b % cw == 0        # raster row start
+            return False
+
+        sub_offs = None
+        if not self.io.encode and sh.entry_points:
+            sub_offs = [0]
+            for sz in sh.entry_points:
+                sub_offs.append(sub_offs[-1] + sz)
+        sub_idx = 0
+        wpp_saved = {}                    # ctb row -> ctx snapshot
+        for ts in range(n):
+            addr = order[ts]
+            rx = addr % cw
+            ry = addr // cw
+            if new_substream(ts):
+                sub_idx += 1
+                if self.io.encode:
+                    enc = type(self.io.core)()
+                    self.enc_substreams.append(enc)
+                    self.io.core = enc
+                else:
+                    if sub_offs is None or sub_idx >= len(sub_offs):
+                        raise InvalidData("hevc: missing entry point "
+                                          "offsets for substream")
+                    off = sub_offs[sub_idx]
+                    self.io.core = type(self.io.core)(
+                        self._payload[off:])
+                if wpp and wpp_saved.get(ry - 1) is not None:
+                    self.ctx = [list(c) for c in wpp_saved[ry - 1]]
+                else:
+                    self.ctx = self._fresh_ctx()
             ctb_x = rx << sps.log2_ctb
             ctb_y = ry << sps.log2_ctb
             if sps.sao_enabled and (sh.sao_luma or sh.sao_chroma):
                 self.sao(rx, ry)
             self.coding_quadtree(ctb_x, ctb_y, sps.log2_ctb, 0)
-            last = addr == n - 1
+            if wpp and rx == 1:           # sync snapshot (9.3.2.3)
+                wpp_saved[ry] = [list(c) for c in self.ctx]
+            last = ts == n - 1
             if self.io.term(1 if last else 0) and not last:
                 raise InvalidData("hevc: early end_of_slice")
+            if not last and new_substream(ts + 1) and self.io.encode:
+                # end_of_subset_one_bit + flush; decoders jump to the
+                # next entry point instead of reading it
+                self.io.term(1)
 
     # ------------------------------------------------------------------
     def sao(self, rx, ry):
@@ -157,12 +240,13 @@ class CtuCoder:
         dec, io = self.dec, self.io
         sh = dec.sh
         merge_left = merge_up = 0
-        if rx > 0:
+        tid = dec.tile_id
+        if rx > 0 and tid[ry, rx - 1] == tid[ry, rx]:
             v = None
             if io.encode:
                 v = 1 if self.plan.sao_merge_left(rx, ry) else 0
             merge_left = io.dec(self.ctx[_O["sao_merge_flag"]], v)
-        if not merge_left and ry > 0:
+        if not merge_left and ry > 0 and tid[ry - 1, rx] == tid[ry, rx]:
             v = None
             if io.encode:
                 v = 1 if self.plan.sao_merge_up(rx, ry) else 0
@@ -281,9 +365,9 @@ class CtuCoder:
         inc = 0
         x0b = x0 & ((1 << sps.log2_ctb) - 1)
         y0b = y0 & ((1 << sps.log2_ctb) - 1)
-        if x0b or x0 > 0:
+        if x0b or (x0 > 0 and dec.same_tile(x0, y0, x0 - 1, y0)):
             inc += int(dec.ct_depth[ycb, xcb - 1] > depth)
-        if y0b or y0 > 0:
+        if y0b or (y0 > 0 and dec.same_tile(x0, y0, x0, y0 - 1)):
             inc += int(dec.ct_depth[ycb - 1, xcb] > depth)
         v = None
         if self.io.encode:
@@ -309,9 +393,9 @@ class CtuCoder:
         self._cu_intra = True
         if dec.sh.slice_type != 2:
             inc = 0
-            if x0 > 0:
+            if x0 > 0 and dec.same_tile(x0, y0, x0 - 1, y0):
                 inc += int(dec.skip[y4, x4 - 1])
-            if y0 > 0:
+            if y0 > 0 and dec.same_tile(x0, y0, x0, y0 - 1):
                 inc += int(dec.skip[y4 - 1, x4])
             v = None
             if io.encode:
@@ -683,7 +767,7 @@ class CtuCoder:
         if y0b:                      # never crosses the CTB top edge
             cand_up = int(dec.ipm[(y0 - 1) >> 2, x0 >> 2])
         cand_left = 1
-        if x0b or x0 > 0:
+        if x0b or (x0 > 0 and dec.same_tile(x0, y0, x0 - 1, y0)):
             cand_left = int(dec.ipm[y0 >> 2, (x0 - 1) >> 2])
         if cand_left == cand_up:
             if cand_left < 2:
@@ -763,10 +847,14 @@ class CtuCoder:
         x0b = x0 & (ctb_size - 1)
         y0b = y0 & (ctb_size - 1)
         ctb_x, ctb_y = x0 >> sps.log2_ctb, y0 >> sps.log2_ctb
-        ctb_left = ctb_x > 0
-        ctb_up = ctb_y > 0
-        ctb_up_left = ctb_left and ctb_up
-        ctb_up_right = ctb_up and (ctb_x + 1) < sps.ctb_width
+        tid = dec.tile_id
+        cur_t = tid[ctb_y, ctb_x]
+        ctb_left = ctb_x > 0 and tid[ctb_y, ctb_x - 1] == cur_t
+        ctb_up = ctb_y > 0 and tid[ctb_y - 1, ctb_x] == cur_t
+        ctb_up_left = ctb_x > 0 and ctb_y > 0 and \
+            tid[ctb_y - 1, ctb_x - 1] == cur_t
+        ctb_up_right = ctb_y > 0 and (ctb_x + 1) < sps.ctb_width and \
+            tid[ctb_y - 1, ctb_x + 1] == cur_t
         cand_up = bool(ctb_up or y0b)
         cand_left = bool(ctb_left or x0b)
         if x0b or y0b:
@@ -781,9 +869,11 @@ class CtuCoder:
         cand_bl = cand_left and (y0 + size) < sps.height
         cur = int(dec.zs[y0 >> 2, x0 >> 2])
         if cand_tr:
-            cand_tr = cur > int(dec.zs[(y0 - 1) >> 2, (x0 + size) >> 2])
+            cand_tr = cur > int(dec.zs[(y0 - 1) >> 2, (x0 + size) >> 2]) \
+                and dec.same_tile(x0, y0, x0 + size, y0 - 1)
         if cand_bl:
-            cand_bl = cur > int(dec.zs[(y0 + size) >> 2, (x0 - 1) >> 2])
+            cand_bl = cur > int(dec.zs[(y0 + size) >> 2, (x0 - 1) >> 2]) \
+                and dec.same_tile(x0, y0, x0 - 1, y0 + size)
         return cand_left, cand_bl, cand_up, cand_tr, cand_up_left
 
     def _intra_pred(self, plane, x, y, size, mode, c_idx, avail):

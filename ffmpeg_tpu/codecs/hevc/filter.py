@@ -120,6 +120,12 @@ def deblock_frame(dec):
     bd = sps.bit_depth
     _PMAX = (1 << bd) - 1
     bdsh = bd - 8        # beta/tc scale (spec 8.7.2.5.3: << (bd-8))
+    if dec.pps.tiles_enabled and not dec.pps.loop_filter_across_tiles:
+        # edges on inner tile boundaries are not filtered
+        for cb in dec.col_bd[1:-1]:
+            dec.bs_v[:, (cb << sps.log2_ctb) >> 2] = 0
+        for rb in dec.row_bd[1:-1]:
+            dec.bs_h[(rb << sps.log2_ctb) >> 2, :] = 0
     W, H = sps.width, sps.height
     qp = dec.qp
     from .recon import chroma_qp
@@ -221,6 +227,10 @@ def sao_frame(dec):
     # spec 7.4.9.3: offsets are coded at min(bd,10) precision and
     # scaled up by (bd - min(bd, 10)) — nonzero only for Main12
     osc = bd - min(bd, 10)
+    # with loop_filter_across_tiles off, EO neighbours may not cross
+    # tile boundaries (treated like picture edges, spec 8.7.3)
+    restrict_tiles = (dec.pps.tiles_enabled
+                      and not dec.pps.loop_filter_across_tiles)
     ctb = 1 << sps.log2_ctb
     for c_idx, pl in enumerate((dec.y, dec.u, dec.v)):
         if c_idx == 0 and not sh.sao_luma:
@@ -256,10 +266,24 @@ def sao_frame(dec):
                     int(dec.sao_eo_class[ry, rx, c_idx])]
                 ys = np.arange(y0, y1)[:, None]
                 xs = np.arange(x0, x1)[None, :]
-                ok = ((ys + min(ady, bdy) >= 0)
-                      & (ys + max(ady, bdy) <= H - 1)
-                      & (xs + min(adx, bdx) >= 0)
-                      & (xs + max(adx, bdx) <= W - 1))
+                lo_y, hi_y, lo_x, hi_x = 0, H - 1, 0, W - 1
+                if restrict_tiles:
+                    tc = next(i for i in range(len(dec.col_bd) - 1)
+                              if dec.col_bd[i] <= rx < dec.col_bd[i + 1])
+                    tr = next(i for i in range(len(dec.row_bd) - 1)
+                              if dec.row_bd[i] <= ry < dec.row_bd[i + 1])
+                    lo_x = max(lo_x, (dec.col_bd[tc] << sps.log2_ctb)
+                               >> shift)
+                    hi_x = min(hi_x, ((dec.col_bd[tc + 1]
+                                       << sps.log2_ctb) >> shift) - 1)
+                    lo_y = max(lo_y, (dec.row_bd[tr] << sps.log2_ctb)
+                               >> shift)
+                    hi_y = min(hi_y, ((dec.row_bd[tr + 1]
+                                       << sps.log2_ctb) >> shift) - 1)
+                ok = ((ys + min(ady, bdy) >= lo_y)
+                      & (ys + max(ady, bdy) <= hi_y)
+                      & (xs + min(adx, bdx) >= lo_x)
+                      & (xs + max(adx, bdx) <= hi_x))
                 ya = np.clip(ys + ady, 0, H - 1)
                 xa = np.clip(xs + adx, 0, W - 1)
                 yb = np.clip(ys + bdy, 0, H - 1)

@@ -88,7 +88,10 @@ def mv_scale(mv, td, tb):
 
 
 def _zscan_avail(dec, x_cur, y_cur, xn, yn):
-    """6.4.1 z-scan order block availability (mvs.c:64)."""
+    """6.4.1 z-scan order block availability (mvs.c:64): earlier in
+    tile-scan z order AND in the same tile."""
+    if not dec.same_tile(x_cur, y_cur, xn, yn):
+        return False
     sps = dec.sps
     if (yn >> sps.log2_ctb) < (y_cur >> sps.log2_ctb) or \
             (xn >> sps.log2_ctb) < (x_cur >> sps.log2_ctb):
@@ -98,23 +101,28 @@ def _zscan_avail(dec, x_cur, y_cur, xn, yn):
 
 
 def neighbour_flags(dec, x0, y0, w, h):
-    """ff_hevc_set_neighbour_available (mvs.c:43) for single-slice,
-    no-tile pictures: (left, bottom_left, up, up_right_sap, up_left)."""
+    """ff_hevc_set_neighbour_available (mvs.c:43) for single-slice
+    pictures (tile-aware): (left, bottom_left, up, up_right_sap,
+    up_left)."""
     sps = dec.sps
     ctb = 1 << sps.log2_ctb
     x0b = x0 & (ctb - 1)
     y0b = y0 & (ctb - 1)
-    ctb_left = x0 >= ctb
-    ctb_up = y0 >= ctb
+    cx, cy = x0 >> sps.log2_ctb, y0 >> sps.log2_ctb
+    tid = dec.tile_id
+    cur_t = tid[cy, cx]
+    ctb_left = x0 >= ctb and tid[cy, cx - 1] == cur_t
+    ctb_up = y0 >= ctb and tid[cy - 1, cx] == cur_t
     cand_up = bool(ctb_up or y0b)
     cand_left = bool(ctb_left or x0b)
     if x0b or y0b:
         cand_up_left = cand_left and cand_up
     else:
-        cand_up_left = ctb_left and ctb_up
+        cand_up_left = x0 >= ctb and y0 >= ctb and \
+            tid[cy - 1, cx - 1] == cur_t
     if x0b + w == ctb:
-        ctb_up_right = ctb_up and ((x0 >> sps.log2_ctb) + 1) < \
-            sps.ctb_width
+        ctb_up_right = y0 >= ctb and cx + 1 < sps.ctb_width and \
+            tid[cy - 1, cx + 1] == cur_t
         sap = ctb_up_right and not y0b
     else:
         sap = cand_up

@@ -161,6 +161,39 @@ class HevcPPS:
     weighted_bipred: bool = False
     lists_modification_present: bool = False
     log2_parallel_merge_level: int = 2
+    tiles_enabled: bool = False
+    entropy_coding_sync: bool = False     # WPP
+    num_tile_cols: int = 1
+    num_tile_rows: int = 1
+    uniform_spacing: bool = True
+    col_widths: tuple = ()                # explicit, in CTBs (all cols)
+    row_heights: tuple = ()
+    loop_filter_across_tiles: bool = True
+
+    def tile_bounds(self, sps):
+        """→ (col_bd, row_bd): CTB boundary lists, len = n+1
+        (spec 6.5.1 colBd/rowBd)."""
+        cw, ch = sps.ctb_width, sps.ctb_height
+        nc, nr = self.num_tile_cols, self.num_tile_rows
+        if not self.tiles_enabled:
+            return [0, cw], [0, ch]
+        if self.uniform_spacing:
+            col = [(i * cw) // nc for i in range(nc + 1)]
+            row = [(i * ch) // nr for i in range(nr + 1)]
+        else:
+            col = [0]
+            for w in self.col_widths[:nc - 1]:
+                col.append(col[-1] + w)
+            col.append(cw)                # last column = remainder
+            row = [0]
+            for h in self.row_heights[:nr - 1]:
+                row.append(row[-1] + h)
+            row.append(ch)
+            if any(b - a <= 0 for a, b in zip(col, col[1:])) or \
+                    any(b - a <= 0 for a, b in zip(row, row[1:])):
+                raise InvalidData("hevc: tile sizes do not cover "
+                                  "the picture")
+        return col, row
 
 
 def parse_pps(rbsp: bytes) -> HevcPPS:
@@ -196,10 +229,23 @@ def parse_pps(rbsp: bytes) -> HevcPPS:
         raise NotSupported("hevc: weighted prediction")
     if b.get1():                          # transquant_bypass
         raise NotSupported("hevc: transquant bypass")
-    if b.get1():                          # tiles_enabled
-        raise NotSupported("hevc: tiles")
-    if b.get1():                          # entropy_coding_sync (WPP)
-        raise NotSupported("hevc: WPP")
+    p.tiles_enabled = bool(b.get1())
+    p.entropy_coding_sync = bool(b.get1())
+    if p.tiles_enabled and p.entropy_coding_sync:
+        raise NotSupported("hevc: tiles + WPP combined")
+    if p.tiles_enabled:
+        p.num_tile_cols = b.ue() + 1
+        p.num_tile_rows = b.ue() + 1
+        p.uniform_spacing = bool(b.get1())
+        if not p.uniform_spacing:
+            # explicit widths: n-1 coded, the last is the remainder —
+            # resolved against the SPS in tile_bounds (unknown here),
+            # so store the coded ones and a marker
+            cw = [b.ue() + 1 for _ in range(p.num_tile_cols - 1)]
+            rh = [b.ue() + 1 for _ in range(p.num_tile_rows - 1)]
+            p.col_widths = tuple(cw)
+            p.row_heights = tuple(rh)
+        p.loop_filter_across_tiles = bool(b.get1())
     p.loop_filter_across_slices = bool(b.get1())
     if b.get1():                          # deblocking_filter_control
         p.deblocking_override_enabled = bool(b.get1())
@@ -238,6 +284,8 @@ class HevcSliceHeader:
     deblocking_disabled: bool = False
     beta_offset: int = 0
     tc_offset: int = 0
+    entry_points: list = field(default_factory=list)  # substream sizes
+                                          # in RBSP bytes (all but last)
     data_bit_pos: int = 0                 # first bit after alignment
 
 
@@ -312,6 +360,11 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: HevcSPS,
     if pps.loop_filter_across_slices and \
             (sh.sao_luma or sh.sao_chroma or not sh.deblocking_disabled):
         b.get1()                          # slice_loop_filter_across_slices
+    if pps.tiles_enabled or pps.entropy_coding_sync:
+        n_ep = b.ue()                     # num_entry_point_offsets
+        if n_ep:
+            olen = b.ue() + 1
+            sh.entry_points = [b.get(olen) + 1 for _ in range(n_ep)]
     # byte_alignment(): one '1' bit then zeros to the boundary
     if b.get1() != 1:
         raise InvalidData("hevc: bad slice header alignment")

@@ -117,7 +117,10 @@ def make_sps(width=W, height=H, log2_ctb=5, log2_min_cb=3,
 
 
 def make_pps(deblock=False, beta_offset=0, tc_offset=0,
-             cb_qp_offset=0, cr_qp_offset=0, sign_hiding=False):
+             cb_qp_offset=0, cr_qp_offset=0, sign_hiding=False,
+             tiles=None, wpp=False, lf_across_tiles=True):
+    """tiles: None, (cols, rows) uniform, or dict(cols=[...CTB widths,
+    all but last], rows=[...]) explicit."""
     w = BW()
     w.ue(0)              # pps_id
     w.ue(0)              # sps_id
@@ -138,8 +141,23 @@ def make_pps(deblock=False, beta_offset=0, tc_offset=0,
     w.u(0, 1)            # weighted_pred
     w.u(0, 1)            # weighted_bipred
     w.u(0, 1)            # transquant_bypass
-    w.u(0, 1)            # tiles_enabled
-    w.u(0, 1)            # entropy_coding_sync
+    w.u(1 if tiles else 0, 1)         # tiles_enabled
+    w.u(1 if wpp else 0, 1)           # entropy_coding_sync
+    if tiles:
+        if isinstance(tiles, dict):
+            cols, rows = tiles["cols"], tiles["rows"]
+            w.ue(len(cols))           # num_tile_columns_minus1
+            w.ue(len(rows))
+            w.u(0, 1)                 # uniform_spacing
+            for cwid in cols:
+                w.ue(cwid - 1)
+            for rh in rows:
+                w.ue(rh - 1)
+        else:
+            w.ue(tiles[0] - 1)
+            w.ue(tiles[1] - 1)
+            w.u(1, 1)                 # uniform_spacing
+        w.u(1 if lf_across_tiles else 0, 1)
     w.u(1, 1)            # loop_filter_across_slices
     w.u(1, 1)            # deblocking_filter_control_present
     w.u(0, 1)            # deblocking_filter_override_enabled
@@ -155,7 +173,20 @@ def make_pps(deblock=False, beta_offset=0, tc_offset=0,
     return hnal(HP.NAL_PPS, w.rbsp())
 
 
-def slice_header_bits(qp_delta=0, deblock=False, sao=False):
+def _write_entry_points(w, ep):
+    """ep None = PPS has neither tiles nor WPP; list = substream byte
+    sizes for all but the last substream."""
+    if ep is None:
+        return
+    w.ue(len(ep))
+    if ep:
+        olen = max(1, max(int(s - 1).bit_length() for s in ep))
+        w.ue(olen - 1)
+        for s in ep:
+            w.u(s - 1, olen)
+
+
+def slice_header_bits(qp_delta=0, deblock=False, sao=False, ep=None):
     w = BW()
     w.u(1, 1)            # first_slice_segment_in_pic
     w.u(0, 1)            # no_output_of_prior_pics
@@ -167,6 +198,7 @@ def slice_header_bits(qp_delta=0, deblock=False, sao=False):
     w.se(qp_delta)       # slice_qp_delta
     if deblock or sao:
         w.u(1, 1)        # slice_loop_filter_across_slices_enabled
+    _write_entry_points(w, ep)
     w.u(1, 1)            # byte_alignment: alignment_bit_equal_to_one
     while len(w.bits) % 8:
         w.u(0, 1)
@@ -257,9 +289,6 @@ def craft_frame(plan, qp_delta=0, width=W, height=H, pps_kw=None,
     sps = HP.parse_sps(N.unescape(make_sps(**sps_kw)[6:]))
     pps = HP.parse_pps(N.unescape(pps_nal[6:]))
     sao = sps_kw.get("sao", False)
-    hw = slice_header_bits(qp_delta, deblock=pps_kw.get("deblock",
-                                                        False),
-                           sao=sao)
     sh = HP.HevcSliceHeader(qp=26 + qp_delta, sao_luma=sao,
                             sao_chroma=sao)
     dec = FrameDec(sps, pps, sh)
@@ -267,7 +296,13 @@ def craft_frame(plan, qp_delta=0, width=W, height=H, pps_kw=None,
     cc = CtuCoder(dec, enc, encode=True, plan=plan)
     cc.code_slice_data()
     from test_h264_cabac import _bits_to_bytes
-    payload = _bits_to_bytes(hw.bits) + _bits_to_bytes(enc.bitstring())
+    subs = [_bits_to_bytes(e.bitstring()) for e in cc.enc_substreams]
+    ep = [len(s) for s in subs[:-1]] \
+        if (pps.tiles_enabled or pps.entropy_coding_sync) else None
+    hw = slice_header_bits(qp_delta, deblock=pps_kw.get("deblock",
+                                                        False),
+                           sao=sao, ep=ep)
+    payload = _bits_to_bytes(hw.bits) + b"".join(subs)
     return sps_nal + pps_nal + hnal(HP.NAL_IDR_W_RADL, payload)
 
 
@@ -411,7 +446,7 @@ def test_hevc_i_deblock_high_qp(tmp_path):
 
 def inter_slice_header_bits(slice_type, poc, rps_neg, rps_pos=(),
                             num_ref=(1, 1), qp_delta=0, deblock=False,
-                            sao=False, mvd_l1_zero=False):
+                            sao=False, mvd_l1_zero=False, ep=None):
     """slice_type 1 = P, 0 = B; rps_neg/pos: tuples of (delta_poc,
     used) with negative/positive deltas in coding order."""
     w = BW()
@@ -446,6 +481,7 @@ def inter_slice_header_bits(slice_type, poc, rps_neg, rps_pos=(),
     w.se(qp_delta)
     if deblock or sao:
         w.u(1, 1)        # slice_loop_filter_across_slices_enabled
+    _write_entry_points(w, ep)
     w.u(1, 1)            # byte_alignment
     while len(w.bits) % 8:
         w.u(0, 1)
@@ -555,8 +591,17 @@ def craft_gop(plan_factory, n_frames=4, gop_kind="P", width=W,
                 frames.append((poc - 1, 0, [(-1, True)], [(1, True)],
                                (1, 1)))
 
+    has_ss = pps.tiles_enabled or pps.entropy_coding_sync
+    ep0 = [] if has_ss else None          # parse-only header stub
+
+    def assemble(cc, hw_fn):
+        subs = [_bits_to_bytes(e.bitstring())
+                for e in cc.enc_substreams]
+        ep = [len(s) for s in subs[:-1]] if has_ss else None
+        return _bits_to_bytes(hw_fn(ep).bits) + b"".join(subs)
+
     # IDR I frame
-    hw = slice_header_bits(qp_delta, deblock=deblock, sao=sao)
+    hw = slice_header_bits(qp_delta, deblock=deblock, sao=sao, ep=ep0)
     sh = HP.parse_slice_header(
         bytes(_bits_to_bytes(hw.bits)), HP.NAL_IDR_W_RADL, sps,
         {0: pps})
@@ -564,16 +609,17 @@ def craft_gop(plan_factory, n_frames=4, gop_kind="P", width=W,
     plan = plan_factory()
     dec0 = FrameDec(sps, pps, sh, poc=0)
     enc = CabacEncoder()
-    CtuCoder(dec0, enc, encode=True, plan=plan).code_slice_data()
-    stream += hnal(HP.NAL_IDR_W_RADL,
-                   _bits_to_bytes(hw.bits) +
-                   _bits_to_bytes(enc.bitstring()))
+    cc = CtuCoder(dec0, enc, encode=True, plan=plan)
+    cc.code_slice_data()
+    stream += hnal(HP.NAL_IDR_W_RADL, assemble(
+        cc, lambda ep: slice_header_bits(qp_delta, deblock=deblock,
+                                         sao=sao, ep=ep)))
 
     pocs = [0]
     for poc, stype, neg, pos, nref in frames:
         hw = inter_slice_header_bits(stype, poc, neg, pos, nref,
                                      qp_delta, deblock=deblock,
-                                     sao=sao)
+                                     sao=sao, ep=ep0)
         nalt = HP.NAL_TRAIL_R
         sh = HP.parse_slice_header(bytes(_bits_to_bytes(hw.bits)),
                                    nalt, sps, {0: pps})
@@ -590,9 +636,12 @@ def craft_gop(plan_factory, n_frames=4, gop_kind="P", width=W,
         plan.is_b = stype == 0
         dec = FrameDec(sps, pps, sh, poc=poc, rpl=rpl)
         enc = CabacEncoder()
-        CtuCoder(dec, enc, encode=True, plan=plan).code_slice_data()
-        stream += hnal(nalt, _bits_to_bytes(hw.bits) +
-                       _bits_to_bytes(enc.bitstring()))
+        cc = CtuCoder(dec, enc, encode=True, plan=plan)
+        cc.code_slice_data()
+        stream += hnal(nalt, assemble(
+            cc, lambda ep, a=(stype, poc, neg, pos, nref):
+            inter_slice_header_bits(*a, qp_delta, deblock=deblock,
+                                    sao=sao, ep=ep)))
         pocs.append(poc)
     return stream, len(pocs)
 
@@ -722,4 +771,110 @@ def test_hevc_b_reorder_10bit(tmp_path):
     stream, n = craft_gop(lambda: InterPlan(rng), n_frames=5,
                           gop_kind="B", bit_depth=10, sao=True,
                           pps_kw=dict(deblock=True))
+    _decode_gop_vs_ref(stream, n, tmp_path, bit_depth=10)
+
+
+# ---------------------------------------------------------------------------
+# Tiles and WPP (hevcdec.c:1118 tiles/WPP entry, :2717 WPP substreams)
+
+
+@requires_ref
+@pytest.mark.parametrize("seed", [0, 4])
+def test_hevc_tiles_2x2(tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    _decode_vs_ref(craft_frame(Plan(rng), pps_kw=dict(tiles=(2, 2))),
+                   tmp_path)
+
+
+@requires_ref
+def test_hevc_tiles_explicit(tmp_path):
+    """3x2 tiles with explicit (non-uniform) column/row sizes."""
+    rng = np.random.default_rng(6)
+    _decode_vs_ref(
+        craft_frame(Plan(rng), width=96, height=64, log2_ctb=4,
+                    log2_max_tb=4,
+                    pps_kw=dict(tiles=dict(cols=[1, 3], rows=[3]))),
+        tmp_path, width=96, height=64)
+
+
+@requires_ref
+@pytest.mark.parametrize("across", [True, False])
+def test_hevc_tiles_sao_deblock(tmp_path, across):
+    """Tiles with in-loop filters; loop_filter_across_tiles on/off."""
+    rng = np.random.default_rng(8)
+    _decode_vs_ref(
+        craft_frame(Plan(rng, maxn=10, amp=40), sao=True,
+                    pps_kw=dict(tiles=(2, 2), deblock=True,
+                                lf_across_tiles=across)),
+        tmp_path)
+
+
+@requires_ref
+def test_hevc_tiles_10bit(tmp_path):
+    rng = np.random.default_rng(10)
+    _decode_vs_ref(
+        craft_frame(Plan(rng, amp=40), bit_depth=10, sao=True,
+                    pps_kw=dict(tiles=(2, 2), deblock=True)),
+        tmp_path, bit_depth=10)
+
+
+@requires_ref
+@pytest.mark.parametrize("seed", [1, 5])
+def test_hevc_wpp(tmp_path, seed):
+    """WPP: per-row substreams with context sync from CTU 1."""
+    rng = np.random.default_rng(seed)
+    _decode_vs_ref(craft_frame(Plan(rng), pps_kw=dict(wpp=True)),
+                   tmp_path)
+
+
+@requires_ref
+def test_hevc_wpp_deblock_ctb16(tmp_path):
+    """ctb16 rows; sao+deblock combined is excluded at ctb16 ONLY
+    because the reference deviates from spec 8.7.3 there: its chroma
+    H-edge deblock defers 16 luma columns (= a whole ctb16), so its
+    SAO reads the right-neighbour column's bottom sample before that
+    sample's bottom-boundary H edge ran (filter.c:646 x_end2 vs
+    :895 sao lag). We keep the spec's fully-deblocked SAO input."""
+    rng = np.random.default_rng(12)
+    _decode_vs_ref(
+        craft_frame(Plan(rng, maxn=8, amp=40), width=96, height=64,
+                    log2_ctb=4, log2_max_tb=4,
+                    pps_kw=dict(wpp=True, deblock=True)),
+        tmp_path, width=96, height=64)
+
+
+@requires_ref
+def test_hevc_wpp_sao_deblock(tmp_path):
+    """WPP + SAO + deblock at ctb32 (3x2 CTB rows/cols)."""
+    rng = np.random.default_rng(12)
+    _decode_vs_ref(
+        craft_frame(Plan(rng, maxn=8, amp=40), width=96, height=64,
+                    sao=True, pps_kw=dict(wpp=True, deblock=True)),
+        tmp_path, width=96, height=64)
+
+
+@requires_ref
+def test_hevc_tiles_p_gop(tmp_path):
+    """Tiles in P slices: merge/AMVP availability at tile edges."""
+    rng = np.random.default_rng(14)
+    stream, n = craft_gop(lambda: InterPlan(rng), n_frames=4,
+                          pps_kw=dict(tiles=(2, 2)))
+    _decode_gop_vs_ref(stream, n, tmp_path)
+
+
+@requires_ref
+def test_hevc_wpp_p_gop(tmp_path):
+    rng = np.random.default_rng(16)
+    stream, n = craft_gop(lambda: InterPlan(rng), n_frames=4,
+                          pps_kw=dict(wpp=True))
+    _decode_gop_vs_ref(stream, n, tmp_path)
+
+
+@requires_ref
+def test_hevc_tiles_b_10bit(tmp_path):
+    """The full matrix point: tiles x B-frames x 10-bit x filters."""
+    rng = np.random.default_rng(18)
+    stream, n = craft_gop(lambda: InterPlan(rng), n_frames=5,
+                          gop_kind="B", bit_depth=10, sao=True,
+                          pps_kw=dict(tiles=(2, 2), deblock=True))
     _decode_gop_vs_ref(stream, n, tmp_path, bit_depth=10)
