@@ -55,12 +55,48 @@ def _packet_dict(pkt, st) -> dict:
     return d
 
 
+def _frame_dict(fr, st) -> dict:
+    tb = fr.time_base or st.time_base
+    d = {
+        "media_type": st.codecpar.codec_type,
+        "stream_index": fr.stream_index
+        if getattr(fr, "stream_index", None) is not None else st.index,
+        "key_frame": 1 if getattr(fr, "key_frame", False) else 0,
+        "pts": fr.pts if fr.pts != NOPTS else "N/A",
+    }
+    if fr.pts != NOPTS and tb and tb.den:
+        d["pts_time"] = f"{fr.pts * tb.num / tb.den:.6f}"
+    if st.codecpar.codec_type == MediaType.VIDEO:
+        d.update(width=fr.width, height=fr.height, pix_fmt=fr.format)
+        pt = getattr(fr, "pict_type", None)
+        if pt and pt != "?":
+            d["pict_type"] = pt
+    else:
+        d.update(sample_fmt=fr.format, nb_samples=fr.nb_samples,
+                 channels=fr.channels)
+    return d
+
+
+def _pump(dec, pkt):
+    from ..utils.error import EndOfStream, TryAgain
+    dec.send_packet(pkt)
+    out = []
+    while True:
+        try:
+            out.append(dec.receive_frame())
+        except (TryAgain, EndOfStream):
+            break
+    return out
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     url = None
     fmt = None
     writer = "default"
     show_streams = show_format = show_packets = False
+    show_frames = False
+    select = None
     input_format = None
     i = 0
     while i < len(argv):
@@ -71,6 +107,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             show_format = True
         elif a == "-show_packets":
             show_packets = True
+        elif a == "-show_frames":
+            show_frames = True
+        elif a == "-select_streams":
+            i += 1
+            select = argv[i]
         elif a in ("-of", "-print_format", "-output_format"):
             i += 1
             writer = argv[i]
@@ -89,19 +130,60 @@ def main(argv: Optional[List[str]] = None) -> int:
         i += 1
     if url is None:
         sys.stderr.write("usage: fftpu-probe [-show_streams|-show_format|"
-                         "-show_packets] [-of json|csv|flat|ini|compact] input\n")
+                         "-show_packets|-show_frames] "
+                         "[-select_streams spec] "
+                         "[-of json|csv|flat|ini|compact] input\n")
         return 1
-    if not (show_streams or show_format or show_packets):
+    if not (show_streams or show_format or show_packets
+            or show_frames):
         show_streams = show_format = True
+
+    def selected(st):
+        if select is None:
+            return True
+        if select.isdigit():
+            return st.index == int(select)
+        kind = {"v": MediaType.VIDEO, "a": MediaType.AUDIO,
+                "s": MediaType.SUBTITLE}.get(select[0])
+        if st.codecpar.codec_type != kind:
+            return False
+        if len(select) > 2 and select[1] == ":":
+            same = [s for s in d.streams
+                    if s.codecpar.codec_type == kind]
+            return same.index(st) == int(select[2:])
+        return True
     try:
         d = open_input(url, format=input_format)
         sections = []
-        if show_packets:
+        if show_packets or show_frames:
+            decoders = {}
+            if show_frames:
+                from ..codecs import CodecContext
+                for st in d.streams:
+                    if selected(st):
+                        try:
+                            decoders[st.index] = \
+                                CodecContext.open_decoder(st.codecpar)
+                        except FFTPUError:
+                            pass
             for pkt in d.packets():
-                sections.append(("packet", _packet_dict(pkt, d.streams[pkt.stream_index])))
+                st = d.streams[pkt.stream_index]
+                if not selected(st):
+                    continue
+                if show_packets:
+                    sections.append(("packet", _packet_dict(pkt, st)))
+                dec = decoders.get(pkt.stream_index)
+                if dec is not None:
+                    for fr in _pump(dec, pkt):
+                        sections.append(("frame", _frame_dict(fr, st)))
+            for idx, dec in decoders.items():
+                for fr in _pump(dec, None):
+                    sections.append(
+                        ("frame", _frame_dict(fr, d.streams[idx])))
         if show_streams:
             for st in d.streams:
-                sections.append(("stream", _stream_dict(st)))
+                if selected(st):
+                    sections.append(("stream", _stream_dict(st)))
         if show_format:
             fmt_d = {
                 "filename": url,

@@ -1,5 +1,6 @@
 """CLI end-to-end tests (the fftools layer)."""
 
+import json
 import subprocess
 
 import numpy as np
@@ -300,3 +301,50 @@ def test_shortest_trims_to_earliest_stream(tmp_path):
         (our_counts, rc_counts)
     # and decisively shorter than the untrimmed 1.5 s
     assert our_counts[1] < counts(src)[1] * 0.6
+
+
+@requires_ref
+def test_probe_show_frames(tmp_path, capsys):
+    """-show_frames: per-frame sections match the reference ffprobe's
+    pts/key_frame/dimensions on an MJPEG clip (ffprobe.c
+    show_frames)."""
+    clip = tmp_path / "f.mjpeg"
+    subprocess.run([str(refutil.REF), "-v", "error", "-f", "lavfi",
+                    "-i", "testsrc2=size=64x48:rate=25", "-frames:v",
+                    "4", "-pix_fmt", "yuvj420p", "-c:v", "mjpeg",
+                    "-f", "mjpeg", "-y", str(clip)],
+                   check=True, capture_output=True)
+    rc = probe_main(["-show_frames", "-of", "json", "-f", "mjpeg",
+                     str(clip)])
+    assert rc == 0
+    ours = json.loads(capsys.readouterr().out)["frames"]
+    want = json.loads(subprocess.run(
+        [str(refutil.REF).replace("ffmpeg", "ffprobe"), "-v", "error",
+         "-show_frames", "-of", "json", "-f", "mjpeg", str(clip)],
+        check=True, capture_output=True).stdout)["frames"]
+    assert len(ours) == len(want) == 4
+    for o, w in zip(ours, want):
+        # raw MJPEG has no container timestamps; time bases differ
+        # (ours 1/25 vs the reference's 1/1200000) so compare seconds
+        assert abs(float(o["pts_time"]) - float(w["pts_time"])) < 1e-6
+        assert o["key_frame"] == w["key_frame"]
+        assert o["width"] == w["width"]
+        assert o["height"] == w["height"]
+
+
+@requires_ref
+def test_probe_select_streams(tmp_path, capsys):
+    """-select_streams a / v filters sections (ffprobe.c
+    -select_streams)."""
+    av = tmp_path / "av.mkv"
+    subprocess.run([str(refutil.REF), "-v", "error",
+                    "-f", "lavfi", "-i", "testsrc2=size=64x48:rate=10",
+                    "-f", "lavfi", "-i", "sine=r=44100",
+                    "-t", "0.3", "-c:v", "mjpeg", "-pix_fmt",
+                    "yuvj420p", "-c:a", "pcm_s16le",
+                    "-y", str(av)], check=True, capture_output=True)
+    rc = probe_main(["-show_streams", "-select_streams", "a",
+                     "-of", "json", str(av)])
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out)["streams"]
+    assert len(st) == 1 and st[0]["codec_type"] == "audio"
