@@ -17,7 +17,7 @@ from typing import Dict, List, Optional, Type
 from ..core.frame import Frame
 from ..core.packet import Packet
 from ..io.stream import CodecParameters, MediaType
-from ..utils.error import (DecoderNotFound, EncoderNotFound, EndOfStream,
+from ..utils.error import (DecoderNotFound, EncoderNotFound, EndOfStream, FFTPUError,
                            InvalidData, TryAgain)
 from ..utils.log import LogMixin
 from ..utils.rational import Rational
@@ -92,7 +92,19 @@ class CodecContext(LogMixin):
         cls = _DECODERS.get(cid)
         if cls is None:
             raise DecoderNotFound(f"no decoder for {cid!r}")
-        return CodecContext(cls(par, options))
+        try:
+            codec = cls(par, options)
+        except FFTPUError:
+            raise
+        except (MemoryError, RecursionError, KeyboardInterrupt,
+                SystemExit):
+            raise
+        except Exception as e:      # noqa: BLE001 — contract boundary
+            # corrupted extradata/params must not crash open
+            raise InvalidData(
+                f"{cid}: malformed codec parameters "
+                f"({type(e).__name__}: {e})") from e
+        return CodecContext(codec)
 
     @staticmethod
     def open_encoder(par: CodecParameters, options: Optional[dict] = None,
@@ -109,9 +121,27 @@ class CodecContext(LogMixin):
         if pkt is None:
             if not self._draining:
                 self._draining = True
-                self._out.extend(self.codec.decode(None))
+                self._out.extend(self._decode_guarded(None))
             return
-        self._out.extend(self.codec.decode(pkt))
+        self._out.extend(self._decode_guarded(pkt))
+
+    def _decode_guarded(self, pkt):
+        """Safety net of the generic decode driver (decode.c
+        AVERROR_INVALIDDATA contract): malformed input must surface as
+        InvalidData, never as a raw Python exception from a decoder's
+        internals. Decoders still do targeted validation; this is the
+        backstop for unanticipated corruption paths."""
+        try:
+            return self.codec.decode(pkt)
+        except FFTPUError:
+            raise
+        except (MemoryError, RecursionError, KeyboardInterrupt,
+                SystemExit):
+            raise
+        except Exception as e:      # noqa: BLE001 — contract boundary
+            raise InvalidData(
+                f"{self.codec.codec_id}: malformed input "
+                f"({type(e).__name__}: {e})") from e
 
     def receive_frame(self) -> Frame:
         if self._out:

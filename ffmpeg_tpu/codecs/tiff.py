@@ -143,8 +143,15 @@ class TiffDecoder(Codec):
             raise NotSupported("tiff: tiled images")
         w = tags[TAG_WIDTH][0]
         h = tags[TAG_HEIGHT][0]
+        # sanity bounds (tiff.c checks the same before allocating):
+        # corrupted dimension/count fields must not drive allocations
+        if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16
+                and w * h <= 1 << 26):
+            raise InvalidData(f"tiff: unreasonable dimensions {w}x{h}")
         bps = tags.get(TAG_BPS, [8])
         spp = tags.get(TAG_SPP, [1])[0]
+        if not 1 <= spp <= 4:
+            raise InvalidData(f"tiff: bad samples per pixel {spp}")
         compr = tags.get(TAG_COMPR, [COMPR_RAW])[0]
         photo = tags.get(TAG_PHOTOMETRIC, [1])[0]
         rps = tags.get(TAG_ROWSPERSTRIP, [h])[0] or h
@@ -157,6 +164,8 @@ class TiffDecoder(Codec):
         bits = bps[0]
         if any(b != bits for b in bps):
             raise NotSupported("tiff: mixed bits per sample")
+        if bits not in (1, 4, 8, 16):
+            raise InvalidData(f"tiff: bad bits per sample {bits}")
         sub = tags.get(TAG_SUBSAMPLING, [2, 2]) if photo == 6 else None
         if photo == 6:
             row_bytes = self._yuv_group_bytes(w, sub)
@@ -199,6 +208,8 @@ class TiffDecoder(Codec):
         for i in range(count):
             tag, typ, n = struct.unpack_from(e + "HHI", d,
                                              off + 2 + 12 * i)
+            if n > len(d):             # value count beyond the file
+                raise InvalidData("tiff: tag count out of range")
             vsz = _TYPE_SIZE.get(typ, 1) * n
             voff = off + 2 + 12 * i + 8
             if vsz > 4:

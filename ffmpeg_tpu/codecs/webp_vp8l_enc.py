@@ -122,6 +122,10 @@ class _HuffWriter:
             w.put(n - 2, bits)
         else:
             w.put(0, 1)
+        if len(cl_lengths) == 1:
+            # single-symbol code-length code: canonical codes read
+            # zero bits per symbol (all lengths equal) — write none
+            return
         for v in lens[:last + 1]:
             ln, code = cl_codes[v]
             for k in range(ln - 1, -1, -1):

@@ -11,7 +11,8 @@ from __future__ import annotations
 from typing import Dict, Iterator, List, Optional, Type
 
 from ..core.packet import Packet
-from ..utils.error import DemuxerNotFound, EndOfStream, InvalidData
+from ..utils.error import (DemuxerNotFound, EndOfStream, FFTPUError,
+                           InvalidData)
 from ..utils.log import LogMixin
 from ..utils.rational import NOPTS, Rational, rescale_q
 from . import avio
@@ -104,7 +105,19 @@ class Demuxer(LogMixin):
         buf = getattr(self, "_seek_buf", None)
         if buf:
             return buf.popleft()
-        return self.read_packet()
+        try:
+            return self.read_packet()
+        except FFTPUError:
+            raise
+        except (MemoryError, RecursionError, KeyboardInterrupt,
+                SystemExit):
+            raise
+        except Exception as e:      # noqa: BLE001 — contract boundary
+            # demux.c contract: malformed containers produce
+            # AVERROR_INVALIDDATA, never crash the caller
+            raise InvalidData(
+                f"{type(self).__name__}: malformed input "
+                f"({type(e).__name__}: {e})") from e
 
     def close(self) -> None:
         if self.r is not None:
@@ -151,6 +164,21 @@ def probe_format(head: bytes, filename: str = "") -> Optional[Type[Demuxer]]:
     return best
 
 
+
+def _read_header_guarded(d):
+    try:
+        d.read_header()
+    except FFTPUError:
+        raise
+    except (MemoryError, RecursionError, KeyboardInterrupt, SystemExit):
+        raise
+    except Exception as e:          # noqa: BLE001 — contract boundary
+        raise InvalidData(
+            f"{type(d).__name__}: malformed header "
+            f"({type(e).__name__}: {e})") from e
+    return d
+
+
 def open_input(url, format: Optional[str] = None, **options) -> Demuxer:
     """avformat_open_input analog: probe (or take explicit format), read
     header, return ready demuxer."""
@@ -162,7 +190,7 @@ def open_input(url, format: Optional[str] = None, **options) -> Demuxer:
             d = cls(None, url=str(url))
             for k, v in options.items():
                 setattr(d, k, v)
-            d.read_header()
+            _read_header_guarded(d)
             return d
         r = avio.open_read(url)
     elif isinstance(url, str) and ("%" in url or "*" in url):
@@ -170,13 +198,13 @@ def open_input(url, format: Optional[str] = None, **options) -> Demuxer:
         d = cls(None, url=url)
         for k, v in options.items():
             setattr(d, k, v)
-        d.read_header()
+        _read_header_guarded(d)
         return d
     elif isinstance(url, str) and url.startswith("rtsp://"):
         d = _DEMUXERS["rtsp"](None, url=url)
         for k, v in options.items():
             setattr(d, k, v)
-        d.read_header()
+        _read_header_guarded(d)
         return d
     else:
         r = avio.open_read(url)
@@ -188,5 +216,5 @@ def open_input(url, format: Optional[str] = None, **options) -> Demuxer:
     d = cls(r, url=str(url))
     for k, v in options.items():
         setattr(d, k, v)
-    d.read_header()
+    _read_header_guarded(d)
     return d

@@ -128,6 +128,12 @@ class MovDemuxer(Demuxer):
         self._finalize()
 
     def _read_box_header(self, pos: int) -> Optional[_Box]:
+        # global budget: corrupted sizes can make nested container
+        # walks quadratic in the file size (mov.c guards similarly);
+        # real files have a few hundred boxes
+        self._box_budget = getattr(self, "_box_budget", 100000) - 1
+        if self._box_budget < 0:
+            raise InvalidData("mov: too many boxes (corrupt sizes)")
         try:
             self.r.seek(pos)
             hdr = self.r.read(8)
