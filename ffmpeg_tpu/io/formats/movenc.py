@@ -196,86 +196,11 @@ class MovMuxer(Muxer):
         return trak
 
     def _sample_entry(self, st) -> _Box:
-        par = st.codecpar
-        if par.codec_type == MediaType.VIDEO:
-            tag = _VIDEO_TAG.get(par.codec_id)
-            if tag is None:
-                raise NotSupported(f"mov: cannot mux video codec {par.codec_id}")
-            e = _Box(tag.decode())
-            e.raw(b"\x00" * 6)
-            e.b16(1)
-            e.b16(0)
-            e.b16(0)
-            e.b32(0)
-            e.b32(0)
-            e.b32(0)
-            e.b16(par.width)
-            e.b16(par.height)
-            e.b32(0x00480000)
-            e.b32(0x00480000)
-            e.b32(0)
-            e.b16(1)
-            e.raw(b"\x00" * 32)
-            e.b16(24)
-            e.b16(0xFFFF)
-            if par.codec_id == "h264" and par.extradata:
-                c = _Box("avcC")
-                c.raw(par.extradata)
-                e.box(c)
-            elif par.codec_id == "hevc" and par.extradata:
-                c = _Box("hvcC")
-                c.raw(par.extradata)
-                e.box(c)
-            elif tag == b"mp4v":
-                e.box(self._esds(par))
-            return e
-        tag = _AUDIO_TAG.get(par.codec_id)
-        if tag is None:
-            raise NotSupported(f"mov: cannot mux audio codec {par.codec_id}")
-        e = _Box(tag.decode())
-        e.raw(b"\x00" * 6)
-        e.b16(1)
-        e.b16(0)
-        e.b16(0)
-        e.b32(0)
-        e.b16(par.channels)
-        e.b16(par.bits_per_coded_sample or 16)
-        e.b16(0)
-        e.b16(0)
-        e.b32(par.sample_rate << 16)
-        if tag == b"mp4a":
-            e.box(self._esds(par))
-        elif tag == b"fLaC" and par.extradata:
-            c = _Box("dfLa")
-            c.b32(0)
-            c.raw(b"\x80\x00\x00\x22" if len(par.extradata) == 34 else b"")
-            c.raw(par.extradata)
-            e.box(c)
-        return e
+        return sample_entry(st)
 
     def _esds(self, par) -> _Box:
-        oti = _OTI.get(par.codec_id, 0x40)
-        dsi = par.extradata or b""
+        return esds(par)
 
-        def descr(tag, payload):
-            out = bytes([tag])
-            n = len(payload)
-            # 4-byte expandable length like the reference writes
-            out += bytes([0x80, 0x80, 0x80, n & 0x7F]) if n < 128 else \
-                bytes([(n >> 21) | 0x80, (n >> 14) & 0x7F | 0x80,
-                       (n >> 7) & 0x7F | 0x80, n & 0x7F])
-            return out + payload
-
-        dec_specific = descr(0x05, dsi) if dsi else b""
-        stream_type = 0x11 if par.codec_type == MediaType.VIDEO else 0x15
-        dec_config = descr(0x04, bytes([oti, stream_type]) + b"\x00\x00\x00"
-                           + struct.pack(">II", 0, 0) + dec_specific)
-        sl = descr(0x06, b"\x02")
-        es = descr(0x03, b"\x00\x01\x00" + dec_config + sl)
-        b = _Box("esds")
-        b.b32(0)
-        b.raw(es)
-        return b
 
     def _stbl(self, st, timescale) -> _Box:
         samples = self._samples[st.index]
@@ -356,3 +281,87 @@ class MovMuxer(Muxer):
             stco.b32(s[0])
         stbl.box(stco)
         return stbl
+
+
+def sample_entry(st) -> _Box:
+    par = st.codecpar
+    if par.codec_type == MediaType.VIDEO:
+        tag = _VIDEO_TAG.get(par.codec_id)
+        if tag is None:
+            raise NotSupported(f"mov: cannot mux video codec {par.codec_id}")
+        e = _Box(tag.decode())
+        e.raw(b"\x00" * 6)
+        e.b16(1)
+        e.b16(0)
+        e.b16(0)
+        e.b32(0)
+        e.b32(0)
+        e.b32(0)
+        e.b16(par.width)
+        e.b16(par.height)
+        e.b32(0x00480000)
+        e.b32(0x00480000)
+        e.b32(0)
+        e.b16(1)
+        e.raw(b"\x00" * 32)
+        e.b16(24)
+        e.b16(0xFFFF)
+        if par.codec_id == "h264" and par.extradata:
+            c = _Box("avcC")
+            c.raw(par.extradata)
+            e.box(c)
+        elif par.codec_id == "hevc" and par.extradata:
+            c = _Box("hvcC")
+            c.raw(par.extradata)
+            e.box(c)
+        elif tag == b"mp4v":
+            e.box(esds(par))
+        return e
+    tag = _AUDIO_TAG.get(par.codec_id)
+    if tag is None:
+        raise NotSupported(f"mov: cannot mux audio codec {par.codec_id}")
+    e = _Box(tag.decode())
+    e.raw(b"\x00" * 6)
+    e.b16(1)
+    e.b16(0)
+    e.b16(0)
+    e.b32(0)
+    e.b16(par.channels)
+    e.b16(par.bits_per_coded_sample or 16)
+    e.b16(0)
+    e.b16(0)
+    e.b32(par.sample_rate << 16)
+    if tag == b"mp4a":
+        e.box(esds(par))
+    elif tag == b"fLaC" and par.extradata:
+        c = _Box("dfLa")
+        c.b32(0)
+        c.raw(b"\x80\x00\x00\x22" if len(par.extradata) == 34 else b"")
+        c.raw(par.extradata)
+        e.box(c)
+    return e
+
+def esds(par) -> _Box:
+    oti = _OTI.get(par.codec_id, 0x40)
+    dsi = par.extradata or b""
+
+    def descr(tag, payload):
+        out = bytes([tag])
+        n = len(payload)
+        # 4-byte expandable length like the reference writes
+        out += bytes([0x80, 0x80, 0x80, n & 0x7F]) if n < 128 else \
+            bytes([(n >> 21) | 0x80, (n >> 14) & 0x7F | 0x80,
+                   (n >> 7) & 0x7F | 0x80, n & 0x7F])
+        return out + payload
+
+    dec_specific = descr(0x05, dsi) if dsi else b""
+    stream_type = 0x11 if par.codec_type == MediaType.VIDEO else 0x15
+    dec_config = descr(0x04, bytes([oti, stream_type]) + b"\x00\x00\x00"
+                       + struct.pack(">II", 0, 0) + dec_specific)
+    sl = descr(0x06, b"\x02")
+    es = descr(0x03, b"\x00\x01\x00" + dec_config + sl)
+    b = _Box("esds")
+    b.b32(0)
+    b.raw(es)
+    return b
+
