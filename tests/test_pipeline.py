@@ -113,3 +113,54 @@ def test_decode_scale_quality_vs_reference_full_path():
     for i in range(3):
         p = refutil.psnr(np.asarray(res[i][0]), np.asarray(ref.planes[i]))
         assert p > 45, f"comp {i}: decode-scale quality {p:.1f} dB too low"
+
+
+def test_scheduler_dts_choke():
+    """Multi-output DTS-choke (ffmpeg_sched.c:1446-1497): a slow sink
+    bounds how far the fast one may run ahead, so queues stay bounded
+    and both outputs still receive every packet in order."""
+    import time
+    from ffmpeg_tpu.parallel.pipeline import Scheduler
+
+    class P:
+        def __init__(self, dts):
+            self.dts = dts
+
+    got_fast, got_slow = [], []
+    skew_high = []
+
+    def fast(p):
+        got_fast.append(p.dts)
+        skew_high.append(p.dts - (got_slow[-1] if got_slow else -1))
+
+    def slow(p):
+        time.sleep(0.002)
+        got_slow.append(p.dts)
+
+    sch = Scheduler(tolerance=16, queue_size=4)
+    sch.add_output("fast", fast)
+    sch.add_output("slow", slow)
+    sch.run((P(i) for i in range(300)), dts_of=lambda p: p.dts)
+    assert got_fast == list(range(300))
+    assert got_slow == list(range(300))
+    # the fast output never ran ahead more than tolerance + queues
+    assert max(skew_high) <= 16 + 2 * 4 + 1
+    assert sch.max_queued <= 4
+
+
+def test_scheduler_error_propagates():
+    from ffmpeg_tpu.parallel.pipeline import Scheduler
+
+    class P:
+        def __init__(self, dts):
+            self.dts = dts
+
+    def bad(p):
+        if p.dts == 5:
+            raise RuntimeError("sink exploded")
+
+    sch = Scheduler(tolerance=4, queue_size=2)
+    sch.add_output("bad", bad)
+    import pytest
+    with pytest.raises(RuntimeError, match="sink exploded"):
+        sch.run((P(i) for i in range(50)), dts_of=lambda p: p.dts)
