@@ -246,6 +246,7 @@ class AacDecoder(Codec):
         dur = 1024
         if sbr_applied:
             pcm, rate, dur = self._apply_sbr(outputs, pcm)
+            nch = pcm.shape[0]            # PS upmixes SCE to stereo
         # the reference float decoder does not clamp its output
         # (aacdec.c float path writes raw floats)
         f = Frame.audio(pcm.astype(np.float32),

@@ -184,6 +184,8 @@ class SBRData:
 
 class SBRContext:
     def __init__(self, sample_rate):
+        self.ps = None                    # PSContext when HE-AACv2
+        self.synth_r = None               # right-channel QMF synthesis
         self.sample_rate = 2 * sample_rate
         self.start = 0
         self.reset = 0
@@ -725,11 +727,19 @@ class SBRContext:
                 nbits += br.get(8)
             nbits <<= 3
             while nbits > 7:
-                nbits -= 2
-                br.get(2)
-                # reserved extensions: skip the remaining fill bits
+                before = br.pos
+                ext_id = br.get(2)
+                if ext_id == 2:           # EXTENSION_ID_PS
+                    from .aacps import PSContext
+                    if self.ps is None:
+                        self.ps = PSContext()
+                    self.ps.read_data(br, nbits - 2)
+                else:
+                    # reserved extension: skip the fill bits
+                    br.skip(nbits - 2)
+                nbits -= br.pos - before
+            if nbits > 0:
                 br.skip(nbits)
-                nbits = 0
 
     def decode_extension(self, br, crc, id_aac):
         """FIL-element SBR payload (ff_aac_sbr_decode_extension)."""
@@ -1148,6 +1158,8 @@ class SBRContext:
             self.dequant()
             self.ready_for_dequant = 0
         outs = []
+        use_ps = (id_aac == "sce" and self.ps is not None
+                  and self.ps.start and len(channels) == 1)
         for ch, samples in enumerate(channels):
             cd = self.data[ch]
             W = qmf_analysis(cd.x, np.asarray(samples, np.float64))
@@ -1163,6 +1175,17 @@ class SBRContext:
                 self.gain_calc(ch)
                 self.hf_assemble(ch)
             X = self.x_gen(ch)
-            outs.append(qmf_synthesis(cd.synth, X[:32]))
+            if use_ps:
+                # HE-AACv2: mono downmix + PS → stereo in QMF domain
+                # (aacsbr_template.c sbr_apply PS hook)
+                L32, R32 = self.ps.apply(X, self.kx[1] + self.m[1])
+                if self.synth_r is None:
+                    import copy as _copy
+                    self.synth_r = {"v": np.zeros_like(cd.synth["v"]),
+                                    "v_off": cd.synth["v_off"]}
+                outs.append(qmf_synthesis(cd.synth, L32))
+                outs.append(qmf_synthesis(self.synth_r, R32))
+            else:
+                outs.append(qmf_synthesis(cd.synth, X[:32]))
         self.reset = 0
         return outs

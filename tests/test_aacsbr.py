@@ -72,7 +72,7 @@ def _find_end(payload, dec):
 
 def write_sbr_payload(ctx_probe, rng, header=True, num_env_log2=1,
                       start_freq=5, stop_freq=3, noise_start=18,
-                      env_base=25, invf=2, freq_res=0):
+                      env_base=25, invf=2, freq_res=0, ext_bits=None):
     """→ bit list of one sbr_single_channel_element payload."""
     w = Bits()
     w.u(1 if header else 0, 1)
@@ -115,7 +115,24 @@ def write_sbr_payload(ctx_probe, rng, header=True, num_env_log2=1,
         for _ in range(n_q - 1):
             w.huff(5, int(rng.integers(-1, 2)))
     w.u(0, 1)                             # bs_add_harmonic_flag
-    w.u(0, 1)                             # bs_extended_data
+    if ext_bits is None:
+        w.u(0, 1)                         # bs_extended_data
+    else:
+        # bs_extended_data: extension_id (2 bits) + payload, padded
+        # to the signalled byte count (aacsbr read_sbr_extension)
+        w.u(1, 1)
+        total = 2 + len(ext_bits)
+        cnt = (total + 7) // 8
+        if cnt >= 15:
+            w.u(15, 4)
+            w.u(cnt - 15, 8)
+        else:
+            w.u(cnt, 4)
+        w.u(2, 2)                         # EXTENSION_ID_PS
+        for b in ext_bits:
+            w.u(b, 1)
+        for _ in range(cnt * 8 - total):
+            w.u(0, 1)
     return w.bits
 
 
