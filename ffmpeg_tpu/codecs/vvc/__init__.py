@@ -1,0 +1,79 @@
+"""VVC decoder, minimal-toolset I-slice core (ITU-T H.266; reference
+libavcodec/vvc/dec.c:1297). Per-CTU reconstruction can optionally run
+through the P4 task-graph executor (parallel/executor.py, the
+AVExecutor analog vvc/thread.h:28)."""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from ...core.frame import Frame
+from ...core.packet import Packet
+from ...io.stream import MediaType
+from ...utils.error import InvalidData
+from ...utils.rational import Rational
+from ..codec import Codec, register_decoder
+from ..h264 import nal as _nal
+from . import params as P
+from .cabac import VvcCabacDecoder
+from .ctu import CtuCoder, FrameDec
+
+
+@register_decoder
+class VvcDecoder(Codec):
+    codec_id = "vvc"
+    aliases = ("h266",)
+    codec_type = MediaType.VIDEO
+
+    def __init__(self, par, options=None):
+        super().__init__(par, options)
+        self.sps = {}
+        self.pps = {}
+        ed = par.extradata or b""
+        if ed:
+            for u in _nal.split_annexb(ed):
+                self._handle_nal(u)
+
+    def _handle_nal(self, unit: bytes, pkt: Optional[Packet] = None):
+        if len(unit) < 3:
+            return None
+        ntype = P.nal_type(unit)
+        rbsp = _nal.unescape(unit[2:])
+        if ntype == P.NAL_SPS:
+            s = P.parse_sps(rbsp)
+            self.sps[s.sps_id] = s
+        elif ntype == P.NAL_PPS:
+            p = P.parse_pps(rbsp)
+            self.pps[p.pps_id] = p
+        elif P.is_slice(ntype):
+            return self._decode_slice(rbsp, ntype, pkt)
+        return None
+
+    def _decode_slice(self, rbsp: bytes, ntype: int, pkt):
+        if not self.sps:
+            raise InvalidData("vvc: no SPS")
+        sps = next(iter(self.sps.values()))
+        sh = P.parse_slice_header(rbsp, ntype, sps, self.pps)
+        pps = next(iter(self.pps.values()))
+        dec = FrameDec(sps, pps, sh)
+        core = VvcCabacDecoder(rbsp[sh.data_bit_pos // 8:])
+        CtuCoder(dec, core).code_slice_data()
+        fmt = "yuv420p" if sps.bit_depth == 8 else "yuv420p10le"
+        f = Frame.video(sps.width, sps.height, fmt,
+                        planes=[dec.y.copy(), dec.u.copy(),
+                                dec.v.copy()],
+                        pts=pkt.pts if pkt else 0,
+                        time_base=(pkt.time_base if pkt else None)
+                        or Rational(1, 25))
+        f.key_frame = True
+        return [f]
+
+    def decode(self, pkt: Optional[Packet]) -> List[Frame]:
+        if pkt is None or not pkt.data:
+            return []
+        frames = []
+        for u in _nal.split_annexb(pkt.data):
+            f = self._handle_nal(u, pkt)
+            if f:
+                frames.extend(f)
+        return frames
