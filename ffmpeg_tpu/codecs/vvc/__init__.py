@@ -57,7 +57,15 @@ class VvcDecoder(Codec):
         pps = next(iter(self.pps.values()))
         dec = FrameDec(sps, pps, sh)
         core = VvcCabacDecoder(rbsp[sh.data_bit_pos // 8:])
-        CtuCoder(dec, core).code_slice_data()
+        threads = int(self.options.get("threads", 1) or 1)
+        coder = CtuCoder(dec, core, defer_recon=threads > 1)
+        coder.code_slice_data()
+        if threads > 1:
+            # P4: sequential parse, per-CTU wavefront recon tasks on
+            # the AVExecutor analog (reference vvc/thread.c:770)
+            from ...parallel.executor import Executor
+            with Executor(workers=threads) as ex:
+                coder.run_deferred_recon(ex)
         fmt = "yuv420p" if sps.bit_depth == 8 else "yuv420p10le"
         f = Frame.video(sps.width, sps.height, fmt,
                         planes=[dec.y.copy(), dec.u.copy(),

@@ -169,10 +169,14 @@ class Plan:
 
 
 class CtuCoder:
-    def __init__(self, dec: FrameDec, core, encode=False, plan=None):
+    def __init__(self, dec: FrameDec, core, encode=False, plan=None,
+                 defer_recon=False):
         self.dec = dec
         self.io = _IO(core, encode)
         self.plan = plan
+        self.defer_recon = defer_recon
+        self.recon_q = []            # (ctu, cu-args...) when deferred
+        self.cur_ctu = (0, 0)
         # init_type = 2 - slice_type; I slices (type 2) -> 0
         self.ctx = init_contexts(2 - dec.sh.slice_type,
                                  max(0, min(63, dec.qp)))
@@ -183,10 +187,57 @@ class CtuCoder:
         sps = dec.sps
         for ry in range(sps.ctb_height):
             for rx in range(sps.ctb_width):
+                self.cur_ctu = (rx, ry)
                 self.coding_tree(rx << sps.log2_ctu,
                                  ry << sps.log2_ctu, sps.log2_ctu)
         if self.io.term(1) != 1:
             raise InvalidData("vvc: missing end_of_slice_one_bit")
+
+    def run_deferred_recon(self, executor):
+        """Per-CTU reconstruction on the P4 task-graph executor with
+        wavefront dependencies — CTU (rx,ry) runs once (rx-1,ry),
+        (rx,ry-1) and (rx+1,ry-1) are done, the same dependency shape
+        the reference drives through AVExecutor (vvc/thread.c:528
+        task_stage_done / intra refs extend one CTU to the top-right).
+        Parse stays sequential; availability was snapshotted there."""
+        import threading as _th
+
+        from ...parallel.executor import Task
+
+        by_ctu = {}
+        for item in self.recon_q:
+            by_ctu.setdefault(item[0], []).append(item[1:])
+        ctbw = self.dec.sps.ctb_width
+        done = set()
+        lock = _th.Lock()
+
+        def _deps_ok(rx, ry):
+            for nx, ny in ((rx - 1, ry), (rx, ry - 1),
+                           (rx + 1, ry - 1)):
+                if 0 <= nx < ctbw and ny >= 0 \
+                        and (nx, ny) not in done:
+                    return False
+            return True
+
+        for (rx, ry) in sorted(by_ctu, key=lambda c: (c[1], c[0])):
+            cus = by_ctu[(rx, ry)]
+
+            def _run(rx=rx, ry=ry, cus=cus):
+                for (x0, y0, log2, lm, cm, cy, cb, cr, sy,
+                     sc) in cus:
+                    self._reconstruct(x0, y0, log2, lm, cm, cy, cb,
+                                      cr, sy, sc)
+                with lock:
+                    done.add((rx, ry))
+
+            def _ready(rx=rx, ry=ry):
+                with lock:
+                    return _deps_ok(rx, ry)
+
+            executor.submit(Task(_run, priority=ry * ctbw + rx,
+                                 ready=_ready))
+        executor.wait()
+        self.recon_q = []
 
     def coding_tree(self, x0, y0, log2):
         dec = self.dec
@@ -259,8 +310,22 @@ class CtuCoder:
             if cbf_cr else None
 
         if not io.encode:
-            self._reconstruct(x0, y0, log2, luma_mode, chroma_mode,
-                              coeff_y, coeff_cb, coeff_cr)
+            if self.defer_recon:
+                # snapshot neighbour availability at parse time so
+                # reconstruction can run out of raster order on the
+                # executor (the reference records the same per-CU
+                # state before handing CTUs to AVExecutor)
+                snap_y = self._avail_snap(x0, y0, size, luma_mode, 0)
+                snap_c = self._avail_snap(x0 >> 1, y0 >> 1, size >> 1,
+                                          chroma_mode, 1)
+                self.recon_q.append(
+                    (self.cur_ctu, x0, y0, log2, luma_mode,
+                     chroma_mode, coeff_y, coeff_cb, coeff_cr,
+                     snap_y, snap_c))
+            else:
+                self._reconstruct(x0, y0, log2, luma_mode,
+                                  chroma_mode, coeff_y, coeff_cb,
+                                  coeff_cr)
         dec.decoded[y4:y4 + n4, x4:x4 + n4] = True
 
     # ------------------------------------------------- intra mode syntax
@@ -786,11 +851,11 @@ class CtuCoder:
 
     # ------------------------------------------------- reconstruction
     def _reconstruct(self, x0, y0, log2, luma_mode, chroma_mode,
-                     cy, cb, cr):
+                     cy, cb, cr, snap_y=None, snap_c=None):
         dec = self.dec
         size = 1 << log2
         pred = self._intra_pred(dec.y, x0, y0, size, size, luma_mode,
-                                0)
+                                0, avail=snap_y)
         blk = pred.astype(np.int64)
         if cy is not None:
             blk = blk + self._itx(cy, dec.qp + 6 * (dec.bd - 8), 0)
@@ -802,7 +867,7 @@ class CtuCoder:
         for plane, coef, off in ((dec.u, cb, dec.pps.cb_qp_offset),
                                  (dec.v, cr, dec.pps.cr_qp_offset)):
             predc = self._intra_pred(plane, xc, yc, half, half,
-                                     chroma_mode, 1)
+                                     chroma_mode, 1, avail=snap_c)
             blk = predc.astype(np.int64)
             if coef is not None:
                 qp = self._chroma_qp(off) + 6 * (dec.bd - 8)
@@ -867,7 +932,39 @@ class CtuCoder:
             n += 1
         return n
 
-    def _intra_pred(self, plane, x, y, w, h, mode, c_idx):
+    def _edge_sizes(self, w, h, mode, c_idx):
+        """(left_size, top_size, un_l, un_t) per
+        prepare_intra_edge_params (intra_template.c:466)."""
+        ref_filter_flag = mode in _REF_FILTER_MODES
+        filter_flag = w * h > 32 and not c_idx and ref_filter_flag
+        need_pdpc = self._need_pdpc(w, h, mode)
+        if mode == INTRA_PLANAR:
+            left_size, top_size = h + 1, w + 1
+            return (left_size, top_size, left_size + filter_flag,
+                    top_size + filter_flag)
+        if mode == INTRA_DC:
+            return h, w, h, w
+        if mode == INTRA_VERT:
+            ls = h if need_pdpc else 1
+            return ls, w, ls, w
+        if mode == INTRA_HORZ:
+            ts = w if need_pdpc else 1
+            return h, ts, h, ts
+        return 2 * h, 2 * w, 2 * h, 2 * w
+
+    def _avail_snap(self, x, y, size, mode, c_idx):
+        """Parse-time availability snapshot for deferred recon."""
+        un_l, un_t = self._edge_sizes(size, size, mode, c_idx)[2:]
+        plane = self.dec.y if not c_idx else self.dec.u
+        la = self._avail_left(plane, x, y, un_l, c_idx)
+        ta = self._avail_top(plane, x, y, un_t, c_idx)
+        cul = bool(x > 0 and y > 0 and self.dec.decoded[
+            ((y - 1) << (1 if c_idx else 0)) >> 2,
+            ((x - 1) << (1 if c_idx else 0)) >> 2])
+        return la, ta, cul
+
+    def _intra_pred(self, plane, x, y, w, h, mode, c_idx,
+                    avail=None):
         """intra_template.c intra_pred for the no-MIP/MRL/ISP path.
         Square blocks only (QT) so no wide-angle remap."""
         dec = self.dec
@@ -877,37 +974,26 @@ class CtuCoder:
         filter_flag = w * h > 32 and not c_idx and ref_filter_flag
         need_pdpc = self._need_pdpc(w, h, mode)
 
-        # edge sizes
-        if mode == INTRA_PLANAR:
-            left_size, top_size = h + 1, w + 1
-            un_l, un_t = left_size + filter_flag, top_size + filter_flag
-        elif mode == INTRA_DC:
-            un_l = left_size = h
-            un_t = top_size = w
-        elif mode == INTRA_VERT:
-            un_l = left_size = h if need_pdpc else 1
-            un_t = top_size = w
-        elif mode == INTRA_HORZ:
-            un_l = left_size = h
-            un_t = top_size = w if need_pdpc else 1
-        else:
-            un_t = top_size = 2 * w
-            un_l = left_size = 2 * h
+        left_size, top_size, un_l, un_t = self._edge_sizes(
+            w, h, mode, c_idx)
 
         PAD = 34 + 3
         left = np.zeros(128 + PAD, np.int64)
         top = np.zeros(128 + PAD, np.int64)
         pl = plane
 
-        la = self._avail_left(plane, x, y, un_l, c_idx)
+        if avail is None:
+            la = self._avail_left(plane, x, y, un_l, c_idx)
+            ta = self._avail_top(plane, x, y, un_t, c_idx)
+            cand_up_left = x > 0 and y > 0 and \
+                dec.decoded[((y - 1) << (1 if c_idx else 0)) >> 2,
+                            ((x - 1) << (1 if c_idx else 0)) >> 2]
+        else:
+            la, ta, cand_up_left = avail
         for i in range(la):
             left[PAD + i] = pl[y + i, x - 1]
-        ta = self._avail_top(plane, x, y, un_t, c_idx)
         if ta:
             top[PAD:PAD + ta] = pl[y - 1, x:x + ta]
-        cand_up_left = x > 0 and y > 0 and \
-            dec.decoded[((y - 1) << (1 if c_idx else 0)) >> 2,
-                        ((x - 1) << (1 if c_idx else 0)) >> 2]
         if cand_up_left:
             left[PAD - 1] = top[PAD - 1] = pl[y - 1, x - 1]
         elif la:

@@ -193,6 +193,21 @@ def test_vvc_10bit(tmp_path):
                    tmp_path, bit_depth=10)
 
 
+def test_vvc_executor_recon_matches_serial():
+    """threads>1 routes recon through the P4 executor (wavefront
+    per-CTU task graph); output must equal the serial path."""
+    plan = FP(np.random.default_rng(11), rand_split=True,
+              rand_cbf=True, maxn=12, amp=20)
+    s = craft_frame(plan, 96, 64)
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="vvc")
+    f1 = CodecContext.open_decoder(par).decode_all(
+        [Packet(data=s, pts=0)])[0]
+    f2 = CodecContext.open_decoder(par, options={"threads": 4}) \
+        .decode_all([Packet(data=s, pts=0)])[0]
+    for a, b in zip(f1.planes, f2.planes):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_vvc_roundtrip_no_ref():
     """Oracle-less gate: crafted stream decodes through our own
     decoder and reproduces deterministic plane hashes."""
