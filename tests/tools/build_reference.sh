@@ -11,8 +11,8 @@ test -f ffmpeg && exit 0
  --disable-vulkan --disable-sdl2 --disable-iconv --disable-everything \
  --enable-protocol=file,pipe,fd,crypto,udp,tcp,rtp \
  --enable-demuxer=vvc,dts,mov,matroska,mpegts,wav,mjpeg,image2,rawvideo,yuv4mpegpipe,pcm_s16le,flac,aac,mp3,ogg,ivf,apng,image_png_pipe,image_jpeg_pipe,concat,avi,flv,gif,hls,h264,hevc,ac3,image_webp_pipe,rtsp,sdp,eac3,image_qoi_pipe,image_tiff_pipe,ass,srt \
- --enable-muxer=mpeg1video,rawvideo,mov,mp4,matroska,mpegts,wav,mjpeg,image2,rawvideo,yuv4mpegpipe,framecrc,framemd5,md5,crc,null,pcm_s16le,flac,adts,ivf,apng,image2pipe,avi,mpeg2video,gif,ac3,ogg,dash,webm,rtp,rtsp,rtp_mpegts,eac3,ass,srt \
- --enable-encoder=mjpeg,mpeg1video,mpeg2video,mpeg4,prores,dnxhd,ffv1,flac,aac,pcm_s16le,pcm_s16be,pcm_f32le,png,rawvideo,wrapped_avframe,ac3,msmpeg4v3,h263,gif,mp2,vorbis,opus,eac3,qoi,tiff,adpcm_ima_wav,adpcm_ms,ssa,subrip \
+ --enable-muxer=dts,pcm_f32le,mpeg1video,rawvideo,mov,mp4,matroska,mpegts,wav,mjpeg,image2,rawvideo,yuv4mpegpipe,framecrc,framemd5,md5,crc,null,pcm_s16le,flac,adts,ivf,apng,image2pipe,avi,mpeg2video,gif,ac3,ogg,dash,webm,rtp,rtsp,rtp_mpegts,eac3,ass,srt \
+ --enable-encoder=dca,mjpeg,mpeg1video,mpeg2video,mpeg4,prores,dnxhd,ffv1,flac,aac,pcm_s16le,pcm_s16be,pcm_f32le,png,rawvideo,wrapped_avframe,ac3,msmpeg4v3,h263,gif,mp2,vorbis,opus,eac3,qoi,tiff,adpcm_ima_wav,adpcm_ms,ssa,subrip \
  --enable-indev=lavfi \
  --enable-decoder=vvc,dca,wrapped_avframe,mjpeg,mpeg2video,mpeg4,prores,dnxhd,ffv1,flac,aac,pcm_s16le,pcm_s16be,pcm_f32le,png,rawvideo,h264,hevc,vp8,vp9,mpeg1video,mp3,vorbis,opus,ac3,msmpeg4v3,h263,gif,mp2,webp,eac3,qoi,tiff,adpcm_ima_wav,adpcm_ms,ssa,subrip \
  --enable-parser=vvc,dca,h264,hevc,mjpeg,mpegvideo,mpeg4video,aac,flac,mpegaudio,vp8,vp9,png,gif \
