@@ -461,6 +461,194 @@ _ALIASES.update({"yuv440p10": "yuv440p10le", "yuv440p12": "yuv440p12le",
                  "ayuv64": "ayuv64le", "nv20": "nv20le"})
 
 
+# --- pixdesc.c parity: remaining software formats ---------------------------
+
+# full-range JPEG aliases (deprecated in the reference but still listed)
+_planar_yuv("yuvj420p", 1, 1)
+_planar_yuv("yuvj422p", 1, 0)
+_planar_yuv("yuvj444p", 0, 0)
+_planar_yuv("yuvj440p", 0, 1)
+_planar_yuv("yuvj411p", 2, 0)
+register(PixFmtDescriptor("yuv411p", 3, 2, 0, FLAG_PLANAR, (
+    ComponentDesc(0, 1, 0, 0, 8), ComponentDesc(1, 1, 0, 0, 8),
+    ComponentDesc(2, 1, 0, 0, 8)))) if not exists("yuv411p") else None
+
+# half/float gray + luma-alpha
+register(PixFmtDescriptor("grayf16le", 1, 0, 0, FLAG_FLOAT,
+                          (ComponentDesc(0, 2, 0, 0, 16),)))
+register(PixFmtDescriptor("grayf16be", 1, 0, 0, FLAG_FLOAT | FLAG_BE,
+                          (ComponentDesc(0, 2, 0, 0, 16),)))
+register(PixFmtDescriptor("gray32le", 1, 0, 0, FLAG_PLANAR,
+                          (ComponentDesc(0, 4, 0, 0, 32),)))
+register(PixFmtDescriptor("gray32be", 1, 0, 0, FLAG_PLANAR | FLAG_BE,
+                          (ComponentDesc(0, 4, 0, 0, 32),)))
+for nm, sz, dep, fl in (("yaf16le", 4, 16, FLAG_FLOAT),
+                        ("yaf16be", 4, 16, FLAG_FLOAT | FLAG_BE),
+                        ("yaf32le", 8, 32, FLAG_FLOAT),
+                        ("yaf32be", 8, 32, FLAG_FLOAT | FLAG_BE)):
+    register(PixFmtDescriptor(nm, 2, 0, 0, fl | FLAG_ALPHA,
+                              (ComponentDesc(0, sz, 0, 0, dep),
+                               ComponentDesc(0, sz, sz // 2, 0, dep))))
+
+# half-float / 32-bit planar RGB
+_planar_rgb("gbrpf16le", depth=16, flt=True)
+_planar_rgb("gbrpf16be", depth=16, be=True, flt=True)
+_planar_rgb("gbrapf16le", depth=16, alpha=True, flt=True)
+_planar_rgb("gbrapf16be", depth=16, alpha=True, be=True, flt=True)
+register(PixFmtDescriptor("gbrap32le", 4, 0, 0,
+                          FLAG_PLANAR | FLAG_RGB | FLAG_ALPHA, (
+    ComponentDesc(2, 4, 0, 0, 32), ComponentDesc(0, 4, 0, 0, 32),
+    ComponentDesc(1, 4, 0, 0, 32), ComponentDesc(3, 4, 0, 0, 32))))
+register(PixFmtDescriptor("gbrap32be", 4, 0, 0,
+                          FLAG_PLANAR | FLAG_RGB | FLAG_ALPHA
+                          | FLAG_BE, (
+    ComponentDesc(2, 4, 0, 0, 32), ComponentDesc(0, 4, 0, 0, 32),
+    ComponentDesc(1, 4, 0, 0, 32), ComponentDesc(3, 4, 0, 0, 32))))
+
+# MSB-aligned planar variants (data in the top bits of 16-bit units)
+for d in (10, 12):
+    sh = 16 - d
+    for base, fl in (("gbrp", FLAG_PLANAR | FLAG_RGB),
+                     ("yuv444p", FLAG_PLANAR)):
+        comp = (ComponentDesc(2 if base == "gbrp" else 0, 2, 0, sh, d),
+                ComponentDesc(0 if base == "gbrp" else 1, 2, 0, sh, d),
+                ComponentDesc(1 if base == "gbrp" else 2, 2, 0, sh, d))
+        register(PixFmtDescriptor(f"{base}{d}msble", 3, 0, 0, fl,
+                                  comp))
+        register(PixFmtDescriptor(f"{base}{d}msbbe", 3, 0, 0,
+                                  fl | FLAG_BE, comp))
+
+# packed float / 32-bit RGB
+for nm, order, sz, dep, fl in (
+        ("rgbf16le", "rgb", 2, 16, FLAG_FLOAT),
+        ("rgbf16be", "rgb", 2, 16, FLAG_FLOAT | FLAG_BE),
+        ("rgbf32le", "rgb", 4, 32, FLAG_FLOAT),
+        ("rgbf32be", "rgb", 4, 32, FLAG_FLOAT | FLAG_BE),
+        ("rgbaf16le", "rgba", 2, 16, FLAG_FLOAT | FLAG_ALPHA),
+        ("rgbaf16be", "rgba", 2, 16,
+         FLAG_FLOAT | FLAG_ALPHA | FLAG_BE),
+        ("rgbaf32le", "rgba", 4, 32, FLAG_FLOAT | FLAG_ALPHA),
+        ("rgbaf32be", "rgba", 4, 32,
+         FLAG_FLOAT | FLAG_ALPHA | FLAG_BE),
+        ("rgb96le", "rgb", 4, 32, 0),
+        ("rgb96be", "rgb", 4, 32, FLAG_BE),
+        ("rgba128le", "rgba", 4, 32, FLAG_ALPHA),
+        ("rgba128be", "rgba", 4, 32, FLAG_ALPHA | FLAG_BE)):
+    n = len(order)
+    step = sz * n
+    comp = tuple(ComponentDesc(0, step, sz * i, 0, dep)
+                 for i in range(n))
+    register(PixFmtDescriptor(nm, n, 0, 0, FLAG_RGB | fl, comp))
+
+# X2RGB10-style packed 10-bit in one 32-bit word
+for nm, shifts, be in (("x2rgb10le", (20, 10, 0), False),
+                       ("x2rgb10be", (20, 10, 0), True),
+                       ("x2bgr10le", (0, 10, 20), False),
+                       ("x2bgr10be", (0, 10, 20), True)):
+    comp = tuple(ComponentDesc(0, 4, 0, sh, 10) for sh in shifts)
+    register(PixFmtDescriptor(nm, 3, 0, 0,
+                              FLAG_RGB | (FLAG_BE if be else 0),
+                              comp))
+
+# 1/4-bit RGB
+register(PixFmtDescriptor("rgb4", 3, 0, 0, FLAG_RGB | FLAG_BITSTREAM,
+                          (ComponentDesc(0, 4, 0, 3, 1),
+                           ComponentDesc(0, 4, 0, 1, 2),
+                           ComponentDesc(0, 4, 0, 0, 1))))
+register(PixFmtDescriptor("bgr4", 3, 0, 0, FLAG_RGB | FLAG_BITSTREAM,
+                          (ComponentDesc(0, 4, 0, 0, 1),
+                           ComponentDesc(0, 4, 0, 1, 2),
+                           ComponentDesc(0, 4, 0, 3, 1))))
+register(PixFmtDescriptor("rgb4_byte", 3, 0, 0, FLAG_RGB,
+                          (ComponentDesc(0, 1, 0, 3, 1),
+                           ComponentDesc(0, 1, 0, 1, 2),
+                           ComponentDesc(0, 1, 0, 0, 1))))
+register(PixFmtDescriptor("bgr4_byte", 3, 0, 0, FLAG_RGB,
+                          (ComponentDesc(0, 1, 0, 0, 1),
+                           ComponentDesc(0, 1, 0, 1, 2),
+                           ComponentDesc(0, 1, 0, 3, 1))))
+
+# packed 4:4:4 YUV byte orders
+register(PixFmtDescriptor("ayuv", 4, 0, 0, FLAG_ALPHA,
+                          (ComponentDesc(0, 4, 1, 0, 8),
+                           ComponentDesc(0, 4, 2, 0, 8),
+                           ComponentDesc(0, 4, 3, 0, 8),
+                           ComponentDesc(0, 4, 0, 0, 8))))
+register(PixFmtDescriptor("ayuv64be", 4, 0, 0,
+                          FLAG_ALPHA | FLAG_BE,
+                          (ComponentDesc(0, 8, 2, 0, 16),
+                           ComponentDesc(0, 8, 4, 0, 16),
+                           ComponentDesc(0, 8, 6, 0, 16),
+                           ComponentDesc(0, 8, 0, 0, 16))))
+register(PixFmtDescriptor("uyva", 4, 0, 0, FLAG_ALPHA,
+                          (ComponentDesc(0, 4, 1, 0, 8),
+                           ComponentDesc(0, 4, 0, 0, 8),
+                           ComponentDesc(0, 4, 2, 0, 8),
+                           ComponentDesc(0, 4, 3, 0, 8))))
+register(PixFmtDescriptor("vuyx", 3, 0, 0, 0,
+                          (ComponentDesc(0, 4, 2, 0, 8),
+                           ComponentDesc(0, 4, 1, 0, 8),
+                           ComponentDesc(0, 4, 0, 0, 8))))
+register(PixFmtDescriptor("vyu444", 3, 0, 0, 0,
+                          (ComponentDesc(0, 3, 1, 0, 8),
+                           ComponentDesc(0, 3, 0, 0, 8),
+                           ComponentDesc(0, 3, 2, 0, 8))))
+
+# packed 10/12/16-bit 4:2:2 / 4:4:4 big-endian counterparts + v30x
+for nm in ("y210be", "y212be", "xv30be", "xv36be"):
+    d0 = _REGISTRY[nm[:-2] + "le"]
+    register(PixFmtDescriptor(nm, d0.nb_components, d0.log2_chroma_w,
+                              d0.log2_chroma_h, d0.flags | FLAG_BE,
+                              d0.comp))
+register(PixFmtDescriptor("y216le", 3, 1, 0, 0,
+                          (ComponentDesc(0, 4, 0, 0, 16),
+                           ComponentDesc(0, 8, 2, 0, 16),
+                           ComponentDesc(0, 8, 6, 0, 16))))
+register(PixFmtDescriptor("y216be", 3, 1, 0, FLAG_BE,
+                          (ComponentDesc(0, 4, 0, 0, 16),
+                           ComponentDesc(0, 8, 2, 0, 16),
+                           ComponentDesc(0, 8, 6, 0, 16))))
+register(PixFmtDescriptor("v30xle", 3, 0, 0, 0,
+                          (ComponentDesc(0, 4, 0, 12, 10),
+                           ComponentDesc(0, 4, 0, 2, 10),
+                           ComponentDesc(0, 4, 0, 22, 10))))
+register(PixFmtDescriptor("v30xbe", 3, 0, 0, FLAG_BE,
+                          (ComponentDesc(0, 4, 0, 12, 10),
+                           ComponentDesc(0, 4, 0, 2, 10),
+                           ComponentDesc(0, 4, 0, 22, 10))))
+register(PixFmtDescriptor("xv48le", 3, 0, 0, 0,
+                          (ComponentDesc(0, 8, 2, 0, 16),
+                           ComponentDesc(0, 8, 0, 0, 16),
+                           ComponentDesc(0, 8, 4, 0, 16))))
+register(PixFmtDescriptor("xv48be", 3, 0, 0, FLAG_BE,
+                          (ComponentDesc(0, 8, 2, 0, 16),
+                           ComponentDesc(0, 8, 0, 0, 16),
+                           ComponentDesc(0, 8, 4, 0, 16))))
+
+# big-endian semiplanar counterparts + p212
+_semiplanar("p212le", 1, 0, depth=12, shift=4)
+for nm in ("p010be", "p012be", "p016be", "p210be", "p212be",
+           "p216be", "p410be", "p412be", "p416be", "nv20be"):
+    d0 = _REGISTRY[nm[:-2] + "le"]
+    register(PixFmtDescriptor(nm, d0.nb_components, d0.log2_chroma_w,
+                              d0.log2_chroma_h, d0.flags | FLAG_BE,
+                              d0.comp))
+
+# hardware surface placeholders (FLAG_HWACCEL, opaque)
+for nm in ("vaapi", "cuda", "vulkan", "qsv", "vdpau", "drm_prime",
+           "opencl", "d3d11", "d3d12", "d3d11va_vld", "dxva2_vld",
+           "videotoolbox_vld", "mediacodec", "mmal", "amf",
+           "cuarray", "ohcodec"):
+    register(PixFmtDescriptor(nm, 0, 0, 0, FLAG_HWACCEL, ()))
+
+_ALIASES.update({"rgbf32": "rgbf32le", "rgbaf32": "rgbaf32le",
+                 "rgbf16": "rgbf16le", "rgbaf16": "rgbaf16le",
+                 "gbrpf16": "gbrpf16le", "grayf16": "grayf16le",
+                 "x2rgb10": "x2rgb10le", "x2bgr10": "x2bgr10le",
+                 "y216": "y216le", "xv48": "xv48le",
+                 "v30x": "v30xle", "p212": "p212le"})
+
+
 # --- colorspace / range enums (pixfmt.h AVColorSpace etc.) -------------------
 
 class ColorRange:
