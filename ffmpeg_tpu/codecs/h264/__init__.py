@@ -97,6 +97,7 @@ class H264Decoder(Codec):
             for u in _nal.split_annexb(ed):
                 self._handle_nal(u)
         self._ref = None           # last decoded picture planes (P path)
+        self._pending_field = None  # first field awaiting its pair
         self._dpb = []             # reference pictures: dicts with poc/mv
         self._reorder = []         # (poc, frame) awaiting output
         self._delay = 1            # POC reorder depth (B over 1 ref pair)
@@ -149,11 +150,26 @@ class H264Decoder(Codec):
                 if dec is None or sh.first_mb == 0:
                     if dec is not None:
                         frames.extend(self._emit(dec, pkt))
-                    dec = SliceDecoder(sps, pps)
+                    pic_sps = sps
+                    if not sps.frame_mbs_only and not sh.field_pic:
+                        # frame picture in a PAFF stream spans both
+                        # fields' MB rows
+                        from dataclasses import replace as _replace
+                        pic_sps = _replace(sps,
+                                           mb_height=sps.mb_height * 2,
+                                           frame_mbs_only=True)
+                    dec = SliceDecoder(pic_sps, pps)
+                    dec.field_pic = sh.field_pic
+                    dec.bottom_field = sh.bottom_field
+                    if sh.field_pic:
+                        from .recon import FIELD4, FIELD8
+                        dec.scan4 = FIELD4
+                        dec.scan8 = FIELD8
                     dec.ref_idc = self._last_ref_idc
                     dec.ref_frame = self._ref
                     if sh.idr:
                         self._dpb.clear()
+                        self._pending_field = None
                         # an IDR closes the previous sequence: flush any
                         # frames still waiting on POC reordering
                         while self._reorder:
@@ -164,7 +180,15 @@ class H264Decoder(Codec):
                     max_fn = 1 << sps.log2_max_frame_num
                     # reference lists: default order then the slice
                     # header's explicit modification (8.2.4.3.1)
-                    if sh.slice_type == 1:
+                    if sh.field_pic and sh.slice_type != 2:
+                        if sh.slice_type == 1:
+                            raise NotSupported(
+                                "h264: B field pictures")
+                        if sh.reorder[0]:
+                            raise NotSupported(
+                                "h264: field ref list modification")
+                        dec.list0 = self._field_list0(sh, max_fn)
+                    elif sh.slice_type == 1:
                         before = sorted(
                             (e for e in self._dpb if e["poc"] < dec.poc),
                             key=lambda e: -e["poc"])
@@ -205,6 +229,89 @@ class H264Decoder(Codec):
                 frames.append(self._reorder.pop(0)[1])
         return frames
 
+    def _field_list0(self, sh, max_fn):
+        """Default P-field reference list (8.2.4.2.5): short-term
+        fields by descending FrameNumWrap, same parity first,
+        alternating parities."""
+        fields = [e for e in self._dpb if e.get("field")]
+
+        def fnw(e):
+            fn = e["frame_num"]
+            return fn - max_fn if fn > sh.frame_num else fn
+
+        ordered = sorted(fields, key=lambda e: -fnw(e))
+        cur_par = int(sh.bottom_field)
+        same = [e for e in ordered if e["parity"] == cur_par]
+        opp = [e for e in ordered if e["parity"] != cur_par]
+        lst = []
+        i = j = 0
+        while i < len(same) or j < len(opp):
+            if i < len(same):
+                lst.append(same[i])
+                i += 1
+            if j < len(opp):
+                lst.append(opp[j])
+                j += 1
+        return lst[:sh.num_ref[0]]
+
+    def _emit_field(self, dec: SliceDecoder, pkt: Packet,
+                    sh) -> List[Frame]:
+        """Reconstruct one field picture, store it as a reference
+        field, and emit a woven frame once both parities of the same
+        frame_num are decoded."""
+        is_ref = getattr(dec, "ref_idc", 1) != 0
+        planes = (dec.y.copy(), dec.u.copy(), dec.v.copy())
+        parity = int(dec.bottom_field)
+        if is_ref:
+            self._dpb.append({"poc": dec.poc,
+                              "frame_num": dec.frame_num,
+                              "planes": planes,
+                              "parity": parity,
+                              "field": True,
+                              "mv": dec.mv[0].copy(),
+                              "ref": dec.mv_ref[0].copy(),
+                              "intra": dec.mb_intra.copy(),
+                              "mb16": dec.mb_16x16.copy(),
+                              "short_term": True})
+            max_refs = max(1, dec.sps.num_ref_frames) * 2
+            while len(self._dpb) > max_refs:
+                self._dpb.pop(0)
+        pend = self._pending_field
+        if pend is not None and pend["frame_num"] == dec.frame_num \
+                and pend["parity"] != parity:
+            top = planes if parity == 0 else pend["planes"]
+            bot = planes if parity == 1 else pend["planes"]
+            y = np.empty((top[0].shape[0] * 2, top[0].shape[1]),
+                         top[0].dtype)
+            u = np.empty((top[1].shape[0] * 2, top[1].shape[1]),
+                         top[1].dtype)
+            v = np.empty_like(u)
+            y[0::2], y[1::2] = top[0], bot[0]
+            u[0::2], u[1::2] = top[1], bot[1]
+            v[0::2], v[1::2] = top[2], bot[2]
+            self._pending_field = None
+            sps = dec.sps
+            w, h = sps.width, sps.mb_height * 32
+            f = Frame.video(w, h, "yuv420p",
+                            planes=[y[:h], u[:h // 2], v[:h // 2]],
+                            pts=pkt.pts,
+                            time_base=pkt.time_base
+                            or Rational(1, 25))
+            f.interlaced = True
+            f.top_field_first = pend["parity"] == 0
+            f.key_frame = bool(sh and sh.idr)
+            poc = min(dec.poc, pend["poc"])
+            self._reorder.append((poc, f))
+            out = []
+            while len(self._reorder) > self._delay:
+                self._reorder.sort(key=lambda t: t[0])
+                out.append(self._reorder.pop(0)[1])
+            return out
+        self._pending_field = {"frame_num": dec.frame_num,
+                               "parity": parity,
+                               "planes": planes, "poc": dec.poc}
+        return []
+
     def _emit(self, dec: SliceDecoder, pkt: Packet) -> Frame:
         sh = getattr(dec, "last_sh", None)
         do_deblock = sh is not None and sh.disable_deblocking != 1
@@ -224,6 +331,8 @@ class H264Decoder(Codec):
             if do_deblock:
                 from .loopfilter import deblock_frame
                 deblock_frame(dec, sh.alpha_c0_offset, sh.beta_offset)
+        if getattr(dec, "field_pic", False):
+            return self._emit_field(dec, pkt, sh)
         is_ref = getattr(dec, "ref_idc", 1) != 0
         planes = (dec.y.copy(), dec.u.copy(), dec.v.copy())
         if is_ref:

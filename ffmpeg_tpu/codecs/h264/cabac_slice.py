@@ -616,7 +616,6 @@ def _luma_residual_cabac(dec, sc, mbx, mby, qp, cbp_luma, trans8, intra):
     of a coded 8x8 are set to 1 so later cbf contexts and deblocking see
     the covering block as coded (spec 9.3.3.1.1.9 neighbour inference;
     h264.h nnz cache fill for CABAC 8x8 MBs)."""
-    from .params import ZZ8
     bx, by = mbx * 4, mby * 4
     if trans8:
         dec.trans8[mby, mbx] = True
@@ -627,7 +626,7 @@ def _luma_residual_cabac(dec, sc, mbx, mby, qp, cbp_luma, trans8, intra):
             if cbp_luma & (1 << blk8):
                 lv, _total = sc.residual(5, mbx, mby, x4, y4, 64, intra)
                 lv64 = np.zeros(64, np.int64)
-                lv64[ZZ8] = lv
+                lv64[dec.scan8] = lv
                 dec.coeff8_y[mby * 2 + dy8, mbx * 2 + dx8] = \
                     recon.dequant8(lv64, qp, w8)
                 dec.nnz_y[y4:y4 + 2, x4:x4 + 2] = 1
@@ -644,7 +643,7 @@ def _luma_residual_cabac(dec, sc, mbx, mby, qp, cbp_luma, trans8, intra):
         lv, total = sc.residual(2, mbx, mby, bx4, by4, 16, intra)
         dec.nnz_y[by4, bx4] = total
         raster = np.zeros(16, np.int64)
-        raster[recon.ZIGZAG4] = lv
+        raster[dec.scan4] = lv
         dec.coeff_y[by4, bx4] = recon.dequant4(raster, qp, w4)
 
 
@@ -787,7 +786,7 @@ def _decode_mb_cabac_intra(dec, sc, mbx, mby, qp, t, intra_slice):
         if dc_total:
             cbp_entry |= 0x100
         dc_raster = np.zeros(16, np.int64)
-        dc_raster[recon.ZIGZAG4] = dc_lv
+        dc_raster[dec.scan4] = dc_lv
         dcs = recon.luma_dc_transform(dc_raster, qp, s4[0][0])
         for blk in range(16):
             dxb, dyb = _BLK_XY[blk]
@@ -796,7 +795,7 @@ def _decode_mb_cabac_intra(dec, sc, mbx, mby, qp, t, intra_slice):
             if cbp_luma:
                 lv, total = sc.residual(1, mbx, mby, bx4, by4, 15, True)
                 dec.nnz_y[by4, bx4] = total
-                raster[recon.ZIGZAG4[1:]] = lv
+                raster[dec.scan4[1:]] = lv
             else:
                 dec.nnz_y[by4, bx4] = 0
             block = recon.dequant4(raster, qp, s4[0])
@@ -821,7 +820,7 @@ def _decode_mb_cabac_intra(dec, sc, mbx, mby, qp, t, intra_slice):
                 lv, total = sc.residual(2, mbx, mby, bx4, by4, 16, True)
                 dec.nnz_y[by4, bx4] = total
                 raster = np.zeros(16, np.int64)
-                raster[recon.ZIGZAG4] = lv
+                raster[dec.scan4] = lv
                 dec.coeff_y[by4, bx4] = recon.dequant4(raster, qp, s4[0])
             else:
                 dec.nnz_y[by4, bx4] = 0
@@ -927,7 +926,7 @@ def _decode_chroma_cabac(dec, sc, mbx, mby, qp, chroma_mode, cbp_chroma,
                 bx2, by2 = mbx * 2 + dxb, mby * 2 + dyb
                 lv, total = sc.residual(4, mbx, mby, bx2, by2, 15, intra)
                 nnz[by2, bx2] = total
-                raster[recon.ZIGZAG4[1:]] = lv
+                raster[dec.scan4[1:]] = lv
             else:
                 nnz[mby * 2 + dyb, mbx * 2 + dxb] = 0
             acs.append(raster)

@@ -138,7 +138,11 @@ class SPS:
 
     @property
     def height(self) -> int:
-        return self.mb_height * 16 - 2 * (self.crop_top + self.crop_bottom)
+        # frame height; for interlaced SPS mb_height counts field MB
+        # rows and the vertical crop unit doubles (7.4.2.1.1)
+        mult = 2 - int(self.frame_mbs_only)
+        return self.mb_height * 16 * mult \
+            - 2 * mult * (self.crop_top + self.crop_bottom)
 
 
 def parse_sps(rbsp: bytes) -> SPS:
@@ -177,7 +181,11 @@ def parse_sps(rbsp: bytes) -> SPS:
     s.mb_height = b.ue() + 1
     s.frame_mbs_only = bool(b.get1())
     if not s.frame_mbs_only:
-        raise NotSupported("h264: interlaced (field/MBAFF)")
+        # PAFF: mb_height counts FIELD macroblock rows; the frame is
+        # twice that. MBAFF remains unsupported.
+        s.mb_aff = bool(b.get1())
+        if s.mb_aff:
+            raise NotSupported("h264: MBAFF")
     s.direct_8x8_inference = bool(b.get1())
     if b.get1():                # frame_cropping
         s.crop_left = b.ue()

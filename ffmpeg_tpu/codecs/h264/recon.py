@@ -15,6 +15,20 @@ DEQUANT_INIT = [(10, 13, 16), (11, 14, 18), (13, 16, 20),
 # zigzag scan for 4x4 (raster index order)
 ZIGZAG4 = np.array([0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15])
 
+# field scan for 4x4 / 8x8 coefficients in field-coded pictures
+# (spec Table 8-12 / 8-13; h264_slice.c:52 field_scan / field_scan8x8)
+FIELD4 = np.array([0, 4, 1, 8, 12, 5, 9, 13, 2, 6, 10, 14,
+                   3, 7, 11, 15])
+FIELD8 = np.array([
+    0, 8, 16, 1, 9, 24, 32, 17,
+    2, 25, 40, 48, 56, 33, 10, 3,
+    18, 41, 49, 57, 26, 11, 4, 19,
+    34, 42, 50, 58, 27, 12, 5, 20,
+    35, 43, 51, 59, 28, 13, 6, 21,
+    36, 44, 52, 60, 29, 14, 22, 37,
+    45, 53, 61, 30, 7, 15, 38, 46,
+    54, 62, 23, 31, 39, 47, 55, 63])
+
 _V_IDX = np.zeros(16, np.int32)     # raster pos → dequant column 0/1/2
 for _x in range(16):
     _V_IDX[_x] = (_x & 1) + ((_x >> 2) & 1)

@@ -19,7 +19,7 @@ from ...utils.error import InvalidData, NotSupported
 from . import tables as T
 from .bits import Bits
 from .cavlc import decode_residual
-from .params import PPS, SPS
+from .params import PPS, SPS, ZZ8
 from . import recon
 
 I_PCM = 25
@@ -49,6 +49,8 @@ class SliceHeader:
     luma_log2_denom: int = 0
     chroma_log2_denom: int = 0
     weights: Optional[tuple] = None
+    field_pic: bool = False       # PAFF field picture
+    bottom_field: bool = False
 
 
 def parse_slice_header(b: Bits, nal_type: int, sps: SPS,
@@ -59,12 +61,16 @@ def parse_slice_header(b: Bits, nal_type: int, sps: SPS,
     sh.pps_id = b.ue()
     sh.idr = nal_type == 5
     sh.frame_num = b.get(sps.log2_max_frame_num)
+    if not sps.frame_mbs_only:
+        sh.field_pic = bool(b.get1())
+        if sh.field_pic:
+            sh.bottom_field = bool(b.get1())
     if sh.idr:
         b.ue()                    # idr_pic_id
     if sps.poc_type == 0:
         sh.poc_lsb = b.get(sps.log2_max_poc_lsb)
-        if pps.pic_order_present:
-            b.se()
+        if pps.pic_order_present and not sh.field_pic:
+            b.se()                # delta_pic_order_cnt_bottom
     elif sps.poc_type == 1 and not sps.delta_pic_order_always_zero:
         b.se()
         if pps.pic_order_present:
@@ -204,6 +210,10 @@ class SliceDecoder:
         self.list1 = []
         self.num_ref = (1, 1)       # active ref counts per list
         self.poc = 0
+        # coefficient scan tables; swapped to the field scans
+        # (Table 8-12/8-13) for field pictures by the caller
+        self.scan4 = recon.ZIGZAG4
+        self.scan8 = np.asarray(ZZ8)
 
     def _te_ref(self, b: Bits, lst: int) -> int:
         """ref_idx_lX as te(v) (spec 7.3.5.2 / 9.1.1): 1-bit inverted
@@ -596,7 +606,7 @@ class SliceDecoder:
             lv, total = decode_residual(b, 16, nc)
             self.nnz_y[by4, bx4] = total
             raster = np.zeros(16, np.int64)
-            raster[recon.ZIGZAG4] = lv
+            raster[self.scan4] = lv
             self.coeff_y[by4, bx4] = recon.dequant4(raster, qp, w4)
 
     def _decode_chroma_inter(self, b, mbx, mby, qp, cbp_chroma):
@@ -626,7 +636,7 @@ class SliceDecoder:
                     nc = self._pred_nnz(nnz, bx2, by2)
                     lv, total = decode_residual(b, 15, nc)
                     nnz[by2, bx2] = total
-                    raster[recon.ZIGZAG4[1:]] = lv
+                    raster[self.scan4[1:]] = lv
                 else:
                     nnz[mby * 2 + dy, mbx * 2 + dx] = 0
                 acs.append(raster)
@@ -737,7 +747,7 @@ class SliceDecoder:
                     lv, total = decode_residual(b, 16, nc)
                     self.nnz_y[by4, bx4] = total
                     raster = np.zeros(16, np.int64)
-                    raster[recon.ZIGZAG4] = lv
+                    raster[self.scan4] = lv
                     self.coeff_y[by4, bx4] = recon.dequant4(
                         raster, qp, self.pps.scaling4[0])
                 else:
@@ -762,7 +772,7 @@ class SliceDecoder:
         nc = self._pred_nnz(self.nnz_y, mbx * 4, mby * 4)
         dc_lv, _dc_total = decode_residual(b, 16, nc)
         dc_raster = np.zeros(16, np.int64)
-        dc_raster[recon.ZIGZAG4] = dc_lv
+        dc_raster[self.scan4] = dc_lv
         dc = recon.luma_dc_transform(dc_raster, qp,
                                      self.pps.scaling4[0][0])
 
@@ -774,7 +784,7 @@ class SliceDecoder:
                 nc = self._pred_nnz(self.nnz_y, bx4, by4)
                 lv, total = decode_residual(b, 15, nc)
                 self.nnz_y[by4, bx4] = total
-                raster[recon.ZIGZAG4[1:]] = lv
+                raster[self.scan4[1:]] = lv
             else:
                 self.nnz_y[by4, bx4] = 0
             block = recon.dequant4(raster, qp, self.pps.scaling4[0])
@@ -829,7 +839,6 @@ class SliceDecoder:
         """CAVLC 8x8 luma residual: four interleaved 4x4 scans
         (coefficient 4*i+n of the 8x8 zigzag lives in sub-block n at
         scan position i — spec 7.4.5.3.3 / h264_cavlc.c)."""
-        from .params import ZZ8
         dx8, dy8 = self._BLK8_XY[blk8]
         bx8, by8 = mbx * 2 + dx8, mby * 2 + dy8
         lv64 = np.zeros(64, np.int64)
@@ -840,7 +849,7 @@ class SliceDecoder:
             lv, total = decode_residual(b, 16, nc)
             self.nnz_y[by4, bx4] = total
             for i in range(16):
-                lv64[ZZ8[4 * i + n]] = lv[i]
+                lv64[self.scan8[4 * i + n]] = lv[i]
         w8 = self.pps.scaling8[0 if intra else 1]
         self.coeff8_y[by8, bx8] = recon.dequant8(lv64, qp, w8)
 
@@ -905,7 +914,7 @@ class SliceDecoder:
                     nc = self._pred_nnz(nnz, bx2, by2)
                     lv, total = decode_residual(b, 15, nc)
                     nnz[by2, bx2] = total
-                    raster[recon.ZIGZAG4[1:]] = lv
+                    raster[self.scan4[1:]] = lv
                 else:
                     nnz[mby * 2 + dy, mbx * 2 + dx] = 0
                 acs.append(raster)

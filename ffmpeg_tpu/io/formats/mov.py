@@ -41,6 +41,10 @@ _AUDIO_TAGS = {
     b"in32": "pcm_s32be", b"raw ": "pcm_u8", b"ulaw": "pcm_mulaw",
     b"alaw": "pcm_alaw", b"samr": "amr_nb",
 }
+_SUB_TAGS = {
+    b"tx3g": "mov_text", b"text": "mov_text",
+    b"mp4s": "dvd_subtitle",
+}
 _OBJECT_TYPES = {          # esds objectTypeIndication → codec (mp4 registry)
     0x40: "aac", 0x66: "aac", 0x67: "aac", 0x68: "aac",
     0x69: "mp3", 0x6B: "mp3", 0x20: "mpeg4", 0x21: "h264", 0x23: "hevc",
@@ -355,7 +359,12 @@ class MovDemuxer(Demuxer):
             par.ch_layout = default_layout(channels or 1)
             self._parse_extensions(r.tell(), end, t)
         else:
-            par.codec_id = fmt.decode("latin1").strip()
+            par.codec_id = _SUB_TAGS.get(
+                fmt, fmt.decode("latin1").strip())
+            if par.codec_id == "mov_text":
+                # tx3g sample entry body = decoder extradata
+                r.seek(pos + 16)
+                par.extradata = r.read(max(0, end - pos - 16))
 
     def _parse_extensions(self, pos: int, end: int, t: _Track) -> None:
         """avcC / hvcC / esds / dfLa / dOps... → extradata."""
