@@ -175,6 +175,31 @@ def test_masked_merge():
     assert float(np.asarray(out.planes[0]).min()) == 200
 
 
+@requires_ref
+@pytest.mark.parametrize("iall,oall", [
+    ("bt601-6-625", "bt709"),
+    ("bt709", "bt2020"),
+    ("smpte170m", "bt709"),
+])
+def test_colorspace_vs_reference(tmp_path, iall, oall):
+    rng = np.random.default_rng(0)
+    planes = [
+        np.clip(rng.normal(128, 40, (H, W)), 20, 230)
+        .astype(np.uint8),
+        np.clip(rng.normal(128, 30, (H // 2, W // 2)), 20, 230)
+        .astype(np.uint8),
+        np.clip(rng.normal(128, 30, (H // 2, W // 2)), 20, 230)
+        .astype(np.uint8)]
+    want = _ref_vf(tmp_path,
+                   f"colorspace=all={oall}:iall={iall}:"
+                   "format=yuv420p", planes, "yuv420p")
+    got = _ours_vf("colorspace", f"all={oall}:iall={iall}",
+                   planes, "yuv420p")
+    d = np.abs(got.astype(int) - want.astype(int))
+    # our float chain vs the reference's 15-bit fixed point: 1 LSB
+    assert d.max() <= 1
+
+
 # --------------------------------------------------------------- audio
 def _wav(tmp_path, x):
     pcm = (np.clip(x, -1, 1).T * 32767).astype(np.int16)
