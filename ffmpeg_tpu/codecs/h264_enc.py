@@ -217,6 +217,8 @@ class H264Encoder(Codec):
         self.qp = int(o.get("qp", o.get("qscale", 26)))
         self.gop = int(o.get("g", o.get("gop_size", 25)))
         self.search = int(o.get("me_range", 8))
+        # sub-pel refinement: 0 = full-pel, 1 = +half, 2 = +quarter
+        self.subpel = int(o.get("subpel", 2))
         self.frame_idx = 0
         self._recon = None           # (y, u, v) reference planes
 
@@ -367,6 +369,31 @@ class H264Encoder(Codec):
             return np.zeros((y.shape[0] // 16, y.shape[1] // 16, 2),
                             np.int32)
 
+    def _refine_subpel(self, refy, y, x, yy, mv):
+        """Iterative half- then quarter-pel refinement around the
+        integer ME result by SAD of the interpolated prediction."""
+        src = y[yy:yy + 16, x:x + 16].astype(np.int64)
+        best = mv
+        best_cost = int(np.abs(src - mc_luma(
+            refy, mv[0], mv[1], x, yy, 16, 16)
+            .astype(np.int64)).sum())
+        for step in (2, 1)[:self.subpel]:
+            improved = True
+            while improved:
+                improved = False
+                for dx, dy in ((-step, 0), (step, 0), (0, -step),
+                               (0, step), (-step, -step),
+                               (step, step), (-step, step),
+                               (step, -step)):
+                    cand = (best[0] + dx, best[1] + dy)
+                    c = int(np.abs(src - mc_luma(
+                        refy, cand[0], cand[1], x, yy, 16, 16)
+                        .astype(np.int64)).sum())
+                    if c < best_cost:
+                        best, best_cost = cand, c
+                        improved = True
+        return best
+
     # ---------------------------------------------- intra MB
     def _encode_mb_i(self, w, dec, y, u, v, ry, ru, rv, mbx, mby):
         qp = self.qp
@@ -475,6 +502,8 @@ class H264Encoder(Codec):
         refy, refu, refv = self._recon
         mv_int = mvs[mby, mbx]
         mv = (int(mv_int[1]) * 4, int(mv_int[0]) * 4)   # (x, y) qpel
+        if self.subpel:
+            mv = self._refine_subpel(refy, y, x, yy, mv)
 
         pred = mc_luma(refy, mv[0], mv[1], x, yy, 16, 16) \
             .astype(np.int64)

@@ -147,6 +147,30 @@ def test_h264_enc_idr_refresh(tmp_path):
 
 
 @requires_ref
+def test_h264_enc_subpel_motion(tmp_path):
+    """Half-pel panning content: sub-pel refinement must cut P-frame
+    size versus full-pel ME, and still decode identically."""
+    rng = np.random.default_rng(0)
+    big = _smooth((rng.random((H * 2 + 32, W * 2 + 32)) * 255)
+                  .astype(np.uint8)).astype(float)
+    frames = []
+    for t in range(4):
+        y = big[t:t + 2 * H:2, t:t + 2 * W:2].astype(np.uint8)
+        c = np.full((H // 2, W // 2), 128, np.uint8)
+        frames.append(Frame.video(W, H, "yuv420p",
+                                  planes=[y, c.copy(), c.copy()],
+                                  pts=t))
+    full = _encode(frames, qp=26, subpel=0)
+    sub = _encode(frames, qp=26, subpel=2)
+    assert sum(len(p.data) for p in sub[1:]) < \
+        sum(len(p.data) for p in full[1:])
+    data = b"".join(p.data for p in sub)
+    want = _ref_decode(data, tmp_path)
+    got, _ = _our_decode(data)
+    np.testing.assert_array_equal(got, want)
+
+
+@requires_ref
 def test_h264_enc_cropped_size(tmp_path):
     """Non-MB-multiple dimensions use frame cropping."""
     frames = _source_frames(2, seed=5, w=60, h=44)
