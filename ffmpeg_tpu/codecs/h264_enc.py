@@ -369,14 +369,23 @@ class H264Encoder(Codec):
             return np.zeros((y.shape[0] // 16, y.shape[1] // 16, 2),
                             np.int32)
 
-    def _refine_subpel(self, refy, y, x, yy, mv):
+    def _refine_subpel(self, refy, y, x, yy, mv, pmv):
         """Iterative half- then quarter-pel refinement around the
-        integer ME result by SAD of the interpolated prediction."""
+        integer ME result: SAD of the interpolated prediction plus a
+        small rate term on the MV delta (keeps static content on the
+        predicted/skip MV)."""
         src = y[yy:yy + 16, x:x + 16].astype(np.int64)
+        lam = 4
+
+        def cost(cand):
+            sad = int(np.abs(src - mc_luma(
+                refy, cand[0], cand[1], x, yy, 16, 16)
+                .astype(np.int64)).sum())
+            return sad + lam * (abs(cand[0] - pmv[0])
+                                + abs(cand[1] - pmv[1]))
+
         best = mv
-        best_cost = int(np.abs(src - mc_luma(
-            refy, mv[0], mv[1], x, yy, 16, 16)
-            .astype(np.int64)).sum())
+        best_cost = cost(mv)
         for step in (2, 1)[:self.subpel]:
             improved = True
             while improved:
@@ -386,9 +395,7 @@ class H264Encoder(Codec):
                                (step, step), (-step, step),
                                (step, -step)):
                     cand = (best[0] + dx, best[1] + dy)
-                    c = int(np.abs(src - mc_luma(
-                        refy, cand[0], cand[1], x, yy, 16, 16)
-                        .astype(np.int64)).sum())
+                    c = cost(cand)
                     if c < best_cost:
                         best, best_cost = cand, c
                         improved = True
@@ -503,7 +510,9 @@ class H264Encoder(Codec):
         mv_int = mvs[mby, mbx]
         mv = (int(mv_int[1]) * 4, int(mv_int[0]) * 4)   # (x, y) qpel
         if self.subpel:
-            mv = self._refine_subpel(refy, y, x, yy, mv)
+            bx4p, by4p = mbx * 4, mby * 4
+            pmv0 = tuple(dec._pred_mv(bx4p, by4p, 4, 4))
+            mv = self._refine_subpel(refy, y, x, yy, mv, pmv0)
 
         pred = mc_luma(refy, mv[0], mv[1], x, yy, 16, 16) \
             .astype(np.int64)
@@ -535,8 +544,39 @@ class H264Encoder(Codec):
             skip_mv = (0, 0)
         else:
             skip_mv = dec._pred_mv(bx4, by4, 4, 4)
-        if cbp_luma == 0 and cbp_chroma == 0 and mv == tuple(
-                skip_mv):
+        skip_mv = tuple(skip_mv)
+        if mv != skip_mv and (cbp_luma or cbp_chroma):
+            # explicit skip candidate: if the skip MV also quantizes
+            # to an all-zero residual, prefer the free macroblock
+            sp = mc_luma(refy, skip_mv[0], skip_mv[1], x, yy,
+                         16, 16).astype(np.int64)
+            sdiff = src - sp
+            s_zero = True
+            for by in range(4):
+                if not s_zero:
+                    break
+                for bx in range(4):
+                    if _quant4(_fdct4(
+                            sdiff[by * 4:by * 4 + 4,
+                                  bx * 4:bx * 4 + 4]), qp,
+                            False).any():
+                        s_zero = False
+                        break
+            if s_zero:
+                scpu = mc_chroma(refu, skip_mv[0], skip_mv[1],
+                                 x // 2, yy // 2, 8, 8)
+                scpv = mc_chroma(refv, skip_mv[0], skip_mv[1],
+                                 x // 2, yy // 2, 8, 8)
+                _, _, scbp = self._chroma_transform(
+                    u, v, scpu, scpv, x // 2, yy // 2, qp,
+                    intra=False)
+                if scbp == 0:
+                    mv = skip_mv
+                    pred = sp
+                    cpu, cpv = scpu, scpv
+                    cbp_luma = cbp_chroma = 0
+                    lv[:] = 0
+        if cbp_luma == 0 and cbp_chroma == 0 and mv == skip_mv:
             dec._decode_mb_skip(mbx, mby, qp)
             dec.mb_avail[mby, mbx] = True
             # reconstruct = pure MC
