@@ -145,10 +145,36 @@ class CodecContext(LogMixin):
 
     def receive_frame(self) -> Frame:
         if self._out:
-            return self._out.popleft()
+            f = self._out.popleft()
+            self._fill_frame_props(f)
+            return f
         if self._draining:
             raise EndOfStream()
         raise TryAgain()
+
+    def _fill_frame_props(self, f: Frame) -> None:
+        """decode.c:574 frame-prop fill analog: propagate container-
+        level color/HDR metadata onto decoded frames when the decoder
+        did not set them."""
+        par = self.par
+        if par.codec_type != MediaType.VIDEO or not getattr(
+                f, "width", 0):
+            return
+        for attr in ("color_range", "color_space",
+                     "color_primaries", "color_trc"):
+            if getattr(f, attr, "unspecified") in ("unspecified",
+                                                   "", None) \
+                    and getattr(par, attr,
+                                "unspecified") != "unspecified":
+                setattr(f, attr, getattr(par, attr))
+        if par.mastering_display and \
+                "mastering_display_metadata" not in f.side_data:
+            f.side_data["mastering_display_metadata"] = \
+                dict(par.mastering_display)
+        if par.content_light and \
+                "content_light_level" not in f.side_data:
+            f.side_data["content_light_level"] = \
+                dict(par.content_light)
 
     # --- encoding ----------------------------------------------------------------
     def send_frame(self, frame: Optional[Frame]) -> None:

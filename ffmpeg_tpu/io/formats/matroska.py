@@ -32,6 +32,7 @@ DEFAULT_DURATION = 0x23E383
 CODEC_DELAY = 0x56AA
 SEEK_PREROLL = 0x56BB
 VIDEO = 0xE0
+COLOUR = 0x55B0
 PIXEL_WIDTH = 0xB0
 PIXEL_HEIGHT = 0xBA
 AUDIO = 0xE1
@@ -83,6 +84,10 @@ class _Track:
     channels: int = 1
     bit_depth: int = 16
     stream_index: int = -1
+    colour: dict = None           # Colour element fields
+    mastering: dict = None        # MasteringMetadata
+    max_cll: int = 0
+    max_fall: int = 0
 
 
 class _Ebml:
@@ -247,6 +252,8 @@ class MatroskaDemuxer(Demuxer):
                         t.width = self.e.read_uint(vsize)
                     elif vid == PIXEL_HEIGHT:
                         t.height = self.e.read_uint(vsize)
+                    elif vid == COLOUR:
+                        self._parse_colour(t, self.r.tell() + vsize)
                     else:
                         self.r.skip(vsize)
             elif eid == AUDIO:
@@ -266,6 +273,56 @@ class MatroskaDemuxer(Demuxer):
                 self.r.skip(size)
         self._tracks[t.number] = t
 
+    _MATRIX = {0: "rgb", 1: "bt709", 4: "fcc", 5: "bt470bg",
+               6: "smpte170m", 7: "smpte240m", 9: "bt2020nc",
+               10: "bt2020c"}
+    _TRC = {1: "bt709", 6: "smpte170m", 7: "smpte240m", 8: "linear",
+            13: "iec61966-2-1", 14: "bt2020-10", 15: "bt2020-12",
+            16: "smpte2084", 18: "arib-std-b67"}
+    _PRIM = {1: "bt709", 5: "bt470bg", 6: "smpte170m",
+             7: "smpte240m", 9: "bt2020", 11: "smpte431",
+             12: "smpte432"}
+
+    def _parse_colour(self, t, end: int) -> None:
+        """Colour element (Matroska v4 / matroskadec.c colour
+        handling): CICP codes + mastering display metadata."""
+        c = {}
+        md = {}
+        while self.r.tell() < end:
+            cid = self.e.read_id()
+            csize = self.e.read_size()
+            if cid == 0x55B1:
+                c["matrix"] = self.e.read_uint(csize)
+            elif cid == 0x55B9:
+                c["range"] = self.e.read_uint(csize)
+            elif cid == 0x55BA:
+                c["trc"] = self.e.read_uint(csize)
+            elif cid == 0x55BB:
+                c["primaries"] = self.e.read_uint(csize)
+            elif cid == 0x55BC:
+                t.max_cll = self.e.read_uint(csize)
+            elif cid == 0x55BD:
+                t.max_fall = self.e.read_uint(csize)
+            elif cid == 0x55D0:
+                mend = self.r.tell() + csize
+                keys = {0x55D1: "rx", 0x55D2: "ry", 0x55D3: "gx",
+                        0x55D4: "gy", 0x55D5: "bx", 0x55D6: "by",
+                        0x55D7: "wx", 0x55D8: "wy",
+                        0x55D9: "max_luminance",
+                        0x55DA: "min_luminance"}
+                while self.r.tell() < mend:
+                    mid = self.e.read_id()
+                    msize = self.e.read_size()
+                    if mid in keys:
+                        md[keys[mid]] = self.e.read_float(msize)
+                    else:
+                        self.r.skip(msize)
+            else:
+                self.r.skip(csize)
+        t.colour = c
+        if md:
+            t.mastering = md
+
     def _finalize_streams(self) -> None:
         for num in sorted(self._tracks):
             t = self._tracks[num]
@@ -277,6 +334,24 @@ class MatroskaDemuxer(Demuxer):
             if ctype == MediaType.VIDEO:
                 par.width = t.width
                 par.height = t.height
+                if t.colour:
+                    c = t.colour
+                    par.color_space = self._MATRIX.get(
+                        c.get("matrix", -1), par.color_space)
+                    par.color_trc = self._TRC.get(
+                        c.get("trc", -1), par.color_trc)
+                    par.color_primaries = self._PRIM.get(
+                        c.get("primaries", -1), par.color_primaries)
+                    rng = c.get("range")
+                    if rng == 1:
+                        par.color_range = "tv"
+                    elif rng == 2:
+                        par.color_range = "pc"
+                if t.mastering:
+                    par.mastering_display = dict(t.mastering)
+                if t.max_cll or t.max_fall:
+                    par.content_light = {"max_cll": t.max_cll,
+                                         "max_fall": t.max_fall}
                 if t.default_duration:
                     par.framerate = Rational(1000000000, t.default_duration).reduce()
             elif ctype == MediaType.AUDIO:

@@ -63,6 +63,18 @@ def _e_float(eid: int, v: float) -> bytes:
     return _elem(eid, struct.pack(">d", v))
 
 
+_MATRIX_CODE = {"rgb": 0, "bt709": 1, "fcc": 4, "bt470bg": 5,
+                "smpte170m": 6, "smpte240m": 7, "bt2020nc": 9,
+                "bt2020c": 10}
+_TRC_CODE = {"bt709": 1, "smpte170m": 6, "smpte240m": 7,
+             "linear": 8, "iec61966-2-1": 13, "srgb": 13,
+             "bt2020-10": 14, "bt2020-12": 15, "smpte2084": 16,
+             "arib-std-b67": 18}
+_PRIM_CODE = {"bt709": 1, "bt470bg": 5, "smpte170m": 6,
+              "smpte240m": 7, "bt2020": 9, "smpte431": 11,
+              "smpte432": 12}
+
+
 @register_muxer
 class MatroskaMuxer(Muxer):
     name = "matroska"
@@ -117,9 +129,12 @@ class MatroskaMuxer(Muxer):
             if par.extradata:
                 ent.append(_elem(0x63A2, bytes(par.extradata)))
             if par.codec_type == MediaType.VIDEO:
-                ent.append(_elem(0xE0, b"".join([
-                    _e_uint(0xB0, par.width),
-                    _e_uint(0xBA, par.height)])))
+                video = [_e_uint(0xB0, par.width),
+                         _e_uint(0xBA, par.height)]
+                colour = self._colour_element(par)
+                if colour:
+                    video.append(colour)
+                ent.append(_elem(0xE0, b"".join(video)))
                 fr = getattr(par, "framerate", None)
                 if fr and getattr(fr, "num", 0):
                     ent.append(_e_uint(0x23E383,
@@ -140,6 +155,46 @@ class MatroskaMuxer(Muxer):
         self._cues: List[tuple] = []
 
     # ------------------------------------------------------------ packets
+    def _colour_element(self, par) -> bytes:
+        """Colour element with CICP codes + mastering display /
+        content light metadata (matroskaenc.c mkv_write_video_color
+        analog). Empty bytes when nothing is tagged."""
+        parts = []
+        m = _MATRIX_CODE.get(getattr(par, "color_space", ""))
+        if m is not None:
+            parts.append(_e_uint(0x55B1, m))
+        t = _TRC_CODE.get(getattr(par, "color_trc", ""))
+        if t is not None:
+            parts.append(_e_uint(0x55BA, t))
+        p = _PRIM_CODE.get(getattr(par, "color_primaries", ""))
+        if p is not None:
+            parts.append(_e_uint(0x55BB, p))
+        rng = getattr(par, "color_range", "unspecified")
+        if rng in ("tv", "mpeg", "limited"):
+            parts.append(_e_uint(0x55B9, 1))
+        elif rng in ("pc", "jpeg", "full"):
+            parts.append(_e_uint(0x55B9, 2))
+        cl = getattr(par, "content_light", None)
+        if cl:
+            parts.append(_e_uint(0x55BC, int(cl.get("max_cll", 0))))
+            parts.append(_e_uint(0x55BD,
+                                 int(cl.get("max_fall", 0))))
+        md = getattr(par, "mastering_display", None)
+        if md:
+            ids = {"rx": 0x55D1, "ry": 0x55D2, "gx": 0x55D3,
+                   "gy": 0x55D4, "bx": 0x55D5, "by": 0x55D6,
+                   "wx": 0x55D7, "wy": 0x55D8,
+                   "max_luminance": 0x55D9,
+                   "min_luminance": 0x55DA}
+            inner = [
+                _e_float(ids[k], float(md[k]))
+                for k in ids if k in md]
+            if inner:
+                parts.append(_elem(0x55D0, b"".join(inner)))
+        if not parts:
+            return b""
+        return _elem(0x55B0, b"".join(parts))
+
     def _pkt_ms(self, pkt: Packet) -> int:
         tb = pkt.time_base or self.streams[pkt.stream_index].time_base
         ts = pkt.pts if pkt.pts is not None else (pkt.dts or 0)

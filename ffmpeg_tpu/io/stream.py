@@ -39,6 +39,10 @@ class CodecParameters:
     framerate: Rational = field(default_factory=lambda: Rational(0, 1))
     bits_per_coded_sample: int = 0
     bits_per_raw_sample: int = 0
+    # HDR static metadata (AVMasteringDisplayMetadata /
+    # AVContentLightMetadata analogs): dicts or None
+    mastering_display: Optional[dict] = None
+    content_light: Optional[dict] = None
     # audio
     sample_rate: int = 0
     sample_fmt: Optional[str] = None
