@@ -348,11 +348,18 @@ class H264Decoder(Codec):
                         pic_num = (dec.frame_num - (val + 1)) % max_fn
                         self._dpb = [e for e in self._dpb
                                      if e["frame_num"] != pic_num]
+            # map each block's list0 ref index to its reference's
+            # POC (consumed by B temporal direct, 8.4.1.2.3)
+            ref_poc = np.full(dec.mv_ref[0].shape, -(1 << 30),
+                              np.int64)
+            for i, e in enumerate(getattr(dec, "list0", []) or []):
+                ref_poc[dec.mv_ref[0] == i] = e["poc"]
             self._dpb.append({"poc": dec.poc,
                               "frame_num": getattr(dec, "frame_num", 0),
                               "planes": planes,
                               "mv": dec.mv[0].copy(),
                               "ref": dec.mv_ref[0].copy(),
+                              "ref_poc": ref_poc,
                               "intra": dec.mb_intra.copy(),
                               "mb16": dec.mb_16x16.copy(),
                               "short_term": True})

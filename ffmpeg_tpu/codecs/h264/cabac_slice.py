@@ -566,6 +566,7 @@ def decode_slice_cabac(dec: SliceDecoder, rbsp: bytes, bit_pos: int, sh):
     nmbx = sps.mb_width
     qp = sh.qp
     dec.num_ref = sh.num_ref
+    dec.direct_spatial = getattr(sh, "direct_spatial", True)
     mb_addr = sh.first_mb
     is_p = sh.slice_type == 0
     is_b = sh.slice_type == 1

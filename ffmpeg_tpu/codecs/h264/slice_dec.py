@@ -79,8 +79,6 @@ def parse_slice_header(b: Bits, nal_type: int, sps: SPS,
         b.ue()
     if sh.slice_type == 1:        # B
         sh.direct_spatial = bool(b.get1())
-        if not sh.direct_spatial:
-            raise NotSupported("h264: temporal direct mode")
     if sh.slice_type in (0, 1):
         n0, n1 = pps.num_ref_idx
         if b.get1():              # num_ref_idx_active_override
@@ -248,6 +246,7 @@ class SliceDecoder:
         is_p = sh.slice_type == 0
         is_b = sh.slice_type == 1
         self.num_ref = sh.num_ref
+        self.direct_spatial = sh.direct_spatial
         if is_p and self.ref_frame is None and not self.list0:
             raise InvalidData("h264: P slice without reference")
         if is_b and (not self.list0 or not self.list1):
@@ -329,6 +328,9 @@ class SliceDecoder:
     def _decode_mb_b_direct(self, mbx, mby, qp, residual_cb=None):
         """B_Direct_16x16 / B_Skip (spatial, 8.4.1.2.2 +
         direct_8x8_inference; mirrors pred_spatial_direct_motion)."""
+        if not getattr(self, "direct_spatial", True):
+            return self._decode_mb_b_direct_temporal(
+                mbx, mby, qp, residual_cb)
         bx, by = mbx * 4, mby * 4
         (r0, mvd0), (r1, mvd1) = self._direct_pred(bx, by)
         if r0 < 0 and r1 < 0:
@@ -392,6 +394,77 @@ class SliceDecoder:
                     else:
                         self.mv[lst, cby, cbx] = 0
                         self.mv_ref[lst, cby, cbx] = -1
+        self.blk_done[by:by + 4, bx:bx + 4] = True
+        self.intra4x4_modes[by:by + 4, bx:bx + 4] = 2
+        self.mb_16x16[mby, mbx] = True
+        if residual_cb is None:
+            self.nnz_y[by:by + 4, bx:bx + 4] = 0
+            self.nnz_u[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+            self.nnz_v[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+        self.mb_qp[mby, mbx] = qp
+
+    def _decode_mb_b_direct_temporal(self, mbx, mby, qp,
+                                     residual_cb=None):
+        """Temporal direct (8.4.1.2.3 / h264_direct.c
+        pred_temp_direct_motion): co-located list1 MVs scaled by POC
+        distances; refIdxL0 maps the col block's reference POC into
+        the current list0."""
+        bx, by = mbx * 4, mby * 4
+        col = self.list1[0]
+        poc1 = col["poc"]
+        cur = self.poc
+        pocs0 = [e["poc"] for e in self.list0]
+        col_intra_mb = bool(col["intra"][mby, mbx])
+        short = col.get("short_term", True)
+        infer8 = self.sps.direct_8x8_inference
+        ref_poc = col.get("ref_poc")
+
+        def trunc_div(a, b):
+            q = abs(a) // abs(b)
+            return q if (a >= 0) == (b >= 0) else -q
+
+        for sy in range(4):
+            for sx in range(4):
+                if infer8:
+                    csx = (sx & 2) + ((sx & 2) >> 1)   # 0 or 3
+                    csy = (sy & 2) + ((sy & 2) >> 1)
+                    rsx, rsy = (sx & 2), (sy & 2)      # quadrant TL
+                else:
+                    csx, csy = sx, sy
+                    rsx, rsy = sx, sy
+                cref = int(col["ref"][by + rsy, bx + rsx])
+                if col_intra_mb or cref < 0:
+                    mvcol = (0, 0)
+                    r0 = 0
+                    poc0 = pocs0[0] if pocs0 else cur
+                else:
+                    cmv = col["mv"][by + csy, bx + csx]
+                    mvcol = (int(cmv[0]), int(cmv[1]))
+                    cpoc = int(ref_poc[by + rsy, bx + rsx]) \
+                        if ref_poc is not None else None
+                    r0 = 0
+                    poc0 = pocs0[0] if pocs0 else cur
+                    if cpoc is not None:
+                        for i, pv in enumerate(pocs0):
+                            if pv == cpoc:
+                                r0, poc0 = i, pv
+                                break
+                if not short or poc0 == poc1:
+                    mv0 = mvcol
+                    mv1 = (0, 0)
+                else:
+                    tb = min(max(cur - poc0, -128), 127)
+                    td = min(max(poc1 - poc0, -128), 127)
+                    tx = trunc_div(16384 + (abs(td) >> 1), td)
+                    dsf = min(max((tb * tx + 32) >> 6, -1024), 1023)
+                    mv0 = ((dsf * mvcol[0] + 128) >> 8,
+                           (dsf * mvcol[1] + 128) >> 8)
+                    mv1 = (mv0[0] - mvcol[0], mv0[1] - mvcol[1])
+                cbx, cby = bx + sx, by + sy
+                self.mv[0, cby, cbx] = mv0
+                self.mv_ref[0, cby, cbx] = r0
+                self.mv[1, cby, cbx] = mv1
+                self.mv_ref[1, cby, cbx] = 0
         self.blk_done[by:by + 4, bx:bx + 4] = True
         self.intra4x4_modes[by:by + 4, bx:bx + 4] = 2
         self.mb_16x16[mby, mbx] = True

@@ -950,3 +950,75 @@ def test_p_multiref_exact(tmp_path, seed):
         got = np.concatenate([np.asarray(pl).ravel() for pl in f.planes])
         want = np.frombuffer(raw[i * sz:(i + 1) * sz], np.uint8)
         np.testing.assert_array_equal(got, want, err_msg=f"frame {i}")
+
+
+def b_slice_head_temporal(w, frame_num, poc_lsb):
+    """B slice header with direct_spatial_mv_pred_flag = 0."""
+    w.ue(0)
+    w.ue(6)
+    w.ue(0)
+    w.u(frame_num & 0xFF, 8)
+    w.u(poc_lsb & 0xFF, 8)
+    w.u(0, 1)             # temporal direct
+    w.u(0, 1)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.se(0)
+    w.ue(1)
+
+
+def craft_b_temporal(mb_w=4, mb_h=3, frame_num=2, poc_lsb=2, seed=0):
+    """All-direct/skip B frame under temporal direct mode: the MVs
+    come entirely from scaling the co-located P MVs (8.4.1.2.3)."""
+    rng = np.random.default_rng(seed)
+    w = BW()
+    b_slice_head_temporal(w, frame_num, poc_lsb)
+    n = mb_w * mb_h
+    idx = 0
+    while idx < n:
+        run = int(rng.integers(0, 3)) if 0 < idx < n - 1 else 0
+        run = min(run, n - idx)
+        w.ue(run)
+        idx += run
+        if idx >= n:
+            break
+        w.ue(0)            # B_Direct_16x16
+        w.ue(HT.GOLOMB_TO_INTER_CBP.index(0))
+        idx += 1
+    return nal(0, 1, w.rbsp())
+
+
+@requires_ref
+@pytest.mark.parametrize("seed", [0, 4, 9])
+def test_b_temporal_direct_exact(tmp_path, seed):
+    """IDR(poc0) P(poc4) B(poc2, temporal direct): co-located MV
+    scaling must match the reference sample-exactly."""
+    import test_h264 as me
+    orig = me.make_sps
+    me.make_sps = lambda mb_w=4, mb_h=3: orig(mb_w, mb_h, num_ref=2)
+    try:
+        stream = craft_i16x16_residual(seed=seed)
+    finally:
+        me.make_sps = orig
+    stream += craft_p_frame_poc(1, 4, 50 + seed)
+    stream += craft_b_temporal(frame_num=2, poc_lsb=2,
+                               seed=60 + seed)
+    p = tmp_path / "bt.h264"
+    p.write_bytes(stream)
+    par = CodecParameters(codec_type=MediaType.VIDEO,
+                          codec_id="h264")
+    dec = CodecContext.open_decoder(par)
+    frames = dec.decode_all([Packet(data=stream, pts=0,
+                                    time_base=Rational(1, 25))])
+    raw = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "h264", "-i",
+         str(p), "-f", "rawvideo", "-"],
+        check=True, capture_output=True).stdout
+    sz = 64 * 48 * 3 // 2
+    assert len(frames) == len(raw) // sz == 3
+    for i, f in enumerate(frames):
+        got = np.concatenate([np.asarray(pl).ravel()
+                              for pl in f.planes])
+        want = np.frombuffer(raw[i * sz:(i + 1) * sz], np.uint8)
+        np.testing.assert_array_equal(got, want,
+                                      err_msg=f"frame {i}")

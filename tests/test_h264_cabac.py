@@ -405,9 +405,9 @@ def test_cabac_long_gop_stress(tmp_path, seed):
 
 
 def craft_cabac_b(mb_w=4, mb_h=3, frame_num=2, poc_lsb=2, seed=7,
-                  deblock=False, num_ref=1):
+                  deblock=False, num_ref=1, spatial=True):
     w, dec, _s, _p = _setup_b(mb_w, mb_h, frame_num, poc_lsb, deblock,
-                              num_ref=num_ref)
+                              num_ref=num_ref, spatial=spatial)
     dec.num_ref = (num_ref, num_ref)
     rng = np.random.default_rng(seed)
     enc = CabacEncoder()
@@ -491,7 +491,8 @@ def craft_cabac_b(mb_w=4, mb_h=3, frame_num=2, poc_lsb=2, seed=7,
     return nal(0, 1, payload)
 
 
-def _setup_b(mb_w, mb_h, frame_num, poc_lsb, deblock, num_ref=1):
+def _setup_b(mb_w, mb_h, frame_num, poc_lsb, deblock, num_ref=1,
+             spatial=True):
     sps_nal = make_sps(mb_w, mb_h, num_ref=max(num_ref, 1))
     pps_nal = make_pps_cabac()
     sps = parse_sps(N.unescape(sps_nal[5:]))
@@ -502,7 +503,7 @@ def _setup_b(mb_w, mb_h, frame_num, poc_lsb, deblock, num_ref=1):
     w.ue(0)
     w.u(frame_num & 0xFF, 8)
     w.u(poc_lsb & 0xFF, 8)
-    w.u(1, 1)             # direct_spatial
+    w.u(1 if spatial else 0, 1)   # direct_spatial
     if num_ref > 1:
         w.u(1, 1)         # ref override
         w.ue(num_ref - 1)
@@ -610,3 +611,32 @@ def test_cabac_b_multiref_exact(tmp_path, seed):
         got = np.concatenate([np.asarray(pl).ravel() for pl in f.planes])
         want = np.frombuffer(raw[i * sz:(i + 1) * sz], np.uint8)
         np.testing.assert_array_equal(got, want, err_msg=f"frame {i}")
+
+
+@requires_ref
+@pytest.mark.parametrize("seed", [1, 5])
+def test_cabac_b_temporal_exact(tmp_path, seed):
+    """CABAC B GOP with temporal direct mode."""
+    stream = craft_cabac_i(seed=40 + seed)
+    stream += craft_cabac_p(frame_num=1, seed=50 + seed, poc_lsb=4)
+    stream += craft_cabac_b(frame_num=2, poc_lsb=2, seed=60 + seed,
+                            spatial=False)
+    p = tmp_path / "cbt.h264"
+    p.write_bytes(stream)
+    par = CodecParameters(codec_type=MediaType.VIDEO,
+                          codec_id="h264")
+    dec = CodecContext.open_decoder(par)
+    frames = dec.decode_all([Packet(data=stream, pts=0,
+                                    time_base=Rational(1, 25))])
+    raw = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "h264", "-i",
+         str(p), "-f", "rawvideo", "-"],
+        check=True, capture_output=True).stdout
+    sz = 64 * 48 * 3 // 2
+    assert len(frames) == len(raw) // sz == 3
+    for i, f in enumerate(frames):
+        got = np.concatenate([np.asarray(pl).ravel()
+                              for pl in f.planes])
+        want = np.frombuffer(raw[i * sz:(i + 1) * sz], np.uint8)
+        np.testing.assert_array_equal(got, want,
+                                      err_msg=f"frame {i}")
