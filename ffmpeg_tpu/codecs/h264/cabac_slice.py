@@ -205,6 +205,8 @@ class CabacSliceCoder:
                 bits_v = 13
             elif v == 11:
                 bits_v = 14
+            elif v == 22:      # B_8x8
+                bits_v = 15
             elif 3 <= v <= 10:
                 bits_v = v - 3
             else:              # 12..21 -> 5-bit codes (bits = v+4 over 5)
@@ -231,7 +233,7 @@ class CabacSliceCoder:
         if bits == 14:
             return 11
         if bits == 15:
-            raise NotSupported("h264 cabac: B_8x8")
+            return 22
         last = self.io.dec(self.ctx[27 + 5],
                            ((v + 4) & 1) if v is not None else None)
         return ((bits << 1) + last) - 4
@@ -248,6 +250,44 @@ class CabacSliceCoder:
         b2 = self.io.dec(self.ctx[23],
                          (1 if v == 2 else 0) if v is not None else None)
         return 2 if b2 else 3
+
+    def sub_mb_type_b(self, v=None):
+        """B-slice sub_mb_type (Table 9-38; ctx 36..39)."""
+        io = self.io
+        b0 = io.dec(self.ctx[36],
+                    (0 if v == 0 else 1) if v is not None else None)
+        if not b0:
+            return 0
+        b1 = io.dec(self.ctx[37],
+                    (0 if v in (1, 2) else 1) if v is not None
+                    else None)
+        if not b1:
+            b2 = io.dec(self.ctx[39],
+                        (v - 1) if v is not None else None)
+            return 1 + b2
+        b2 = io.dec(self.ctx[38],
+                    (0 if v in (3, 4, 5, 6) else 1)
+                    if v is not None else None)
+        if not b2:
+            b3 = io.dec(self.ctx[39],
+                        (((v - 3) >> 1) & 1) if v is not None
+                        else None)
+            b4 = io.dec(self.ctx[39],
+                        ((v - 3) & 1) if v is not None else None)
+            return 3 + (b3 << 1) + b4
+        b3 = io.dec(self.ctx[39],
+                    (0 if v in (7, 8, 9, 10) else 1)
+                    if v is not None else None)
+        if not b3:
+            b4 = io.dec(self.ctx[39],
+                        (((v - 7) >> 1) & 1) if v is not None
+                        else None)
+            b5 = io.dec(self.ctx[39],
+                        ((v - 7) & 1) if v is not None else None)
+            return 7 + (b4 << 1) + b5
+        b4 = io.dec(self.ctx[39],
+                    ((v - 11) & 1) if v is not None else None)
+        return 11 + b4
 
     def intra4x4_mode(self, pred, v=None):
         use_pred = None if v is None else (1 if v == pred else 0)
@@ -648,10 +688,76 @@ def _luma_residual_cabac(dec, sc, mbx, mby, qp, cbp_luma, trans8, intra):
         dec.coeff_y[by4, bx4] = recon.dequant4(raster, qp, w4)
 
 
+def _decode_mb_cabac_b8x8(dec, sc, mbx, mby):
+    """B_8x8 sub-macroblock prediction, CABAC side (shares the
+    per-list in-MB availability state with the CAVLC path)."""
+    bx, by = mbx * 4, mby * 4
+    subs = [sc.sub_mb_type_b() for _ in range(4)]
+    dec._cur_mb = (mbx, mby)
+    dec._curmask = np.zeros((2, 4, 4), bool)
+    direct_q = {q for q, st in enumerate(subs) if st == 0}
+    if direct_q:
+        dec._decode_mb_b_direct(mbx, mby, 0, residual_cb=True,
+                                quads=direct_q)
+        for q in direct_q:
+            x8, y8 = q & 1, q >> 1
+            dec._curmask[:, y8 * 2:y8 * 2 + 2,
+                         x8 * 2:x8 * 2 + 2] = True
+        dec._curmask[:, 0, 2] = False
+        dec._curmask[:, 2, 2] = False
+    refs8 = {0: [0] * 4, 1: [0] * 4}
+    for lst in range(2):
+        if dec.num_ref[lst] <= 1:
+            continue
+        for q, st in enumerate(subs):
+            if st and (dec._B_SUB[st][3] & (1 << lst)):
+                x8, y8 = q & 1, q >> 1
+                refs8[lst][q] = sc.ref_idx(bx + x8 * 2,
+                                           by + y8 * 2, lst, 2, 2)
+    for lst in range(2):
+        for q, st in enumerate(subs):
+            x8, y8 = q & 1, q >> 1
+            if st == 0:
+                continue
+            npart, w4, h4, mask = dec._B_SUB[st]
+            if not (mask & (1 << lst)):
+                ys = slice(by + y8 * 2, by + y8 * 2 + 2)
+                xs = slice(bx + x8 * 2, bx + x8 * 2 + 2)
+                dec.mv[lst, ys, xs] = 0
+                dec.mv_ref[lst, ys, xs] = -1
+                dec._curmask[lst, y8 * 2:y8 * 2 + 2,
+                             x8 * 2:x8 * 2 + 2] = True
+                continue
+            for ox, oy in dec._B_SUB_OFFS[(npart, w4, h4)]:
+                px = bx + x8 * 2 + ox
+                py = by + y8 * 2 + oy
+                mvdx = sc.mvd(40, _amvd(sc, px, py, 0, lst))
+                mvdy = sc.mvd(47, _amvd(sc, px, py, 1, lst))
+                sc.mvd_cache[lst, py:py + h4, px:px + w4, 0] = \
+                    min(abs(mvdx), 70)
+                sc.mvd_cache[lst, py:py + h4, px:px + w4, 1] = \
+                    min(abs(mvdy), 70)
+                pred = dec._pred_mv(px, py, w4, h4, lst,
+                                    refs8[lst][q])
+                mv = (pred[0] + mvdx, pred[1] + mvdy)
+                dec._store_mv(px, py, w4, h4, mv, lst,
+                              refs8[lst][q])
+                dec._curmask[lst, py - by:py - by + h4,
+                             px - bx:px - bx + w4] = True
+    dec._cur_mb = (-1, -1)
+    dec.blk_done[by:by + 4, bx:bx + 4] = True
+    dec.intra4x4_modes[by:by + 4, bx:bx + 4] = 2
+    return subs
+
+
 def _decode_mb_cabac_b(dec, sc, mbx, mby, qp, mb_type):
     bx, by = mbx * 4, mby * 4
     sc._cur_comp = 0
-    if mb_type == 0:
+    subs = None
+    if mb_type == 22:
+        subs = _decode_mb_cabac_b8x8(dec, sc, mbx, mby)
+        parts, masks = [], []
+    elif mb_type == 0:
         dec._decode_mb_b_direct(mbx, mby, qp, residual_cb=True)
         sc.direct_tab[mby, mbx] = True
         parts, masks = [], []
@@ -699,8 +805,11 @@ def _decode_mb_cabac_b(dec, sc, mbx, mby, qp, mb_type):
     cbp = sc.cbp(mbx, mby, False)
     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
     trans8 = False
-    if dec.pps.transform_8x8_mode and cbp_luma and \
-            (mb_type != 0 or dec.sps.direct_8x8_inference):
+    ok8 = mb_type != 0 or dec.sps.direct_8x8_inference
+    if subs is not None:
+        ok8 = all((st == 0 and dec.sps.direct_8x8_inference)
+                  or st in (1, 2, 3) for st in subs)
+    if dec.pps.transform_8x8_mode and cbp_luma and ok8:
         trans8 = bool(sc.transform_size_8x8_flag(mbx, mby))
     if cbp:
         qp = (qp + sc.mb_qp_delta() + 52) % 52

@@ -212,6 +212,11 @@ class SliceDecoder:
         # (Table 8-12/8-13) for field pictures by the caller
         self.scan4 = recon.ZIGZAG4
         self.scan8 = np.asarray(ZZ8)
+        # per-list 4x4 done mask for the MB currently being decoded
+        # (B_8x8: in-MB neighbour availability is per list, the
+        # reference's per-list ref_cache PART_NOT_AVAILABLE state)
+        self._cur_mb = (-1, -1)
+        self._curmask = np.zeros((2, 4, 4), bool)
 
     def _te_ref(self, b: Bits, lst: int) -> int:
         """ref_idx_lX as te(v) (spec 7.3.5.2 / 9.1.1): 1-bit inverted
@@ -325,12 +330,15 @@ class SliceDecoder:
             out.append((ref, mv))
         return out
 
-    def _decode_mb_b_direct(self, mbx, mby, qp, residual_cb=None):
+    def _decode_mb_b_direct(self, mbx, mby, qp, residual_cb=None,
+                            quads=None):
         """B_Direct_16x16 / B_Skip (spatial, 8.4.1.2.2 +
-        direct_8x8_inference; mirrors pred_spatial_direct_motion)."""
+        direct_8x8_inference; mirrors pred_spatial_direct_motion).
+        `quads` restricts the fill to those 8x8 quadrants
+        (B_Direct_8x8 sub-macroblocks)."""
         if not getattr(self, "direct_spatial", True):
             return self._decode_mb_b_direct_temporal(
-                mbx, mby, qp, residual_cb)
+                mbx, mby, qp, residual_cb, quads)
         bx, by = mbx * 4, mby * 4
         (r0, mvd0), (r1, mvd1) = self._direct_pred(bx, by)
         if r0 < 0 and r1 < 0:
@@ -383,6 +391,9 @@ class SliceDecoder:
                                   x8 * 2:x8 * 2 + 2] = 0
         for sy in range(4):
             for sx in range(4):
+                if quads is not None and \
+                        ((sy >> 1) * 2 + (sx >> 1)) not in quads:
+                    continue
                 cbx, cby = bx + sx, by + sy
                 mvs = [None, None]
                 for lst in range(2):
@@ -394,6 +405,10 @@ class SliceDecoder:
                     else:
                         self.mv[lst, cby, cbx] = 0
                         self.mv_ref[lst, cby, cbx] = -1
+                self.blk_done[cby, cbx] = True
+                self.intra4x4_modes[cby, cbx] = 2
+        if quads is not None:
+            return
         self.blk_done[by:by + 4, bx:bx + 4] = True
         self.intra4x4_modes[by:by + 4, bx:bx + 4] = 2
         self.mb_16x16[mby, mbx] = True
@@ -404,7 +419,7 @@ class SliceDecoder:
         self.mb_qp[mby, mbx] = qp
 
     def _decode_mb_b_direct_temporal(self, mbx, mby, qp,
-                                     residual_cb=None):
+                                     residual_cb=None, quads=None):
         """Temporal direct (8.4.1.2.3 / h264_direct.c
         pred_temp_direct_motion): co-located list1 MVs scaled by POC
         distances; refIdxL0 maps the col block's reference POC into
@@ -425,6 +440,9 @@ class SliceDecoder:
 
         for sy in range(4):
             for sx in range(4):
+                if quads is not None and \
+                        ((sy >> 1) * 2 + (sx >> 1)) not in quads:
+                    continue
                 if infer8:
                     csx = (sx & 2) + ((sx & 2) >> 1)   # 0 or 3
                     csy = (sy & 2) + ((sy & 2) >> 1)
@@ -465,6 +483,10 @@ class SliceDecoder:
                 self.mv_ref[0, cby, cbx] = r0
                 self.mv[1, cby, cbx] = mv1
                 self.mv_ref[1, cby, cbx] = 0
+                self.blk_done[cby, cbx] = True
+                self.intra4x4_modes[cby, cbx] = 2
+        if quads is not None:
+            return
         self.blk_done[by:by + 4, bx:bx + 4] = True
         self.intra4x4_modes[by:by + 4, bx:bx + 4] = 2
         self.mb_16x16[mby, mbx] = True
@@ -474,12 +496,86 @@ class SliceDecoder:
             self.nnz_v[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
         self.mb_qp[mby, mbx] = qp
 
+    # B sub_mb_type (Table 7-18): st -> (npart, w4, h4, list mask)
+    _B_SUB = {1: (1, 2, 2, 1), 2: (1, 2, 2, 2), 3: (1, 2, 2, 3),
+              4: (2, 2, 1, 1), 5: (2, 1, 2, 1), 6: (2, 2, 1, 2),
+              7: (2, 1, 2, 2), 8: (2, 2, 1, 3), 9: (2, 1, 2, 3),
+              10: (4, 1, 1, 1), 11: (4, 1, 1, 2), 12: (4, 1, 1, 3)}
+    _B_SUB_OFFS = {(1, 2, 2): [(0, 0)],
+                   (2, 2, 1): [(0, 0), (0, 1)],
+                   (2, 1, 2): [(0, 0), (1, 0)],
+                   (4, 1, 1): [(0, 0), (1, 0), (0, 1), (1, 1)]}
+
+    def _decode_mb_b8x8(self, b, mbx, mby, qp):
+        """B_8x8 sub-macroblock prediction (7.3.5.2 sub_mb_pred,
+        B sub types incl. B_Direct_8x8)."""
+        bx, by = mbx * 4, mby * 4
+        subs = [b.ue() for _ in range(4)]
+        if any(st > 12 for st in subs):
+            raise InvalidData("h264: bad B sub_mb_type")
+        self._cur_mb = (mbx, mby)
+        self._curmask = np.zeros((2, 4, 4), bool)
+        direct_q = {q for q, st in enumerate(subs) if st == 0}
+        if direct_q:
+            self._decode_mb_b_direct(mbx, mby, qp, residual_cb=True,
+                                     quads=direct_q)
+            for q in direct_q:
+                x8, y8 = q & 1, q >> 1
+                self._curmask[:, y8 * 2:y8 * 2 + 2,
+                              x8 * 2:x8 * 2 + 2] = True
+            # the interior top-right cells (blocks (2,0)/(2,2)) are
+            # re-marked unavailable after the direct fill
+            # (h264_cavlc.c: ref_cache[scan8[4]]=ref_cache[scan8[12]]
+            # = PART_NOT_AVAILABLE) until explicitly re-stored
+            self._curmask[:, 0, 2] = False
+            self._curmask[:, 2, 2] = False
+        refs8 = {0: [0] * 4, 1: [0] * 4}
+        for lst in range(2):
+            for q, st in enumerate(subs):
+                if st and (self._B_SUB[st][3] & (1 << lst)):
+                    refs8[lst][q] = self._te_ref(b, lst)
+        for lst in range(2):
+            for q, st in enumerate(subs):
+                x8, y8 = q & 1, q >> 1
+                if st == 0:
+                    continue
+                npart, w4, h4, mask = self._B_SUB[st]
+                if not (mask & (1 << lst)):
+                    # list not used: the quadrant still counts as an
+                    # available neighbour with refIdx -1 / zero MV
+                    # (the reference's LIST_NOT_USED cache fill)
+                    ys = slice(by + y8 * 2, by + y8 * 2 + 2)
+                    xs = slice(bx + x8 * 2, bx + x8 * 2 + 2)
+                    self.mv[lst, ys, xs] = 0
+                    self.mv_ref[lst, ys, xs] = -1
+                    self._curmask[lst, y8 * 2:y8 * 2 + 2,
+                                  x8 * 2:x8 * 2 + 2] = True
+                    continue
+                for ox, oy in self._B_SUB_OFFS[(npart, w4, h4)]:
+                    mvd = (b.se(), b.se())
+                    px = bx + x8 * 2 + ox
+                    py = by + y8 * 2 + oy
+                    pred = self._pred_mv(px, py, w4, h4, lst,
+                                         refs8[lst][q])
+                    mv = (pred[0] + mvd[0], pred[1] + mvd[1])
+                    self._store_mv(px, py, w4, h4, mv, lst,
+                                   refs8[lst][q])
+                    self._curmask[lst,
+                                  py - by:py - by + h4,
+                                  px - bx:px - bx + w4] = True
+        self._cur_mb = (-1, -1)
+        self.blk_done[by:by + 4, bx:bx + 4] = True
+        self.intra4x4_modes[by:by + 4, bx:bx + 4] = 2
+        return subs
+
     def _decode_mb_b(self, b, mbx, mby, qp, mb_type):
-        if mb_type == 22:
-            raise NotSupported("h264: B_8x8 partitions")
         bx, by = mbx * 4, mby * 4
         self.mb_16x16[mby, mbx] = mb_type <= 3
-        if mb_type == 0:
+        subs = None
+        if mb_type == 22:
+            subs = self._decode_mb_b8x8(b, mbx, mby, qp)
+            parts, masks = [], []
+        elif mb_type == 0:
             self._decode_mb_b_direct(mbx, mby, qp, residual_cb=True)
             parts, masks = [], []
         elif mb_type <= 3:
@@ -528,8 +624,12 @@ class SliceDecoder:
         cbp = T.GOLOMB_TO_INTER_CBP[cbp_code]
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
         trans8 = False
-        if self.pps.transform_8x8_mode and cbp_luma and \
-                (mb_type != 0 or self.sps.direct_8x8_inference):
+        ok8 = mb_type != 0 or self.sps.direct_8x8_inference
+        if subs is not None:
+            ok8 = all(
+                (st == 0 and self.sps.direct_8x8_inference)
+                or st in (1, 2, 3) for st in subs)
+        if self.pps.transform_8x8_mode and cbp_luma and ok8:
             trans8 = bool(b.get1())
         if cbp:
             qp = (qp + b.se() + 52) % 52
@@ -542,8 +642,12 @@ class SliceDecoder:
     def _mv_nbr(self, bx, by, lst=0):
         """→ (mv, ref) for the 4x4 block, ((0,0), -1) if unavailable or
         intra."""
-        if bx < 0 or by < 0 or bx >= self.sps.mb_width * 4 or \
-                not self.blk_done[by, bx]:
+        if bx < 0 or by < 0 or bx >= self.sps.mb_width * 4:
+            return (0, 0), -1, False
+        if (bx >> 2, by >> 2) == self._cur_mb:
+            if not self._curmask[lst, by & 3, bx & 3]:
+                return (0, 0), -1, False
+        elif not self.blk_done[by, bx]:
             return (0, 0), -1, False
         return (int(self.mv[lst, by, bx, 0]), int(self.mv[lst, by, bx, 1])), \
             int(self.mv_ref[lst, by, bx]), True

@@ -152,8 +152,16 @@ class HevcDecoder(Codec):
         self.dpb.append({"poc": poc, "y": y, "u": u, "v": v})
         fmt = {8: "yuv420p", 10: "yuv420p10le",
                12: "yuv420p12le"}[sps.bit_depth]
-        f = Frame.video(sps.width, sps.height, fmt,
-                        planes=[y, u, v],
+        ow = sps.width - sps.crop_left - sps.crop_right
+        oh = sps.height - sps.crop_top - sps.crop_bottom
+        oy, ou, ov = y, u, v
+        if (ow, oh) != (sps.width, sps.height):
+            l, t = sps.crop_left, sps.crop_top
+            oy = y[t:t + oh, l:l + ow].copy()
+            ou = u[t // 2:(t + oh) // 2, l // 2:(l + ow) // 2].copy()
+            ov = v[t // 2:(t + oh) // 2, l // 2:(l + ow) // 2].copy()
+        f = Frame.video(ow, oh, fmt,
+                        planes=[oy, ou, ov],
                         pts=pkt.pts if pkt else 0,
                         time_base=(pkt.time_base if pkt else None)
                         or Rational(1, 25))

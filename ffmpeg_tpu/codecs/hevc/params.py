@@ -55,8 +55,12 @@ def _profile_tier_level(b: Bits, max_sub_layers: int):
 class HevcSPS:
     sps_id: int = 0
     chroma_format_idc: int = 1
-    width: int = 0
+    width: int = 0                 # coded luma size
     height: int = 0
+    crop_left: int = 0             # conformance window (luma units)
+    crop_right: int = 0
+    crop_top: int = 0
+    crop_bottom: int = 0
     bit_depth: int = 8
     log2_max_poc_lsb: int = 8
     log2_min_cb: int = 3
@@ -98,8 +102,11 @@ def parse_sps(rbsp: bytes) -> HevcSPS:
     s.width = b.ue()
     s.height = b.ue()
     if b.get1():                          # conformance_window
-        b.ue(), b.ue(), b.ue(), b.ue()
-        raise NotSupported("hevc: conformance window cropping")
+        # offsets are in chroma units; x2 for 4:2:0 luma (7.4.3.2.1)
+        s.crop_left = b.ue() * 2
+        s.crop_right = b.ue() * 2
+        s.crop_top = b.ue() * 2
+        s.crop_bottom = b.ue() * 2
     s.bit_depth = b.ue() + 8
     if b.ue() + 8 != s.bit_depth or s.bit_depth not in (8, 10, 12):
         raise NotSupported("hevc: bit depth (Main/Main10/Main12 only)")

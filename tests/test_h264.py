@@ -1022,3 +1022,72 @@ def test_b_temporal_direct_exact(tmp_path, seed):
         want = np.frombuffer(raw[i * sz:(i + 1) * sz], np.uint8)
         np.testing.assert_array_equal(got, want,
                                       err_msg=f"frame {i}")
+
+
+_SUB_MASK_B = {1: 1, 2: 2, 3: 3, 4: 1, 5: 1, 6: 2, 7: 2, 8: 3,
+               9: 3, 10: 1, 11: 2, 12: 3}
+_SUB_NPART_B = {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 2, 7: 2, 8: 2,
+                9: 2, 10: 4, 11: 4, 12: 4}
+
+
+def craft_b8x8_frame(mb_w=4, mb_h=3, frame_num=2, poc_lsb=2, seed=0,
+                     spatial=True, sub_pool=None):
+    """B frame of B_8x8 MBs with random sub types (incl.
+    B_Direct_8x8)."""
+    rng = np.random.default_rng(seed)
+    w = BW()
+    if spatial:
+        b_slice_head(w, frame_num, poc_lsb)
+    else:
+        b_slice_head_temporal(w, frame_num, poc_lsb)
+    pool = sub_pool or list(range(13))
+    for idx in range(mb_w * mb_h):
+        w.ue(0)
+        w.ue(22)
+        subs = [int(rng.choice(pool)) for _ in range(4)]
+        for st in subs:
+            w.ue(st)
+        for lst in range(2):
+            for st in subs:
+                if st and (_SUB_MASK_B[st] & (1 << lst)):
+                    for _ in range(_SUB_NPART_B[st]):
+                        w.se(int(rng.integers(-6, 7)))
+                        w.se(int(rng.integers(-6, 7)))
+        w.ue(HT.GOLOMB_TO_INTER_CBP.index(0))
+    return nal(0, 1, w.rbsp())
+
+
+@requires_ref
+@pytest.mark.parametrize("seed,spatial", [(7, True), (21, True),
+                                          (33, False), (44, False)])
+def test_b8x8_partitions_exact(tmp_path, seed, spatial):
+    """B_8x8 sub-macroblocks (all 13 sub types) under spatial and
+    temporal direct."""
+    import test_h264 as me
+    orig = me.make_sps
+    me.make_sps = lambda mb_w=4, mb_h=3: orig(mb_w, mb_h, num_ref=2)
+    try:
+        stream = craft_i16x16_residual(seed=3)
+    finally:
+        me.make_sps = orig
+    stream += craft_p_frame_poc(1, 4, 53)
+    stream += craft_b8x8_frame(seed=seed, spatial=spatial)
+    p = tmp_path / "b8.h264"
+    p.write_bytes(stream)
+    par = CodecParameters(codec_type=MediaType.VIDEO,
+                          codec_id="h264")
+    dec = CodecContext.open_decoder(par)
+    frames = dec.decode_all([Packet(data=stream, pts=0,
+                                    time_base=Rational(1, 25))])
+    raw = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "h264", "-i",
+         str(p), "-f", "rawvideo", "-"],
+        check=True, capture_output=True).stdout
+    sz = 64 * 48 * 3 // 2
+    assert len(frames) == len(raw) // sz == 3
+    for i, f in enumerate(frames):
+        got = np.concatenate([np.asarray(pl).ravel()
+                              for pl in f.planes])
+        want = np.frombuffer(raw[i * sz:(i + 1) * sz], np.uint8)
+        np.testing.assert_array_equal(got, want,
+                                      err_msg=f"frame {i}")

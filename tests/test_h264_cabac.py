@@ -640,3 +640,95 @@ def test_cabac_b_temporal_exact(tmp_path, seed):
         want = np.frombuffer(raw[i * sz:(i + 1) * sz], np.uint8)
         np.testing.assert_array_equal(got, want,
                                       err_msg=f"frame {i}")
+
+
+SUB_MASK_B = {1: 1, 2: 2, 3: 3, 4: 1, 5: 1, 6: 2, 7: 2, 8: 3,
+              9: 3, 10: 1, 11: 2, 12: 3}
+SUB_NPART_B = {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 2, 7: 2, 8: 2,
+               9: 2, 10: 4, 11: 4, 12: 4}
+SUB_GEOM_B = {1: (2, 2), 2: (2, 2), 3: (2, 2), 4: (2, 1),
+              5: (1, 2), 6: (2, 1), 7: (1, 2), 8: (2, 1),
+              9: (1, 2), 10: (1, 1), 11: (1, 1), 12: (1, 1)}
+SUB_OFFS_B = {(1, 2, 2): [(0, 0)], (2, 2, 1): [(0, 0), (0, 1)],
+              (2, 1, 2): [(0, 0), (1, 0)],
+              (4, 1, 1): [(0, 0), (1, 0), (0, 1), (1, 1)]}
+
+
+def craft_cabac_b8x8(mb_w=4, mb_h=3, frame_num=2, poc_lsb=2, seed=7,
+                     spatial=True):
+    """B frame of B_8x8 macroblocks with random sub types."""
+    from ffmpeg_tpu.codecs.h264.cabac_slice import _amvd
+    w, dec, _s, _p = _setup_b(mb_w, mb_h, frame_num, poc_lsb, False,
+                              spatial=spatial)
+    dec.num_ref = (1, 1)
+    rng = np.random.default_rng(seed)
+    enc = CabacEncoder()
+    sc = CabacSliceCoder(dec, enc, 1, 26, encode=True)
+    n = mb_w * mb_h
+    for idx in range(n):
+        mbx, mby = idx % mb_w, idx // mb_w
+        bx, by = mbx * 4, mby * 4
+        sc.mb_skip_flag(mbx, mby, v=0)
+        sc._ref_set.clear()
+        sc.b_mb_type(mbx, mby, v=22)
+        subs = [int(rng.integers(0, 13)) for _ in range(4)]
+        for st in subs:
+            sc.sub_mb_type_b(v=st)
+        for lst in range(2):
+            for q, st in enumerate(subs):
+                if st == 0 or not (SUB_MASK_B[st] & (1 << lst)):
+                    continue
+                x8, y8 = q & 1, q >> 1
+                npart = SUB_NPART_B[st]
+                w4, h4 = SUB_GEOM_B[st]
+                for ox, oy in SUB_OFFS_B[(npart, w4, h4)]:
+                    px = bx + x8 * 2 + ox
+                    py = by + y8 * 2 + oy
+                    for comp in range(2):
+                        amvd = _amvd(sc, px, py, comp, lst)
+                        mvd = int(rng.integers(-6, 7))
+                        sc.mvd(40 if comp == 0 else 47, amvd,
+                               v=mvd)
+                        sc.mvd_cache[lst, py:py + h4,
+                                     px:px + w4, comp] = \
+                            min(abs(mvd), 70)
+        sc.cbp(mbx, mby, False, v=0)
+        sc.last_dqp = 0
+        dec.nnz_y[by:by + 4, bx:bx + 4] = 0
+        dec.nnz_u[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+        dec.nnz_v[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+        sc.cbp_tab[mby, mbx] = 0
+        dec.blk_done[by:by + 4, bx:bx + 4] = True
+        dec.mb_avail[mby, mbx] = True
+        enc.terminate(1 if idx == n - 1 else 0)
+    payload = _bits_to_bytes(w.bits) + _bits_to_bytes(enc.bitstring())
+    return nal(0, 1, payload)
+
+
+@requires_ref
+@pytest.mark.parametrize("seed,spatial", [(1, True), (5, True),
+                                          (9, False)])
+def test_cabac_b8x8_exact(tmp_path, seed, spatial):
+    stream = craft_cabac_i(seed=40 + seed)
+    stream += craft_cabac_p(frame_num=1, seed=50 + seed, poc_lsb=4)
+    stream += craft_cabac_b8x8(frame_num=2, poc_lsb=2,
+                               seed=60 + seed, spatial=spatial)
+    p = tmp_path / "cb8.h264"
+    p.write_bytes(stream)
+    par = CodecParameters(codec_type=MediaType.VIDEO,
+                          codec_id="h264")
+    dec = CodecContext.open_decoder(par)
+    frames = dec.decode_all([Packet(data=stream, pts=0,
+                                    time_base=Rational(1, 25))])
+    raw = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "h264", "-i",
+         str(p), "-f", "rawvideo", "-"],
+        check=True, capture_output=True).stdout
+    sz = 64 * 48 * 3 // 2
+    assert len(frames) == len(raw) // sz == 3
+    for i, f in enumerate(frames):
+        got = np.concatenate([np.asarray(pl).ravel()
+                              for pl in f.planes])
+        want = np.frombuffer(raw[i * sz:(i + 1) * sz], np.uint8)
+        np.testing.assert_array_equal(got, want,
+                                      err_msg=f"frame {i}")

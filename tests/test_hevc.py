@@ -79,7 +79,7 @@ def make_vps(profile=1):
 def make_sps(width=W, height=H, log2_ctb=5, log2_min_cb=3,
              log2_min_tb=2, log2_max_tb=5, max_td_intra=0,
              strong_smoothing=False, sao=False, max_td_inter=0,
-             num_reorder=0, bit_depth=8):
+             num_reorder=0, bit_depth=8, crop=None):
     w = BW()
     w.u(0, 4)            # vps_id
     w.u(0, 3)            # max_sub_layers - 1
@@ -89,7 +89,12 @@ def make_sps(width=W, height=H, log2_ctb=5, log2_min_cb=3,
     w.ue(1)              # chroma_format_idc
     w.ue(width)
     w.ue(height)
-    w.u(0, 1)            # conformance_window
+    if crop:
+        w.u(1, 1)        # conformance_window present
+        for v in crop:   # l, r, t, b in chroma units
+            w.ue(v)
+    else:
+        w.u(0, 1)        # conformance_window
     w.ue(bit_depth - 8)  # bit_depth_luma - 8
     w.ue(bit_depth - 8)  # bit_depth_chroma - 8
     w.ue(4)              # log2_max_poc_lsb - 4
@@ -878,3 +883,31 @@ def test_hevc_tiles_b_10bit(tmp_path):
                           gop_kind="B", bit_depth=10, sao=True,
                           pps_kw=dict(tiles=(2, 2), deblock=True))
     _decode_gop_vs_ref(stream, n, tmp_path, bit_depth=10)
+
+
+@requires_ref
+@pytest.mark.parametrize("crop", [(1, 1, 2, 2), (0, 2, 0, 4),
+                                  (3, 0, 1, 0)])
+def test_hevc_conformance_window(tmp_path, crop):
+    """Conformance-window cropping (7.4.3.2.1): coded 64x64, output
+    cropped by the chroma-unit offsets x2."""
+    rng = np.random.default_rng(11)
+    stream = craft_frame(Plan(rng), crop=crop)
+    p = tmp_path / "crop.h265"
+    p.write_bytes(stream)
+    raw = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "hevc", "-i",
+         str(p), "-f", "rawvideo", "-"],
+        check=True, capture_output=True).stdout
+    par = CodecParameters(codec_type=MediaType.VIDEO,
+                          codec_id="hevc")
+    dec = CodecContext.open_decoder(par)
+    frames = dec.decode_all([Packet(data=stream, pts=0,
+                                    time_base=Rational(1, 25))])
+    f = frames[0]
+    left, right, top, bottom = crop
+    assert f.width == W - 2 * (left + right)
+    assert f.height == H - 2 * (top + bottom)
+    got = np.concatenate([np.asarray(pl).ravel()
+                          for pl in f.planes])
+    np.testing.assert_array_equal(got, np.frombuffer(raw, np.uint8))
