@@ -233,8 +233,6 @@ def parse_pps(rbsp: bytes, sps_map: Optional[dict] = None) -> PPS:
     p.chroma_qp_index_offset = b.se()
     p.deblocking_filter_control_present = bool(b.get1())
     p.constrained_intra_pred = bool(b.get1())
-    if p.constrained_intra_pred:
-        raise NotSupported("h264: constrained intra pred")
     p.redundant_pic_cnt_present = bool(b.get1())
     sps = (sps_map or {}).get(p.sps_id)
     sps4 = getattr(sps, "scaling4", None) if sps else None

@@ -831,7 +831,14 @@ class SliceDecoder:
         x, y = mbx + dx, mby + dy
         if x < 0 or y < 0 or x >= self.sps.mb_width:
             return False
-        return bool(self.mb_avail[y, x])
+        if not self.mb_avail[y, x]:
+            return False
+        # constrained_intra_pred: inter neighbours are unavailable
+        # for intra prediction (8.3.1 / PPS flag)
+        if self.pps.constrained_intra_pred and \
+                not self.mb_intra[y, x]:
+            return False
+        return True
 
     def _decode_mb_i(self, b: Bits, mbx: int, mby: int, qp: int,
                      mb_type: Optional[int] = None) -> int:
@@ -1120,4 +1127,9 @@ class SliceDecoder:
         nmbx, nmby = bx // 4, by // 4
         if (nmbx, nmby) == (mbx, mby):
             return self.intra4x4_modes[by, bx] >= 0
-        return bool(self.mb_avail[nmby, nmbx])
+        if not self.mb_avail[nmby, nmbx]:
+            return False
+        if self.pps.constrained_intra_pred and \
+                not self.mb_intra[nmby, nmbx]:
+            return False
+        return True

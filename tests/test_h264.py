@@ -1091,3 +1091,81 @@ def test_b8x8_partitions_exact(tmp_path, seed, spatial):
         want = np.frombuffer(raw[i * sz:(i + 1) * sz], np.uint8)
         np.testing.assert_array_equal(got, want,
                                       err_msg=f"frame {i}")
+
+
+def make_pps_constrained():
+    w = BW()
+    w.ue(0)
+    w.ue(0)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.ue(0)
+    w.ue(0)
+    w.ue(0)
+    w.u(0, 1)
+    w.u(0, 2)
+    w.se(0)
+    w.se(0)
+    w.se(0)
+    w.u(1, 1)
+    w.u(1, 1)             # constrained_intra_pred
+    w.u(0, 1)
+    return nal(3, 8, w.rbsp())
+
+
+def craft_p_with_intra_mbs(seed=0):
+    """P frame mixing P_16x16 and I_16x16 MBs (intra islands)."""
+    rng = np.random.default_rng(seed)
+    w = BW()
+    p_slice_head(w, 1)
+    nnz = np.full((12, 16), -1, np.int32)
+    for idx in range(12):
+        mbx, mby = idx % 4, idx // 4
+        w.ue(0)
+        if idx % 3 == 1:
+            w.ue(5 + 3)       # I_16x16 DC, cbp 0 (P-slice offset 5)
+            w.ue(0)
+            w.se(0)
+            lv = [0] * 16
+            for ppos in sorted(rng.choice(16, 2, replace=False)):
+                lv[ppos] = int(rng.integers(-5, 6)) or 1
+            nc = _nc(nnz, mbx * 4, mby * 4)
+            t = write_residual(w, lv, 16, nc)
+            nnz[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = t
+        else:
+            w.ue(0)
+            w.se(int(rng.integers(-8, 9)))
+            w.se(int(rng.integers(-8, 9)))
+            w.ue(HT.GOLOMB_TO_INTER_CBP.index(0))
+            nnz[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 0
+    return nal(2, 1, w.rbsp())
+
+
+@requires_ref
+@pytest.mark.parametrize("seed", [5, 12])
+def test_constrained_intra_pred_exact(tmp_path, seed):
+    """constrained_intra_pred_flag: intra MBs in P slices must not
+    predict from inter neighbours."""
+    import test_h264 as me
+    orig = me.make_pps
+    me.make_pps = make_pps_constrained
+    try:
+        stream = craft_i16x16_residual(seed=3)
+    finally:
+        me.make_pps = orig
+    stream += craft_p_with_intra_mbs(seed)
+    p = tmp_path / "ci.h264"
+    p.write_bytes(stream)
+    par = CodecParameters(codec_type=MediaType.VIDEO,
+                          codec_id="h264")
+    dec = CodecContext.open_decoder(par)
+    frames = dec.decode_all([Packet(data=stream, pts=0,
+                                    time_base=Rational(1, 25))])
+    raw = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "h264", "-i",
+         str(p), "-f", "rawvideo", "-"],
+        check=True, capture_output=True).stdout
+    got = np.concatenate(
+        [np.concatenate([np.asarray(pl).ravel() for pl in f.planes])
+         for f in frames])
+    np.testing.assert_array_equal(got, np.frombuffer(raw, np.uint8))
