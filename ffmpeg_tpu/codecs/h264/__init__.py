@@ -31,8 +31,9 @@ from .slice_dec import SliceDecoder, parse_slice_header
 
 
 def _apply_reorder(default, dpb, ops, cur_fn, max_fn, num_ref):
-    """ref_pic_list_modification (spec 8.2.4.3.1, short-term only).
-    Reference: libavcodec/h264_refs.c ff_h264_build_ref_list."""
+    """ref_pic_list_modification (spec 8.2.4.3.1) incl. long-term
+    picture numbers (idc 2). Reference: libavcodec/h264_refs.c
+    ff_h264_build_ref_list."""
     out = list(default)
     if not ops:
         return out
@@ -44,6 +45,22 @@ def _apply_reorder(default, dpb, ops, cur_fn, max_fn, num_ref):
     pred = cur_fn
     idx = 0
     for idc, val in ops:
+        if idc == 2:              # long_term_pic_num
+            match = next(
+                (e for e in dpb if not e.get("short_term", True)
+                 and e.get("lt_idx") == val), None)
+            if match is None:
+                raise InvalidData("h264: long-term pic not in DPB")
+            if idx < len(out):
+                out.insert(idx, match)
+            else:
+                out.append(match)
+            idx += 1
+            for j in range(idx, len(out)):
+                if out[j] is match:
+                    out.pop(j)
+                    break
+            continue
         if idc == 0:
             pred -= val + 1
             if pred < 0:
@@ -53,7 +70,9 @@ def _apply_reorder(default, dpb, ops, cur_fn, max_fn, num_ref):
             if pred >= max_fn:
                 pred -= max_fn
         pic_num = pred - (max_fn if pred > cur_fn else 0)
-        match = next((e for e in dpb if fnw(e) == pic_num), None)
+        match = next((e for e in dpb
+                      if e.get("short_term", True)
+                      and fnw(e) == pic_num), None)
         if match is None:
             raise InvalidData("h264: reordered pic_num not in DPB")
         if idx < len(out):
@@ -202,10 +221,16 @@ class H264Decoder(Codec):
                             after + before, self._dpb, sh.reorder[1],
                             sh.frame_num, max_fn, sh.num_ref[1])
                     elif sh.slice_type == 0:
+                        shorts = [e for e in self._dpb
+                                  if e.get("short_term", True)]
+                        longs = sorted(
+                            (e for e in self._dpb
+                             if not e.get("short_term", True)),
+                            key=lambda e: e.get("lt_idx", 0))
                         dec.list0 = _apply_reorder(
-                            list(reversed(self._dpb)), self._dpb,
-                            sh.reorder[0], sh.frame_num, max_fn,
-                            sh.num_ref[0])
+                            list(reversed(shorts)) + longs,
+                            self._dpb, sh.reorder[0],
+                            sh.frame_num, max_fn, sh.num_ref[0])
                 try:
                     if pps.cabac:
                         from .cabac_slice import decode_slice_cabac
@@ -338,16 +363,52 @@ class H264Decoder(Codec):
         if is_ref:
             self._ref = planes
             mmco = getattr(sh, "mmco", None) if sh else None
+            mark_long_idx = None       # mark CURRENT picture long
+            if sh is not None and sh.idr and \
+                    getattr(sh, "long_term_ref", False):
+                mark_long_idx = 0
             if mmco:
                 max_fn = 1 << dec.sps.log2_max_frame_num
                 for op, val in mmco:
                     if op == 5:
                         self._dpb.clear()
                         dec.poc = 0
-                    elif op == 1:
+                    elif op == 1:      # unmark short-term
                         pic_num = (dec.frame_num - (val + 1)) % max_fn
-                        self._dpb = [e for e in self._dpb
-                                     if e["frame_num"] != pic_num]
+                        self._dpb = [
+                            e for e in self._dpb
+                            if not (e.get("short_term", True)
+                                    and e["frame_num"] == pic_num)]
+                    elif op == 2:      # unmark long-term
+                        self._dpb = [
+                            e for e in self._dpb
+                            if e.get("short_term", True)
+                            or e.get("lt_idx") != val]
+                    elif op == 3:      # short -> long
+                        diff, idx = val
+                        pic_num = (dec.frame_num - (diff + 1)) \
+                            % max_fn
+                        self._dpb = [
+                            e for e in self._dpb
+                            if e.get("short_term", True)
+                            or e.get("lt_idx") != idx]
+                        for e in self._dpb:
+                            if e.get("short_term", True) and \
+                                    e["frame_num"] == pic_num:
+                                e["short_term"] = False
+                                e["lt_idx"] = idx
+                                break
+                    elif op == 4:      # max long-term idx + 1
+                        self._dpb = [
+                            e for e in self._dpb
+                            if e.get("short_term", True)
+                            or e.get("lt_idx", 0) < val]
+                    elif op == 6:      # mark current long-term
+                        self._dpb = [
+                            e for e in self._dpb
+                            if e.get("short_term", True)
+                            or e.get("lt_idx") != val]
+                        mark_long_idx = val
             # map each block's list0 ref index to its reference's
             # POC (consumed by B temporal direct, 8.4.1.2.3)
             ref_poc = np.full(dec.mv_ref[0].shape, -(1 << 30),
@@ -362,11 +423,18 @@ class H264Decoder(Codec):
                               "ref_poc": ref_poc,
                               "intra": dec.mb_intra.copy(),
                               "mb16": dec.mb_16x16.copy(),
-                              "short_term": True})
-            if not mmco:
-                max_refs = max(1, dec.sps.num_ref_frames)
-                while len(self._dpb) > max_refs:
-                    self._dpb.pop(0)
+                              "short_term": mark_long_idx is None,
+                              "lt_idx": mark_long_idx})
+            max_refs = max(1, dec.sps.num_ref_frames)
+            while len(self._dpb) > max_refs:
+                # sliding window evicts the oldest SHORT-term only
+                # (8.2.5.3); explicit mmco already did its removals
+                for i, e in enumerate(self._dpb):
+                    if e.get("short_term", True):
+                        self._dpb.pop(i)
+                        break
+                else:
+                    break
         sps = dec.sps
         t, b = sps.crop_top * 2, sps.crop_bottom * 2
         l, r = sps.crop_left * 2, sps.crop_right * 2

@@ -51,6 +51,7 @@ class SliceHeader:
     weights: Optional[tuple] = None
     field_pic: bool = False       # PAFF field picture
     bottom_field: bool = False
+    long_term_ref: bool = False   # IDR long_term_reference_flag
 
 
 def parse_slice_header(b: Bits, nal_type: int, sps: SPS,
@@ -97,8 +98,6 @@ def parse_slice_header(b: Bits, nal_type: int, sps: SPS,
                     break
                 if idc > 3:
                     raise InvalidData("h264: bad modification idc")
-                if idc == 2:
-                    raise NotSupported("h264: long-term reordering")
                 reorder[lst].append((idc, b.ue()))
         sh.reorder = (tuple(reorder[0]), tuple(reorder[1]))
     # pred_weight_table (7.3.3.2)
@@ -129,19 +128,21 @@ def parse_slice_header(b: Bits, nal_type: int, sps: SPS,
     if ref_idc != 0:
         if sh.idr:
             b.get1()              # no_output_of_prior_pics
-            b.get1()              # long_term_reference
-        elif b.get1():            # adaptive_ref_pic_marking
+            sh.long_term_ref = bool(b.get1())
+        elif b.get1():            # adaptive_ref_pic_marking (8.2.5.4)
             ops = []
             while True:
                 op = b.ue()
                 if op == 0:
                     break
-                if op == 1:
-                    ops.append((1, b.ue()))   # forget short-term
+                if op in (1, 2, 4, 6):
+                    ops.append((op, b.ue()))
+                elif op == 3:     # short -> long: two operands
+                    ops.append((3, (b.ue(), b.ue())))
                 elif op == 5:
-                    ops.append((5, 0))        # clear all
+                    ops.append((5, 0))
                 else:
-                    raise NotSupported(f"h264: mmco {op} (long-term)")
+                    raise InvalidData(f"h264: mmco {op}")
             sh.mmco = tuple(ops)
     if pps.cabac and sh.slice_type != 2:
         sh.cabac_init_idc = b.ue()

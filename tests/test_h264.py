@@ -1169,3 +1169,84 @@ def test_constrained_intra_pred_exact(tmp_path, seed):
         [np.concatenate([np.asarray(pl).ravel() for pl in f.planes])
          for f in frames])
     np.testing.assert_array_equal(got, np.frombuffer(raw, np.uint8))
+
+
+def _head_longterm(w, fn, poc, num_ref=1, reorder_lt=None,
+                   mmco6=None):
+    w.ue(0)
+    w.ue(5)
+    w.ue(0)
+    w.u(fn & 0xFF, 8)
+    w.u(poc & 0xFF, 8)
+    if num_ref > 1:
+        w.u(1, 1)
+        w.ue(num_ref - 1)
+    else:
+        w.u(0, 1)
+    if reorder_lt is not None:
+        w.u(1, 1)
+        w.ue(2)               # idc 2: long_term_pic_num
+        w.ue(reorder_lt)
+        w.ue(3)
+    else:
+        w.u(0, 1)
+    if mmco6 is not None:
+        w.u(1, 1)
+        w.ue(6)               # mmco 6: mark current long-term
+        w.ue(mmco6)
+        w.ue(0)
+    else:
+        w.u(0, 1)
+    w.se(0)
+    w.ue(1)
+
+
+def craft_p_longterm(fn, poc, seed, num_ref=1, reorder_lt=None,
+                     mmco6=None):
+    import test_h264 as me
+    orig = me.p_slice_head
+
+    def head(w, *a, **kw):
+        _head_longterm(w, fn, poc, num_ref, reorder_lt, mmco6)
+
+    me.p_slice_head = head
+    try:
+        return craft_p_frame(frame_num=fn, seed=seed,
+                             num_ref=num_ref)
+    finally:
+        me.p_slice_head = orig
+
+
+@requires_ref
+@pytest.mark.parametrize("seed", [0, 6])
+def test_long_term_references_exact(tmp_path, seed):
+    """MMCO 6 (mark current long-term), long-term list modification
+    (idc 2), and sliding window coexisting with a long-term entry."""
+    import test_h264 as me
+    orig = me.make_sps
+    me.make_sps = lambda mb_w=4, mb_h=3: orig(mb_w, mb_h, num_ref=3)
+    try:
+        stream = craft_i16x16_residual(seed=3 + seed)
+    finally:
+        me.make_sps = orig
+    stream += craft_p_longterm(1, 2, 50 + seed, mmco6=0)
+    stream += craft_p_longterm(2, 4, 51 + seed)
+    stream += craft_p_longterm(3, 6, 52 + seed, num_ref=2,
+                               reorder_lt=0)
+    stream += craft_p_longterm(4, 8, 54 + seed, num_ref=2)
+    p = tmp_path / "lt.h264"
+    p.write_bytes(stream)
+    par = CodecParameters(codec_type=MediaType.VIDEO,
+                          codec_id="h264")
+    dec = CodecContext.open_decoder(par)
+    frames = dec.decode_all([Packet(data=stream, pts=0,
+                                    time_base=Rational(1, 25))])
+    raw = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-f", "h264", "-i",
+         str(p), "-f", "rawvideo", "-"],
+        check=True, capture_output=True).stdout
+    assert len(frames) == 5
+    got = np.concatenate(
+        [np.concatenate([np.asarray(pl).ravel() for pl in f.planes])
+         for f in frames])
+    np.testing.assert_array_equal(got, np.frombuffer(raw, np.uint8))
