@@ -1,10 +1,12 @@
-"""FFV1 decoder, versions 0/1 (reference: libavcodec/ffv1dec.c,
-ffv1_parse.c, rangecoder.{c,h}, ffv1_template.c).
+"""FFV1 decoder, versions 0-3 (reference: libavcodec/ffv1dec.c,
+ffv1_parse.c, rangecoder.{c,h}, ffv1dec_template.c).
 
 Lossless intra codec: median prediction with context-modelled
 residuals, coded either by the FF range coder (adaptive binary
 states) or adaptive Golomb-Rice with run mode.  Both coders are
-implemented; output is byte-exact against the reference."""
+implemented; output is byte-exact against the reference across
+YUV 8-16 bit (incl. alpha) and RGB/RGBA (JPEG2000-RCT, 8-16
+bit)."""
 
 from __future__ import annotations
 
@@ -289,14 +291,12 @@ class Ffv1Decoder(Codec):
             self._read_state_transition(rac, state)
         self.colorspace = rac.get_symbol(state, 0)
         self.bits = rac.get_symbol(state, 0) or 8
-        if self.colorspace != 0 or self.bits != 8:
-            raise NotSupported("ffv1: RGB or >8bit")
+        if self.colorspace > 1 or self.bits > 16:
+            raise NotSupported("ffv1: colorspace/bit depth")
         self.chroma_planes = rac.get(state, 0)
         self.chroma_h = rac.get_symbol(state, 0)
         self.chroma_v = rac.get_symbol(state, 0)
         self.transparency = rac.get(state, 0)
-        if self.transparency:
-            raise NotSupported("ffv1: alpha")
         self.num_h = 1 + rac.get_symbol(state, 0)
         self.num_v = 1 + rac.get_symbol(state, 0)
         ntab = rac.get_symbol(state, 0)
@@ -360,14 +360,12 @@ class Ffv1Decoder(Codec):
             self.bits = b or 8
         else:
             self.bits = 8
-        if self.bits != 8:
-            raise NotSupported("ffv1: >8 bit")
+        if self.colorspace > 1 or self.bits > 16:
+            raise NotSupported("ffv1: colorspace/bit depth")
         self.chroma_planes = rac.get(state, 0)
         self.chroma_h = rac.get_symbol(state, 0)
         self.chroma_v = rac.get_symbol(state, 0)
         self.transparency = rac.get(state, 0)
-        if self.colorspace != 0 or self.transparency:
-            raise NotSupported("ffv1: RGB/alpha")
         qt = np.zeros((5, 256), np.int32)
         context_count = 1
         for i in range(5):
@@ -377,7 +375,7 @@ class Ffv1Decoder(Codec):
                 raise InvalidData("ffv1: context count")
         self.quant_tables = qt
         self.context_count = (context_count + 1) // 2
-        nplanes = 2
+        nplanes = 2 + int(self.transparency)
         if self.ac != 0:
             self.plane_states = [
                 np.full((self.context_count, CONTEXT_SIZE), 128,
@@ -399,7 +397,7 @@ class Ffv1Decoder(Codec):
     # ---- plane decode ---------------------------------------------------
 
     def _decode_line(self, rac, gb, w, prev, cur, plane, bits, qt,
-                     pstates):
+                     pstates, wrap=False):
         five = bool(qt[3][127] or qt[4][127])
         ac = self.ac
         if ac != 0:
@@ -487,7 +485,13 @@ class Ffv1Decoder(Codec):
             LT = prev[x + 1]
             T = prev[x + 2]
             pred = _mid_pred(L, L + T - LT, T)
-            cur[x + 2] = (pred + diff) & ((1 << bits) - 1)
+            v = (pred + diff) & ((1 << bits) - 1)
+            # 16-bit YUV: reference sample buffers are int16_t, so
+            # samples wrap to signed — affects mid_pred (the context
+            # diffs are mod-256 and thus wrap-invariant)
+            if wrap and v >= 0x8000:
+                v -= 0x10000
+            cur[x + 2] = v
             x += 1
         self._run_index = run_index
 
@@ -512,6 +516,8 @@ class Ffv1Decoder(Codec):
         # sample_buffer: memset once, rows swapped, never cleared)
         rows = [[0] * (w + 6), [0] * (w + 6)]
         self._run_index = 0
+        wrap = self.bits == 16
+        mask = (1 << self.bits) - 1
         for y in range(h):
             prev = rows[y & 1]
             cur = rows[1 - (y & 1)]
@@ -520,17 +526,22 @@ class Ffv1Decoder(Codec):
             cur[1] = prev[2]
             prev[w + 2] = prev[w + 1]
             self._decode_line(rac, gb, w, prev, cur, plane, self.bits,
-                              qt, pstates)
-            out[oy + y, ox:ox + w] = cur[2:w + 2]
+                              qt, pstates, wrap=wrap)
+            out[oy + y, ox:ox + w] = \
+                np.asarray(cur[2:w + 2], np.int64) & mask
 
     # ---- frame ----------------------------------------------------------
 
-    def _slice_planes(self, idx, key, qt_idx_y, qt_idx_c):
-        """per-slice adaptive coder state (cleared on keyframes)."""
+    def _slice_planes(self, idx, key, qt_idx):
+        """per-slice adaptive coder state (cleared on keyframes).
+
+        qt_idx is a tuple of quant-table indices, one per coded
+        plane (luma/G, chroma/BR, alpha) — ffv1dec.c
+        decode_slice_header's plane loop."""
         st = self.slice_state.get(idx)
-        if st is None or key or st["qt"] != (qt_idx_y, qt_idx_c):
-            st = {"qt": (qt_idx_y, qt_idx_c)}
-            for p, t in (("y", qt_idx_y), ("c", qt_idx_c)):
+        if st is None or key or st["qt"] != qt_idx:
+            st = {"qt": qt_idx}
+            for p, t in zip(("y", "c", "a"), qt_idx):
                 cc = self.qtab_counts[t] if self.qtabs else \
                     self.context_count
                 if self.ac != 0:
@@ -545,6 +556,87 @@ class Ffv1Decoder(Codec):
             self.slice_state[idx] = st
         return st
 
+    # ---- RGB (JPEG2000-RCT) ---------------------------------------------
+
+    def _decode_rgb(self, rac, gb, w, h, qts, sts, planes, ox, oy):
+        """Interleaved per-row G,B,R(,A) decode + inverse RCT
+        (ffv1dec_template.c decode_rgb_frame).  Plane p uses state
+        plane (p+1)//2; sample range is bits+1 under RCT with
+        offset = 1<<bits (ff_ffv1_compute_bits_per_plane: for
+        combined_version < 0x40008, i.e. all v<=3, every plane codes
+        bits_raw+1 bits).  run_index resets once per slice, not per
+        plane."""
+        bits_raw = self.bits
+        offset = 1 << bits_raw
+        nb = bits_raw + 1
+        n = 3 + int(self.transparency)
+        maskv = (1 << bits_raw) - 1
+        # 9..15-bit RGB without alpha: the reference's int16 store
+        # path writes (b, g, r) to planes (0, 1, 2) — the g/b roles
+        # in the RCT are historically swapped vs the plane names
+        # (encoder mirrors it, so the stream stays lossless)
+        swap = (not self.transparency) and 8 < bits_raw < 16
+        rows = [[[0] * (w + 6), [0] * (w + 6)] for _ in range(n)]
+        self._run_index = 0
+        for y in range(h):
+            dec = []
+            for p in range(n):
+                sp = rows[p][y & 1]
+                cp = rows[p][1 - (y & 1)]
+                cp[1] = sp[2]
+                sp[w + 2] = sp[w + 1]
+                si = (p + 1) // 2
+                self._decode_line(rac, gb, w, sp, cp, si, nb,
+                                  qts[si], sts[si])
+                dec.append(cp)
+            d0, d1, d2 = dec[0], dec[1], dec[2]
+            d3 = dec[3] if n == 4 else None
+            p0 = planes[0][oy + y]
+            p1 = planes[1][oy + y]
+            p2 = planes[2][oy + y]
+            p3 = planes[3][oy + y] if n == 4 else None
+            for x in range(w):
+                g = d0[x + 2]
+                b = d1[x + 2] - offset
+                r = d2[x + 2] - offset
+                g -= (b + r) >> 2
+                b += g
+                r += g
+                if swap:
+                    p0[ox + x] = b & maskv
+                    p1[ox + x] = g & maskv
+                else:
+                    p0[ox + x] = g & maskv
+                    p1[ox + x] = b & maskv
+                p2[ox + x] = r & maskv
+                if n == 4:
+                    p3[ox + x] = d3[x + 2] & maskv
+
+    def _output_fmt(self):
+        if self.colorspace == 1:
+            base = "gbrap" if self.transparency else "gbrp"
+        else:
+            base = {(1, 1): "yuv420p", (1, 0): "yuv422p",
+                    (0, 0): "yuv444p", (2, 2): "yuv410p",
+                    (2, 0): "yuv411p", (0, 1): "yuv440p"}[
+                        (self.chroma_h, self.chroma_v)]
+            if self.transparency:
+                base = "yuva" + base[3:]
+        return base if self.bits <= 8 else f"{base}{self.bits}le"
+
+    def _alloc_planes(self, w, h):
+        dt = np.uint8 if self.bits <= 8 else np.uint16
+        if self.colorspace == 1:
+            n = 4 if self.transparency else 3
+            return [np.zeros((h, w), dt) for _ in range(n)]
+        cw = -(-w >> self.chroma_h)
+        ch = -(-h >> self.chroma_v)
+        pl = [np.zeros((h, w), dt), np.zeros((ch, cw), dt),
+              np.zeros((ch, cw), dt)]
+        if self.transparency:
+            pl.append(np.zeros((h, w), dt))
+        return pl
+
     def _decode_slice_v3(self, data, idx, key, planes, frame_rac):
         if idx == 0:
             rac = frame_rac
@@ -558,9 +650,8 @@ class Ffv1Decoder(Codec):
         sy = rac.get_symbol(state, 0)
         sw = rac.get_symbol(state, 0) + 1
         sh = rac.get_symbol(state, 0) + 1
-        qidx = []
-        for _ in range(2):                # plane_count (yuv, no alpha)
-            qidx.append(rac.get_symbol(state, 0))
+        nplanes = 2 + int(self.transparency)
+        qidx = tuple(rac.get_symbol(state, 0) for _ in range(nplanes))
         rac.get_symbol(state, 0)          # picture structure
         rac.get_symbol(state, 0)          # sar num
         rac.get_symbol(state, 0)          # sar den
@@ -569,13 +660,24 @@ class Ffv1Decoder(Codec):
         y0 = H * sy // self.num_v
         x1 = W * (sx + sw) // self.num_h
         y1 = H * (sy + sh) // self.num_v
-        st = self._slice_planes(idx, key, qidx[0], qidx[1])
+        st = self._slice_planes(idx, key, qidx)
         gb = None
         if self.ac == 0:
             rac.get(np.full(1, 129, np.int32), 0)   # flush bit (3.2+)
             gb = _Bits(data[rac.pos - 1:])
         w = x1 - x0
         h = y1 - y0
+        if self.colorspace == 1:
+            self._decode_rgb(rac, gb, w, h,
+                             [self.qtabs[qidx[0]],
+                              self.qtabs[qidx[1]],
+                              self.qtabs[qidx[2]] if len(qidx) > 2
+                              else None],
+                             [st["y"], st["c"], st.get("a")],
+                             planes, x0, y0)
+            return
+        if not self.chroma_planes and self.transparency:
+            raise NotSupported("ffv1: gray+alpha")
         cw = -(-w >> self.chroma_h)
         ch = -(-h >> self.chroma_v)
         cx = x0 >> self.chroma_h
@@ -589,6 +691,10 @@ class Ffv1Decoder(Codec):
             self._decode_plane(rac, gb, cw, ch, 1,
                                self.qtabs[qidx[1]], st["c"],
                                planes[2], cx, cy)
+        if self.transparency:
+            self._decode_plane(rac, gb, w, h, 2,
+                               self.qtabs[qidx[2]], st["a"],
+                               planes[3], x0, y0)
 
     def decode(self, pkt: Optional[Packet]) -> List[Frame]:
         if pkt is None or not pkt.data:
@@ -622,11 +728,7 @@ class Ffv1Decoder(Codec):
             bounds.reverse()
             if len(bounds) != self.num_h * self.num_v:
                 raise InvalidData("ffv1: slice chain broken")
-            cw = -(-w >> self.chroma_h)
-            ch = -(-h >> self.chroma_v)
-            planes = [np.zeros((h, w), np.uint8),
-                      np.zeros((ch, cw), np.uint8),
-                      np.zeros((ch, cw), np.uint8)]
+            planes = self._alloc_planes(w, h)
             for i, (p0, p1) in enumerate(bounds):
                 if i == 0:
                     self._decode_slice_v3(data[:p1], i, key, planes,
@@ -634,12 +736,8 @@ class Ffv1Decoder(Codec):
                 else:
                     self._decode_slice_v3(data[p0:p1], i, key,
                                           planes, None)
-            fmt = {(1, 1): "yuv420p", (1, 0): "yuv422p",
-                   (0, 0): "yuv444p", (2, 2): "yuv410p",
-                   (2, 0): "yuv411p", (0, 1): "yuv440p"}[
-                       (self.chroma_h, self.chroma_v)]
-            f = Frame.video(w, h, fmt, planes=planes, pts=pkt.pts,
-                            time_base=pkt.time_base)
+            f = Frame.video(w, h, self._output_fmt(), planes=planes,
+                            pts=pkt.pts, time_base=pkt.time_base)
             f.key_frame = bool(key)
             f.pict_type = "I"
             return [f]
@@ -659,29 +757,38 @@ class Ffv1Decoder(Codec):
         if self.ac == 0:
             ac_bytes = rac.pos - 1
             gb = _Bits(data[ac_bytes:])
-        cw = -(-w >> self.chroma_h)
-        ch = -(-h >> self.chroma_v)
-        planes = [np.zeros((h, w), np.uint8),
-                  np.zeros((ch, cw), np.uint8),
-                  np.zeros((ch, cw), np.uint8)]
-        self._decode_plane(rac, gb, w, h, 0, self.quant_tables,
-                           self._plane_state(0), planes[0], 0, 0)
-        if self.chroma_planes:
-            self._decode_plane(rac, gb, cw, ch, 1,
-                               self.quant_tables,
-                               self._plane_state(1), planes[1], 0, 0)
-            self._decode_plane(rac, gb, cw, ch, 1,
-                               self.quant_tables,
-                               self._plane_state(1), planes[2], 0, 0)
+        planes = self._alloc_planes(w, h)
+        if self.colorspace == 1:
+            qt = self.quant_tables
+            self._decode_rgb(rac, gb, w, h, [qt, qt, qt],
+                             [self._plane_state(0),
+                              self._plane_state(1),
+                              self._plane_state(2)
+                              if self.transparency else None],
+                             planes, 0, 0)
         else:
-            planes[1][:] = 128
-            planes[2][:] = 128
-        fmt = {(1, 1): "yuv420p", (1, 0): "yuv422p",
-               (0, 0): "yuv444p", (2, 2): "yuv410p",
-               (2, 0): "yuv411p", (0, 1): "yuv440p"}[
-                   (self.chroma_h, self.chroma_v)]
-        f = Frame.video(w, h, fmt, planes=planes, pts=pkt.pts,
-                        time_base=pkt.time_base)
+            if not self.chroma_planes and self.transparency:
+                raise NotSupported("ffv1: gray+alpha")
+            cw = -(-w >> self.chroma_h)
+            ch = -(-h >> self.chroma_v)
+            self._decode_plane(rac, gb, w, h, 0, self.quant_tables,
+                               self._plane_state(0), planes[0], 0, 0)
+            if self.chroma_planes:
+                self._decode_plane(
+                    rac, gb, cw, ch, 1, self.quant_tables,
+                    self._plane_state(1), planes[1], 0, 0)
+                self._decode_plane(
+                    rac, gb, cw, ch, 1, self.quant_tables,
+                    self._plane_state(1), planes[2], 0, 0)
+            else:
+                planes[1][:] = 1 << (self.bits - 1)
+                planes[2][:] = 1 << (self.bits - 1)
+            if self.transparency:
+                self._decode_plane(
+                    rac, gb, w, h, 2, self.quant_tables,
+                    self._plane_state(2), planes[3], 0, 0)
+        f = Frame.video(w, h, self._output_fmt(), planes=planes,
+                        pts=pkt.pts, time_base=pkt.time_base)
         f.key_frame = bool(key)
         f.pict_type = "I"
         return [f]

@@ -41,7 +41,7 @@ def _check_exact(path):
         [str(refutil.REF), "-v", "error", "-i", str(path), "-f",
          "rawvideo", "-pix_fmt", fmt, "-"],
         check=True, capture_output=True).stdout
-    ours = b"".join(np.asarray(pl).astype(np.uint8).tobytes()
+    ours = b"".join(np.ascontiguousarray(pl).tobytes()
                     for f in frames for pl in f.planes)
     assert len(ours) == len(ref)
     assert ours == ref
@@ -73,3 +73,70 @@ def test_ffv1_yuv422(tmp_path):
 def test_ffv1_odd_dims(tmp_path):
     _check_exact(_make(tmp_path, "fodd.avi", ["-coder", "1"],
                        size="70x50"))
+
+
+@requires_ref
+@pytest.mark.parametrize("pix,extra", [
+    ("yuv420p10le", ["-level", "1", "-coder", "1"]),
+    ("yuv420p10le", ["-level", "1", "-coder", "0"]),
+    ("yuv422p10le", ["-coder", "1", "-slices", "4"]),
+    ("yuv444p16le", ["-coder", "1", "-slices", "4"]),
+    ("yuv420p9le", ["-coder", "-2", "-slices", "4"]),
+    ("yuv444p12le", ["-coder", "-2"]),
+], ids=["420p10-v1-range", "420p10-v1-rice", "422p10-slices",
+        "444p16-slices", "420p9-rice", "444p12-rice"])
+def test_ffv1_highdepth_yuv(tmp_path, pix, extra):
+    """>8-bit YUV: per-plane bit widths, int16 sample wrap at 16
+    bits (ffv1dec.c decode_plane's int16_t buffers)."""
+    _check_exact(_make(tmp_path, "hd.avi", ["-pix_fmt", pix] + extra))
+
+
+@requires_ref
+@pytest.mark.parametrize("pix,extra", [
+    ("bgr0", ["-level", "1", "-coder", "0"]),
+    ("bgr0", ["-coder", "1", "-slices", "4"]),
+    ("rgb32", ["-coder", "1", "-slices", "4"]),       # 8-bit + alpha
+    ("gbrp10le", ["-coder", "1", "-slices", "4"]),
+    ("gbrp10le", ["-coder", "-2"]),
+    ("gbrp16le", ["-coder", "1"]),
+    ("gbrap10le", ["-coder", "1", "-slices", "4"]),
+    ("gbrap16le", ["-coder", "1"]),
+], ids=["bgr0-v1-rice", "bgr0-slices", "rgb32-alpha", "gbrp10",
+        "gbrp10-rice", "gbrp16", "gbrap10", "gbrap16"])
+def test_ffv1_rgb(tmp_path, pix, extra):
+    """RGB via JPEG2000-RCT: interleaved per-row G,B,R(,A) planes,
+    bits+1 sample range, offset 1<<bits, and the reference's
+    9..15-bit no-alpha plane-store swap
+    (ffv1dec_template.c decode_rgb_frame)."""
+    d = open_input(str(_make(tmp_path, "rgb.avi",
+                             ["-pix_fmt", pix] + extra)))
+    dec = CodecContext.open_decoder(d.streams[0].codecpar)
+    pkts = []
+    while True:
+        try:
+            pkts.append(d.read_packet())
+        except Exception:
+            break
+    frames = dec.decode_all(pkts)
+    assert frames
+    fmt = frames[0].format
+    assert fmt.startswith("gbr")
+    ref = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-i",
+         str(tmp_path / "rgb.avi"), "-f", "rawvideo",
+         "-pix_fmt", fmt, "-"],
+        check=True, capture_output=True).stdout
+    ours = b"".join(np.ascontiguousarray(pl).tobytes()
+                    for f in frames for pl in f.planes)
+    assert ours == ref
+
+
+@requires_ref
+@pytest.mark.parametrize("pix", ["yuva420p", "yuva444p10le",
+                                 "yuva422p10le"])
+def test_ffv1_yuv_alpha(tmp_path, pix):
+    """YUV + alpha: 3rd coded plane (state plane 2, own quant-table
+    index in the slice header — ffv1dec.c decode_slice)."""
+    _check_exact(_make(tmp_path, "ya.avi",
+                       ["-pix_fmt", pix, "-coder", "1",
+                        "-slices", "4"]))
