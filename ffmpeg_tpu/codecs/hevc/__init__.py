@@ -108,8 +108,15 @@ class HevcDecoder(Codec):
             n = sh.num_ref_idx[ll]
             if n and not order:
                 raise InvalidData("hevc: empty reference list")
+            mod = sh.list_entry[ll]
             for i in range(n):
-                e = order[i % len(order)]
+                if mod is not None:
+                    if mod[i] >= len(order):
+                        raise InvalidData("hevc: list_entry out of "
+                                          "range")
+                    e = order[mod[i]]
+                else:
+                    e = order[i % len(order)]
                 refs[ll].append((e["y"], e["u"], e["v"]))
                 rpl[ll].append(e["poc"])
         return refs, rpl

@@ -152,6 +152,8 @@ class CtuCoder:
         # initType (spec 9.3.2.2): I=0; P=1, B=2 with cabac_init_flag
         # off (cabac_init_present unsupported)
         self._init_type = {2: 0, 1: 1, 0: 2}[dec.sh.slice_type]
+        if dec.sh.cabac_init and self._init_type:
+            self._init_type = 3 - self._init_type
         self.ctx = self._fresh_ctx()
         self._cu_intra = True
         self._cu_skip = False
@@ -955,6 +957,17 @@ class CtuCoder:
             levels = np.asarray(
                 self.plan.levels(x0, y0, log2, c_idx), np.int64)
             assert levels.any(), "coded block must have a coefficient"
+        tskip = 0
+        if dec.pps.transform_skip and log2 == 2:
+            # transform_skip_flag, ctx inc = !!c_idx (cabac.c
+            # hevc_transform_skip_flag_decode); Main profile caps the
+            # skip block size at 4x4
+            v = None
+            if io.encode:
+                v = 1 if self.plan.transform_skip(x0, y0, c_idx) else 0
+            tskip = io.dec(
+                self.ctx[_O["transform_skip_flag"] + (1 if c_idx
+                                                      else 0)], v)
 
         # scan tables
         if scan_idx == SCAN_DIAG:
@@ -1132,8 +1145,10 @@ class CtuCoder:
                     self.ctx[_O["greater2"] + inc], v)
             # sign bits precede the remaining levels; with sign data
             # hiding the lowest-scan-position sign is parity-inferred
-            sign_hidden = (not io.encode) and \
-                dec.pps.sign_data_hiding and \
+            # (in encode mode the hidden sign simply follows the
+            # parity of the crafted levels — the oracle comparison is
+            # against the reference decoding the same bits)
+            sign_hidden = dec.pps.sign_data_hiding and \
                 (sig_idx[0] - sig_idx[-1] >= 4)
             n_signs = n_sig - 1 if sign_hidden else n_sig
             signs = []
@@ -1186,7 +1201,12 @@ class CtuCoder:
         scale, shift, add = recon.dequant_factors(qp, log2, dec.bd)
         coef = np.clip((out * scale * 16 + add) >> shift,
                        -32768, 32767)
-        if c_idx == 0 and log2 == 2 and self._cu_intra:
+        if tskip:
+            # bypass transform (dsp_template.c dequant): shift
+            # 15-bd-log2, always > 0 for 4x4 at Main depths
+            tshift = 15 - dec.bd - log2
+            res = (coef + (1 << (tshift - 1))) >> tshift
+        elif c_idx == 0 and log2 == 2 and self._cu_intra:
             res = recon.idst4(coef, dec.bd)  # DST-VII: intra luma 4x4
         else:
             res = recon.idct(coef, dec.bd)

@@ -222,8 +222,6 @@ def parse_pps(rbsp: bytes) -> HevcPPS:
     if p.constrained_intra_pred:
         raise NotSupported("hevc: constrained intra pred")
     p.transform_skip = bool(b.get1())
-    if p.transform_skip:
-        raise NotSupported("hevc: transform skip")
     p.cu_qp_delta_enabled = bool(b.get1())
     if p.cu_qp_delta_enabled:
         p.diff_cu_qp_delta_depth = b.ue()
@@ -282,6 +280,10 @@ class HevcSliceHeader:
     rps_pos: list = field(default_factory=list)
     num_ref_idx: tuple = (0, 0)           # active refs (L0, L1)
     mvd_l1_zero: bool = False
+    cabac_init: bool = False
+    # ref_pic_lists_modification: per-list tuple of temp-list indices
+    # or None when the default order applies (spec 7.3.6.2 / 8.3.4)
+    list_entry: list = field(default_factory=lambda: [None, None])
     max_num_merge_cand: int = 5
     sao_luma: bool = False
     sao_chroma: bool = False
@@ -343,12 +345,19 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: HevcSPS,
         n_total_curr = sum(u for _, u in sh.rps_neg) + \
             sum(u for _, u in sh.rps_pos)
         if pps.lists_modification_present and n_total_curr > 1:
-            raise NotSupported("hevc: ref_pic_lists_modification")
+            # ref_pic_lists_modification (7.3.6.2): explicit temp-list
+            # indices, ceil(log2(NumPicTotalCurr)) bits each
+            nbits = (n_total_curr - 1).bit_length()
+            nlists = 2 if sh.slice_type == 0 else 1
+            for ll in range(nlists):
+                if b.get1():              # ref_pic_list_modification_l{ll}
+                    sh.list_entry[ll] = [
+                        b.get(nbits)
+                        for _ in range(sh.num_ref_idx[ll])]
         if sh.slice_type == 0:
             sh.mvd_l1_zero = bool(b.get1())
         if pps.cabac_init_present:
-            b.get1()                      # cabac_init_flag
-            raise NotSupported("hevc: cabac_init_flag")
+            sh.cabac_init = bool(b.get1())
         sh.max_num_merge_cand = 5 - b.ue()
         if not 1 <= sh.max_num_merge_cand <= 5:
             raise InvalidData("hevc: bad max_num_merge_cand")

@@ -123,7 +123,9 @@ def make_sps(width=W, height=H, log2_ctb=5, log2_min_cb=3,
 
 def make_pps(deblock=False, beta_offset=0, tc_offset=0,
              cb_qp_offset=0, cr_qp_offset=0, sign_hiding=False,
-             tiles=None, wpp=False, lf_across_tiles=True):
+             tiles=None, wpp=False, lf_across_tiles=True,
+             transform_skip=False, cabac_init=False,
+             lists_mod=False):
     """tiles: None, (cols, rows) uniform, or dict(cols=[...CTB widths,
     all but last], rows=[...]) explicit."""
     w = BW()
@@ -133,12 +135,12 @@ def make_pps(deblock=False, beta_offset=0, tc_offset=0,
     w.u(0, 1)            # output_flag_present
     w.u(0, 3)            # num_extra_slice_header_bits
     w.u(1 if sign_hiding else 0, 1)   # sign_data_hiding
-    w.u(0, 1)            # cabac_init_present
+    w.u(1 if cabac_init else 0, 1)    # cabac_init_present
     w.ue(0)              # num_ref_idx_l0_default - 1
     w.ue(0)              # num_ref_idx_l1_default - 1
     w.se(0)              # init_qp - 26
     w.u(0, 1)            # constrained_intra_pred
-    w.u(0, 1)            # transform_skip
+    w.u(1 if transform_skip else 0, 1)  # transform_skip
     w.u(0, 1)            # cu_qp_delta_enabled
     w.se(cb_qp_offset)   # cb_qp_offset
     w.se(cr_qp_offset)   # cr_qp_offset
@@ -171,7 +173,7 @@ def make_pps(deblock=False, beta_offset=0, tc_offset=0,
         w.se(beta_offset // 2)        # pps_beta_offset_div2
         w.se(tc_offset // 2)          # pps_tc_offset_div2
     w.u(0, 1)            # pps_scaling_list_data_present
-    w.u(0, 1)            # lists_modification_present
+    w.u(1 if lists_mod else 0, 1)     # lists_modification_present
     w.ue(0)              # log2_parallel_merge_level - 2
     w.u(0, 1)            # slice_segment_header_extension
     w.u(0, 1)            # pps_extension
@@ -214,8 +216,10 @@ class Plan:
     """CU intents for the encode-direction walker."""
 
     def __init__(self, rng, split_p=0.5, nxn_p=0.5, tt_split_p=0.3,
-                 cbf_p=0.7, maxn=4, amp=8, mode_pool=None):
+                 cbf_p=0.7, maxn=4, amp=8, mode_pool=None,
+                 tskip_p=0.0):
         self.rng = rng
+        self.tskip_p = tskip_p
         self.split_p = split_p
         self.nxn_p = nxn_p
         self.tt_split_p = tt_split_p
@@ -248,6 +252,9 @@ class Plan:
 
     def cbf_luma(self, x0, y0, log2, depth):
         return self.rng.random() < self.cbf_p
+
+    def transform_skip(self, x0, y0, c_idx):
+        return self.rng.random() < self.tskip_p
 
     def levels(self, x0, y0, log2, c_idx):
         n = 1 << log2
@@ -451,7 +458,9 @@ def test_hevc_i_deblock_high_qp(tmp_path):
 
 def inter_slice_header_bits(slice_type, poc, rps_neg, rps_pos=(),
                             num_ref=(1, 1), qp_delta=0, deblock=False,
-                            sao=False, mvd_l1_zero=False, ep=None):
+                            sao=False, mvd_l1_zero=False, ep=None,
+                            lists_mod=False, list_entry=None,
+                            cabac_init=None):
     """slice_type 1 = P, 0 = B; rps_neg/pos: tuples of (delta_poc,
     used) with negative/positive deltas in coding order."""
     w = BW()
@@ -481,7 +490,22 @@ def inter_slice_header_bits(slice_type, poc, rps_neg, rps_pos=(),
     w.ue(num_ref[0] - 1)
     if slice_type == 0:
         w.ue(num_ref[1] - 1)
+    n_total = sum(1 for _, u in rps_neg if u) + \
+        sum(1 for _, u in rps_pos if u)
+    if lists_mod and n_total > 1:
+        nbits = (n_total - 1).bit_length()
+        for ll in range(2 if slice_type == 0 else 1):
+            le = list_entry[ll] if list_entry else None
+            if le is None:
+                w.u(0, 1)                # ref_pic_list_modification_lX
+            else:
+                w.u(1, 1)
+                for i in range(num_ref[ll]):
+                    w.u(le[i], nbits)
+    if slice_type == 0:
         w.u(1 if mvd_l1_zero else 0, 1)  # mvd_l1_zero_flag
+    if cabac_init is not None:
+        w.u(1 if cabac_init else 0, 1)   # cabac_init_flag
     w.ue(0)              # five_minus_max_num_merge_cand → 5
     w.se(qp_delta)
     if deblock or sao:
@@ -551,7 +575,8 @@ class InterPlan(Plan):
 
 
 def craft_gop(plan_factory, n_frames=4, gop_kind="P", width=W,
-              height=H, qp_delta=0, pps_kw=None, **sps_kw):
+              height=H, qp_delta=0, pps_kw=None, sh_kw=None,
+              **sps_kw):
     """Craft an IDR + (n_frames-1) inter frames. gop_kind:
     'P' → IPPP (one ref), 'GPB' → low-delay B (two past refs, both
     lists), 'B' → I P B P B ... with reordering (POC order differs
@@ -620,11 +645,12 @@ def craft_gop(plan_factory, n_frames=4, gop_kind="P", width=W,
         cc, lambda ep: slice_header_bits(qp_delta, deblock=deblock,
                                          sao=sao, ep=ep)))
 
+    shk = sh_kw or {}
     pocs = [0]
     for poc, stype, neg, pos, nref in frames:
         hw = inter_slice_header_bits(stype, poc, neg, pos, nref,
                                      qp_delta, deblock=deblock,
-                                     sao=sao, ep=ep0)
+                                     sao=sao, ep=ep0, **shk)
         nalt = HP.NAL_TRAIL_R
         sh = HP.parse_slice_header(bytes(_bits_to_bytes(hw.bits)),
                                    nalt, sps, {0: pps})
@@ -634,8 +660,10 @@ def craft_gop(plan_factory, n_frames=4, gop_kind="P", width=W,
         after = [poc + d for d, used in pos if used]
         rpl = [[], []]
         for ll, order in ((0, before + after), (1, after + before)):
+            mod = sh.list_entry[ll]
             for i in range(sh.num_ref_idx[ll]):
-                rpl[ll].append(order[i % len(order)])
+                rpl[ll].append(order[mod[i]] if mod is not None
+                               else order[i % len(order)])
         plan = plan_factory()
         plan.nref = sh.num_ref_idx
         plan.is_b = stype == 0
@@ -646,7 +674,7 @@ def craft_gop(plan_factory, n_frames=4, gop_kind="P", width=W,
         stream += hnal(nalt, assemble(
             cc, lambda ep, a=(stype, poc, neg, pos, nref):
             inter_slice_header_bits(*a, qp_delta, deblock=deblock,
-                                    sao=sao, ep=ep)))
+                                    sao=sao, ep=ep, **shk)))
         pocs.append(poc)
     return stream, len(pocs)
 
@@ -911,3 +939,61 @@ def test_hevc_conformance_window(tmp_path, crop):
     got = np.concatenate([np.asarray(pl).ravel()
                           for pl in f.planes])
     np.testing.assert_array_equal(got, np.frombuffer(raw, np.uint8))
+
+
+@requires_ref
+@pytest.mark.parametrize("seed", [3, 11])
+def test_hevc_transform_skip(tmp_path, seed):
+    """4x4 transform-skip TUs mixed with transformed TUs
+    (cabac.c hevc_transform_skip_flag_decode + dsp dequant path)."""
+    rng = np.random.default_rng(seed)
+    stream = craft_frame(Plan(rng, tskip_p=0.6),
+                         pps_kw=dict(transform_skip=True))
+    _decode_vs_ref(stream, tmp_path)
+
+
+@requires_ref
+def test_hevc_transform_skip_sign_hiding(tmp_path):
+    """Transform skip + sign data hiding interact (sign_hidden stays
+    active for skipped blocks in Main profile)."""
+    rng = np.random.default_rng(7)
+    stream = craft_frame(Plan(rng, tskip_p=0.7, cbf_p=0.9),
+                         pps_kw=dict(transform_skip=True,
+                                     sign_hiding=True))
+    _decode_vs_ref(stream, tmp_path)
+
+
+@requires_ref
+def test_hevc_transform_skip_p_gop(tmp_path):
+    """Transform skip on inter residuals across a P GOP."""
+    rng = np.random.default_rng(21)
+    stream, n = craft_gop(lambda: InterPlan(rng, tskip_p=0.6),
+                          n_frames=3,
+                          pps_kw=dict(transform_skip=True))
+    _decode_gop_vs_ref(stream, n, tmp_path)
+
+
+@requires_ref
+@pytest.mark.parametrize("kind", ["P", "GPB"])
+def test_hevc_cabac_init_flag(tmp_path, kind):
+    """cabac_init_flag swaps the P/B context init tables
+    (spec 9.2.1 initType)."""
+    rng = np.random.default_rng(13)
+    stream, n = craft_gop(lambda: InterPlan(rng), n_frames=4,
+                          gop_kind=kind,
+                          pps_kw=dict(cabac_init=True),
+                          sh_kw=dict(cabac_init=True))
+    _decode_gop_vs_ref(stream, n, tmp_path)
+
+
+@requires_ref
+def test_hevc_ref_list_modification(tmp_path):
+    """ref_pic_lists_modification: explicit temp-list reordering
+    (7.3.6.2 / 8.3.4 RefPicListTemp indexing)."""
+    rng = np.random.default_rng(17)
+    stream, n = craft_gop(lambda: InterPlan(rng), n_frames=4,
+                          gop_kind="GPB",
+                          pps_kw=dict(lists_mod=True),
+                          sh_kw=dict(lists_mod=True,
+                                     list_entry=([1, 0], [1, 0])))
+    _decode_gop_vs_ref(stream, n, tmp_path)
