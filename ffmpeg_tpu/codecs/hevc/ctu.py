@@ -1199,7 +1199,16 @@ class CtuCoder:
                 (dec.pps.cr_qp_offset + dec.sh.cr_qp_offset)
             qp = recon.chroma_qp(dec.qp, off, bd=dec.bd) + qpbd
         scale, shift, add = recon.dequant_factors(qp, log2, dec.bd)
-        coef = np.clip((out * scale * 16 + add) >> shift,
+        scale_m = 16
+        if dec.sps.scaling_list_enabled and \
+                not (tskip and log2 > 2):
+            # custom dequant matrices (cabac.c: PPS list wins over
+            # SPS; matrix by pred mode + component, DC separate)
+            sl = dec.pps.scaling_list if dec.pps.scaling_list \
+                is not None else dec.sps.scaling_list
+            mid = (0 if self._cu_intra else 3) + c_idx
+            scale_m = sl.matrix(log2, mid)
+        coef = np.clip((out * scale * scale_m + add) >> shift,
                        -32768, 32767)
         if tskip:
             # bypass transform (dsp_template.c dequant): shift

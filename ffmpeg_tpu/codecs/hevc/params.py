@@ -8,8 +8,11 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from ...utils.error import InvalidData, NotSupported
 from ..h264.bits import Bits
+from . import tables as T
 
 # NAL unit types (spec Table 7-1)
 NAL_TRAIL_N, NAL_TRAIL_R = 0, 1
@@ -18,6 +21,94 @@ NAL_IDR_W_RADL, NAL_IDR_N_LP, NAL_CRA = 19, 20, 21
 NAL_VPS, NAL_SPS, NAL_PPS = 32, 33, 34
 NAL_AUD, NAL_EOS, NAL_EOB, NAL_FD = 35, 36, 37, 38
 NAL_SEI_PREFIX, NAL_SEI_SUFFIX = 39, 40
+
+
+_DEFAULT_SL_INTRA = [
+    16, 16, 16, 16, 17, 18, 21, 24,
+    16, 16, 16, 16, 17, 19, 22, 25,
+    16, 16, 17, 18, 20, 22, 25, 29,
+    16, 16, 18, 21, 24, 27, 31, 36,
+    17, 17, 20, 24, 30, 35, 41, 47,
+    18, 19, 22, 27, 35, 44, 54, 65,
+    21, 22, 25, 31, 41, 54, 70, 88,
+    24, 25, 29, 36, 47, 65, 88, 115]
+_DEFAULT_SL_INTER = [
+    16, 16, 16, 16, 17, 18, 20, 24,
+    16, 16, 16, 17, 18, 20, 24, 25,
+    16, 16, 17, 18, 20, 24, 25, 28,
+    16, 17, 18, 20, 24, 25, 28, 33,
+    17, 18, 20, 24, 25, 28, 33, 41,
+    18, 20, 24, 25, 28, 33, 41, 54,
+    20, 24, 25, 28, 33, 41, 54, 71,
+    24, 25, 28, 33, 41, 54, 71, 91]
+
+
+class ScalingList:
+    """Dequant scale matrices (spec 7.3.4 scaling_list_data / Table
+    7-5/7-6 defaults; reference hevc/ps.c).  sl[size][matrix] is the
+    raster-order 4x4 (size 0) or 8x8 base matrix; 16x16/32x32 expand
+    by pixel replication with an explicit DC in sl_dc."""
+
+    def __init__(self):
+        self.sl = [[[16] * (16 if sz == 0 else 64) for _ in range(6)]
+                   for sz in range(4)]
+        self.sl_dc = [[16] * 6, [16] * 6]
+        for sz in (1, 2, 3):
+            for m in range(6):
+                self.sl[sz][m] = list(_DEFAULT_SL_INTRA if m < 3
+                                      else _DEFAULT_SL_INTER)
+
+    def matrix(self, log2, matrix_id):
+        """(n, n) int64 scale factors for an n=2**log2 TU, DC
+        substituted for 16/32 (cabac.c pos mapping + dc_scale)."""
+        base = np.asarray(self.sl[log2 - 2][matrix_id],
+                          np.int64)
+        if log2 == 2:
+            m = base.reshape(4, 4)
+        else:
+            m = base.reshape(8, 8)
+            if log2 > 3:
+                r = 1 << (log2 - 3)
+                m = np.repeat(np.repeat(m, r, 0), r, 1)
+        m = m.copy()
+        if log2 >= 4:
+            m[0, 0] = self.sl_dc[log2 - 4][matrix_id]
+        return m
+
+
+def parse_scaling_list_data(b: Bits) -> ScalingList:
+    sl = ScalingList()
+    for size_id in range(4):
+        for matrix_id in range(0, 6, 3 if size_id == 3 else 1):
+            if not b.get1():              # scaling_list_pred_mode
+                delta = b.ue()
+                if delta:
+                    delta *= 3 if size_id == 3 else 1
+                    if matrix_id < delta:
+                        raise InvalidData("hevc: bad scaling list "
+                                          "pred delta")
+                    sl.sl[size_id][matrix_id] = \
+                        list(sl.sl[size_id][matrix_id - delta])
+                    if size_id > 1:
+                        sl.sl_dc[size_id - 2][matrix_id] = \
+                            sl.sl_dc[size_id - 2][matrix_id - delta]
+            else:
+                next_coef = 8
+                coef_num = min(64, 1 << (4 + (size_id << 1)))
+                if size_id > 1:
+                    dc = b.se() + 8
+                    if not 1 <= dc <= 255:
+                        raise InvalidData("hevc: bad scaling DC")
+                    sl.sl_dc[size_id - 2][matrix_id] = dc
+                    next_coef = dc
+                sx = T.DIAG4_X if size_id == 0 else T.DIAG8_X
+                sy = T.DIAG4_Y if size_id == 0 else T.DIAG8_Y
+                n = 4 if size_id == 0 else 8
+                for i in range(coef_num):
+                    pos = n * int(sy[i]) + int(sx[i])
+                    next_coef = (next_coef + 256 + b.se()) % 256
+                    sl.sl[size_id][matrix_id][pos] = next_coef
+    return sl
 
 
 def is_irap(t):
@@ -76,6 +167,7 @@ class HevcSPS:
     sao_enabled: bool = False
     pcm_enabled: bool = False
     strong_intra_smoothing: bool = False
+    scaling_list: object = None
 
     @property
     def ctb_width(self):
@@ -124,7 +216,8 @@ def parse_sps(rbsp: bytes) -> HevcSPS:
     s.max_trafo_depth_intra = b.ue()
     s.scaling_list_enabled = bool(b.get1())
     if s.scaling_list_enabled:
-        raise NotSupported("hevc: scaling lists")
+        s.scaling_list = parse_scaling_list_data(b) if b.get1() \
+            else ScalingList()
     s.amp_enabled = bool(b.get1())
     s.sao_enabled = bool(b.get1())
     s.pcm_enabled = bool(b.get1())
@@ -176,6 +269,7 @@ class HevcPPS:
     col_widths: tuple = ()                # explicit, in CTBs (all cols)
     row_heights: tuple = ()
     loop_filter_across_tiles: bool = True
+    scaling_list: object = None
 
     def tile_bounds(self, sps):
         """→ (col_bd, row_bd): CTB boundary lists, len = n+1
@@ -259,7 +353,7 @@ def parse_pps(rbsp: bytes) -> HevcPPS:
             p.beta_offset = b.se() * 2
             p.tc_offset = b.se() * 2
     if b.get1():                          # pps_scaling_list_data
-        raise NotSupported("hevc: PPS scaling lists")
+        p.scaling_list = parse_scaling_list_data(b)
     p.lists_modification_present = bool(b.get1())
     p.log2_parallel_merge_level = b.ue() + 2
     if p.log2_parallel_merge_level != 2:
