@@ -62,7 +62,7 @@ class IvfMuxer(Muxer):
     extensions = ("ivf",)
     default_video_codec = "vp9"
 
-    def write_header(self) -> None:
+    def _write_header(self) -> None:
         st = self.streams[0]
         if st.codecpar.codec_id not in _CODEC:
             raise InvalidData("ivf: unsupported codec")
@@ -72,7 +72,7 @@ class IvfMuxer(Muxer):
             st.codecpar.width, st.codecpar.height, tb.den, tb.num, 0))
         self._count = 0
 
-    def write_packet(self, pkt) -> None:
+    def _write_packet(self, pkt) -> None:
         if pkt is None:
             return
         self.w.write(struct.pack("<IQ", len(pkt.data),
@@ -80,7 +80,7 @@ class IvfMuxer(Muxer):
         self.w.write(pkt.data)
         self._count += 1
 
-    def write_trailer(self) -> None:
+    def _write_trailer(self) -> None:
         # back-patch the frame count
         if getattr(self.w, "seekable", False):
             end = self.w.tell()

@@ -314,6 +314,10 @@ def sample_entry(st) -> _Box:
             c = _Box("hvcC")
             c.raw(par.extradata)
             e.box(c)
+        elif par.codec_id == "av1" and par.extradata:
+            c = _Box("av1C")
+            c.raw(par.extradata)
+            e.box(c)
         elif tag == b"mp4v":
             e.box(esds(par))
         return e

@@ -57,11 +57,8 @@ class WebPMuxer(Muxer):
     extensions = ("webp",)
     default_video_codec = "webp"
 
-    def write_header(self) -> None:
+    def _write_header(self) -> None:
         pass
 
-    def write_packet(self, pkt: Packet) -> None:
+    def _write_packet(self, pkt: Packet) -> None:
         self.w.write(bytes(pkt.data))
-
-    def write_trailer(self) -> None:
-        pass
