@@ -14,6 +14,7 @@ from typing import Dict, List, Optional, Type
 import numpy as np
 
 from ..core.packet import Packet
+from ..utils.rational import NOPTS
 from ..utils.error import InvalidData
 from ..io.stream import CodecParameters
 
@@ -279,3 +280,133 @@ class H264MetadataBsf(BitstreamFilter):
                      stream_index=pkt.stream_index,
                      time_base=pkt.time_base)
         return [new]
+
+
+def _parse_hvcc(extradata: bytes):
+    """hvcC → (nal_size, [parameter-set NALs]) (hevc_mp4toannexb.c)."""
+    if len(extradata) < 23 or extradata[0] != 1:
+        raise InvalidData("hvcC: bad header")
+    nal_size = (extradata[21] & 3) + 1
+    ps: List[bytes] = []
+    pos = 23
+    for _ in range(extradata[22]):
+        pos += 1                                 # array completeness+type
+        n = int.from_bytes(extradata[pos:pos + 2], "big")
+        pos += 2
+        for _ in range(n):
+            ln = int.from_bytes(extradata[pos:pos + 2], "big")
+            ps.append(extradata[pos + 2:pos + 2 + ln])
+            pos += 2 + ln
+    return nal_size, ps
+
+
+@register_bsf
+class HevcMp4ToAnnexB(BitstreamFilter):
+    """length-prefixed HEVC → Annex-B, VPS/SPS/PPS before IRAP
+    (bsf/hevc_mp4toannexb.c semantics)."""
+
+    name = "hevc_mp4toannexb"
+
+    def __init__(self, par=None, **opts):
+        super().__init__(par, **opts)
+        self.nal_size = 4
+        self.ps: List[bytes] = []
+        if par is not None and par.extradata and par.extradata[0] == 1 \
+                and len(par.extradata) > 22:
+            self.nal_size, self.ps = _parse_hvcc(par.extradata)
+
+    def filter(self, pkt: Packet) -> List[Packet]:
+        if pkt is None:
+            return []
+        if not self.ps and not (self.par and (self.par.extradata or b"")
+                                [:1] == b"\x01"):
+            return [pkt]   # already annex-b
+        out = bytearray()
+        for nal in _split_length_prefixed(pkt.data, self.nal_size):
+            if len(nal) < 2:
+                continue
+            ntype = (nal[0] >> 1) & 0x3F
+            if 16 <= ntype <= 23 and self.ps:    # IRAP: prepend PS
+                for ps in self.ps:
+                    out += b"\x00\x00\x00\x01" + ps
+                self.ps = []
+            out += b"\x00\x00\x00\x01" + nal
+        pkt.data = bytes(out)
+        return [pkt]
+
+
+@register_bsf
+class Vp9SuperframeSplit(BitstreamFilter):
+    """Split VP9 superframes into one packet per coded frame
+    (bsf/vp9_superframe_split.c)."""
+
+    name = "vp9_superframe_split"
+
+    def filter(self, pkt: Packet) -> List[Packet]:
+        if pkt is None:
+            return []
+        from .vp9 import split_superframe
+        subs = split_superframe(bytes(pkt.data))
+        out = []
+        for i, sub in enumerate(subs):
+            np = Packet(data=sub, pts=pkt.pts if i == len(subs) - 1
+                        else NOPTS,
+                        dts=pkt.dts, duration=pkt.duration,
+                        flags=pkt.flags, stream_index=pkt.stream_index,
+                        time_base=pkt.time_base)
+            out.append(np)
+        return out
+
+
+@register_bsf
+class Vp9Superframe(BitstreamFilter):
+    """Merge invisible VP9 frames with the next visible one into a
+    superframe (bsf/vp9_superframe.c)."""
+
+    name = "vp9_superframe"
+
+    def __init__(self, par=None, **opts):
+        super().__init__(par, **opts)
+        self._pending: List[Packet] = []
+
+    @staticmethod
+    def _is_visible(data: bytes) -> bool:
+        if not data:
+            return False
+        b0 = data[0]
+        if (b0 >> 6) != 2:            # frame marker
+            return True
+        profile = ((b0 >> 5) & 1) | (((b0 >> 4) & 1) << 1)
+        bit = 3 if profile < 3 else 2  # skip reserved bit for profile 3
+        show_existing = (b0 >> bit) & 1
+        if show_existing:
+            return True
+        # frame_type(1) then show_frame(1)
+        return bool((b0 >> (bit - 2)) & 1)
+
+    @staticmethod
+    def _build_superframe(frames: List[bytes]) -> bytes:
+        sizes = [len(f) for f in frames]
+        nbytes = max(1, (max(sizes).bit_length() + 7) // 8)
+        marker = 0xC0 | ((nbytes - 1) << 3) | (len(frames) - 1)
+        idx = bytearray([marker])
+        for sz in sizes:
+            idx += sz.to_bytes(nbytes, "little")
+        idx.append(marker)
+        return b"".join(frames) + bytes(idx)
+
+    def filter(self, pkt: Packet) -> List[Packet]:
+        if pkt is None:
+            out = self._pending
+            self._pending = []
+            return out
+        data = bytes(pkt.data)
+        if not self._is_visible(data):
+            self._pending.append(pkt)
+            return []
+        if not self._pending:
+            return [pkt]
+        frames = [bytes(p.data) for p in self._pending] + [data]
+        self._pending = []
+        pkt.data = self._build_superframe(frames)
+        return [pkt]

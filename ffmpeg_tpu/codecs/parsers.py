@@ -255,3 +255,47 @@ class H264Parser(Parser):
                 out[0] = out[0][k - 1 if out[0][k - 1:k] == b"\x00"
                                 else k:]
         return out
+
+
+@register_parser
+class HevcParser(Parser):
+    """HEVC access-unit splitter (hevc_parser.c scope): new AU at AUD /
+    VPS/SPS/PPS-after-VCL / first_slice_segment_in_pic_flag."""
+
+    name = "hevc"
+    aliases = ("h265",)
+
+    def _split(self):
+        b = self.buf
+        starts = []
+        i = 0
+        while True:
+            j = b.find(b"\x00\x00\x01", i)
+            if j < 0 or j + 4 >= len(b):
+                break
+            sc = j - 1 if j > 0 and b[j - 1] == 0 else j
+            ntype = (b[j + 3] >> 1) & 0x3F
+            first_slice = False
+            if ntype <= 31 and j + 5 < len(b):
+                first_slice = bool(b[j + 5] & 0x80)
+            starts.append((sc, ntype, first_slice))
+            i = j + 3
+        cuts = []
+        saw_vcl = False
+        for pos, ntype, first in starts:
+            if ntype == 35 or ntype in (32, 33, 34):   # AUD / VPS/SPS/PPS
+                if saw_vcl:
+                    cuts.append(pos)
+                    saw_vcl = False
+            elif ntype <= 31:                           # VCL
+                if saw_vcl and first:
+                    cuts.append(pos)
+                saw_vcl = True
+        out = []
+        prev = 0
+        for c in cuts:
+            out.append(b[prev:c] if prev else b[:c])
+            prev = c
+        if cuts:
+            self.buf = b[cuts[-1]:]
+        return out
