@@ -130,3 +130,46 @@ class AssEncoder(Codec):
         return [Packet(data=payload.encode("utf-8"), pts=frame.pts,
                        dts=frame.pts, duration=frame.duration,
                        flags=PKT_FLAG_KEY, time_base=frame.time_base)]
+
+
+@register_decoder
+class WebVttDecoder(Codec):
+    """WebVTT cue payload → text (libavcodec/webvttdec.c analog):
+    strips cue-span tags (<b>, <c.class>, <v Name>, timestamps)."""
+
+    codec_id = "webvtt"
+    codec_type = MediaType.SUBTITLE
+
+    _TAG_RE = re.compile(r"<[^>]*>")
+
+    def decode(self, pkt: Optional[Packet]) -> List[Frame]:
+        if pkt is None or not pkt.data:
+            return []
+        text = pkt.data.decode("utf-8", "replace")
+        plain = self._TAG_RE.sub("", text)
+        plain = plain.replace("&amp;", "&").replace("&lt;", "<") \
+            .replace("&gt;", ">").replace("&nbsp;", " ").strip()
+        f = Frame(pts=pkt.pts, duration=pkt.duration,
+                  time_base=pkt.time_base)
+        f.side_data["text"] = plain
+        f.side_data["ass"] = plain.replace("\n", "\\N")
+        return [f]
+
+
+@register_encoder
+class WebVttEncoder(Codec):
+    """text → WebVTT cue payload (libavcodec/webvttenc.c analog)."""
+
+    codec_id = "webvtt"
+    codec_type = MediaType.SUBTITLE
+    is_encoder = True
+
+    def encode(self, frame: Optional[Frame]) -> List[Packet]:
+        if frame is None:
+            return []
+        text = frame.side_data.get("text", "")
+        text = text.replace("&", "&amp;").replace("<", "&lt;") \
+            .replace(">", "&gt;")
+        return [Packet(data=text.encode("utf-8"), pts=frame.pts,
+                       dts=frame.pts, duration=frame.duration,
+                       flags=PKT_FLAG_KEY, time_base=frame.time_base)]

@@ -29,8 +29,17 @@ PEAK = {"f32": 49.4e12, "bf16": 197e12, "int8": 394e12, "bw": 819e9}
 
 
 def timeit(fn, *args, n=10, warmup=2):
-    """Median wall time with inputs pre-placed on device. Alternates
-    two input sets so runtimes cannot memoize identical calls."""
+    """Device time per call with inputs pre-placed on device.
+
+    Dispatch latency over a tunneled link can be tens of ms — far more
+    than most kernels — so per-call blocking timings are useless here.
+    Instead, time two async bursts of different lengths (dispatches
+    pipeline on the device queue) and take the slope:
+        t_kernel = (elapsed_long - elapsed_short) / (n_long - n_short)
+    which cancels the constant latency exactly. Alternates two input
+    sets so runtimes cannot memoize identical calls. Falls back to the
+    per-call median if the slope is non-positive (clock noise).
+    """
     import jax
     import numpy as _np
     sets = []
@@ -48,6 +57,24 @@ def timeit(fn, *args, n=10, warmup=2):
     for _ in range(warmup):
         r = fn(*sets[0])
     jax.block_until_ready(r)
+
+    def burst(k):
+        t0 = time.monotonic()
+        out = None
+        for i in range(k):
+            out = fn(*sets[i & 1])
+        jax.block_until_ready(out)
+        return time.monotonic() - t0
+
+    n_short, n_long = 4, 4 + 8 * max(1, n // 2)
+    slopes = []
+    for _ in range(3):
+        e_s = burst(n_short)
+        e_l = burst(n_long)
+        slopes.append((e_l - e_s) / (n_long - n_short))
+    t = statistics.median(slopes)
+    if t > 0:
+        return t
     ts = []
     for i in range(n):
         t0 = time.monotonic()
