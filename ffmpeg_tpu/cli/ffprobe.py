@@ -95,7 +95,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     fmt = None
     writer = "default"
     show_streams = show_format = show_packets = False
-    show_frames = False
+    show_frames = show_chapters = False
     select = None
     input_format = None
     i = 0
@@ -109,6 +109,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             show_packets = True
         elif a == "-show_frames":
             show_frames = True
+        elif a == "-show_chapters":
+            show_chapters = True
         elif a == "-select_streams":
             i += 1
             select = argv[i]
@@ -130,12 +132,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         i += 1
     if url is None:
         sys.stderr.write("usage: fftpu-probe [-show_streams|-show_format|"
-                         "-show_packets|-show_frames] "
+                         "-show_packets|-show_frames|-show_chapters] "
                          "[-select_streams spec] "
                          "[-of json|csv|flat|ini|compact] input\n")
         return 1
     if not (show_streams or show_format or show_packets
-            or show_frames):
+            or show_frames or show_chapters):
         show_streams = show_format = True
 
     def selected(st):
@@ -184,12 +186,23 @@ def main(argv: Optional[List[str]] = None) -> int:
             for st in d.streams:
                 if selected(st):
                     sections.append(("stream", _stream_dict(st)))
+        if show_chapters:
+            for i, (cid, start, end, md) in enumerate(
+                    getattr(d, "chapters", ())):
+                cd = {"id": i, "time_base": "1/1000",
+                      "start": start, "start_time": f"{start / 1000:.6f}",
+                      "end": end, "end_time": f"{end / 1000:.6f}"}
+                for k, v in md.items():
+                    cd[f"tag:{k}"] = v
+                sections.append(("chapter", cd))
         if show_format:
             fmt_d = {
                 "filename": url,
                 "nb_streams": len(d.streams),
                 "format_name": d.name,
             }
+            for k, v in d.metadata.items():
+                fmt_d[f"tag:{k}"] = v
             if d.duration != NOPTS:
                 fmt_d["duration"] = f"{d.duration / 1e6:.6f}"
             sections.append(("format", fmt_d))

@@ -29,7 +29,7 @@ class JsonWriter(Writer):
     def render(self, sections):
         grouped: Dict[str, Any] = {}
         for name, kv in sections:
-            if name in ("stream", "packet", "frame"):
+            if name in ("stream", "packet", "frame", "chapter"):
                 grouped.setdefault(name + "s", []).append(kv)
             else:
                 grouped[name] = kv
@@ -51,7 +51,7 @@ class FlatWriter(Writer):
         for name, kv in sections:
             idx = counts.get(name, 0)
             counts[name] = idx + 1
-            prefix = f"{name}s.{name}.{idx}." if name in ("stream", "packet", "frame") \
+            prefix = f"{name}s.{name}.{idx}." if name in ("stream", "packet", "frame", "chapter") \
                 else f"{name}."
             for k, v in kv.items():
                 sv = v if isinstance(v, (int, float)) else f'"{v}"'
@@ -66,7 +66,7 @@ class IniWriter(Writer):
         for name, kv in sections:
             idx = counts.get(name, 0)
             counts[name] = idx + 1
-            hdr = f"{name}s.{name}.{idx}" if name in ("stream", "packet", "frame") \
+            hdr = f"{name}s.{name}.{idx}" if name in ("stream", "packet", "frame", "chapter") \
                 else name
             out.append(f"[{hdr}]")
             for k, v in kv.items():
@@ -94,7 +94,7 @@ class XmlWriter(Writer):
         open_plural = None
         for name, kv in sections:
             plural = name + "s" if name in ("stream", "packet",
-                                            "frame") else None
+                                            "frame", "chapter") else None
             if plural != open_plural:
                 if open_plural:
                     out.append(f"    </{open_plural}>")
@@ -125,7 +125,7 @@ class MermaidWriter(Writer):
             label = "<br/>".join(
                 f"{k}: {v}" for k, v in list(kv.items())[:6])
             out.append(f'    {node}["{name}<br/>{label}"]')
-            if prev and name in ("stream", "packet", "frame"):
+            if prev and name in ("stream", "packet", "frame", "chapter"):
                 out.append(f"    {prev} --> {node}")
             prev = node
         return "\n".join(out) + "\n"

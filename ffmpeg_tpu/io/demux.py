@@ -48,6 +48,7 @@ class Demuxer(LogMixin):
         self.url = url
         self.streams: List[StreamInfo] = []
         self.metadata: Dict[str, str] = {}
+        self.chapters: List = []       # (id, start_ms, end_ms, metadata)
         self.duration = NOPTS          # in AV_TIME_BASE (microseconds)
         self.start_time = NOPTS
         self.bit_rate = 0

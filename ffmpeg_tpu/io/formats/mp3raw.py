@@ -84,9 +84,16 @@ class Mp3Demuxer(Demuxer):
     def read_header(self) -> None:
         head = self.r.peek(10)
         if head[:3] == b"ID3":
-            size = ((head[6] & 0x7F) << 21 | (head[7] & 0x7F) << 14 |
-                    (head[8] & 0x7F) << 7 | (head[9] & 0x7F))
-            self.r.skip(10 + size)
+            from .. import id3v2
+            total = id3v2.tag_size(head)
+            tag = self.r.read(total)
+            meta, chapters, pics = id3v2.parse(tag)
+            self.metadata.update(meta)
+            for ch in chapters:
+                self.chapters.append(
+                    (ch.element_id, ch.start_ms, ch.end_ms, ch.metadata))
+            if pics:
+                self.metadata.setdefault("attached_pic_mime", pics[0][0])
         self._resync()
         head = self.r.peek(4)
         fi = _frame_info(int.from_bytes(head[:4], "big"))
