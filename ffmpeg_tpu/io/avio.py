@@ -216,5 +216,9 @@ def open_write(url) -> Writer:
     if s.startswith("file:"):
         s = s[5:]
     elif "://" in s:
-        raise ProtocolNotFound(f"protocol of {url!r} not supported yet")
+        from .protocols import open_url_write
+        f = open_url_write(s)
+        if f is None:
+            raise ProtocolNotFound(f"protocol of {url!r} not supported yet")
+        return Writer(f, owns=True)
     return Writer(open(s, "wb"))

@@ -212,11 +212,24 @@ def open_url(url: str):
         return open_tls(url)
     if scheme == "udp":
         return UdpStream(url)
+    if scheme == "rtmp":
+        from .rtmp import RtmpReadStream
+        return RtmpReadStream(url)
     if scheme:
         raise ProtocolNotFound(f"protocol {scheme!r} not supported")
     return None
 
 
+def open_url_write(url: str):
+    """Writable protocol endpoint (ffurl_open WRITE analog); None for
+    protocols avio handles natively."""
+    scheme = url.split("://", 1)[0] if "://" in url else ""
+    if scheme == "rtmp":
+        from .rtmp import RtmpWriteStream
+        return RtmpWriteStream(url)
+    return None
+
+
 def protocol_names():
     return ["file", "pipe", "fd", "memory", "http", "https", "tcp",
-            "tls", "udp"]
+            "tls", "udp", "rtmp"]
