@@ -195,6 +195,10 @@ def open_read(url) -> Reader:
         return Reader(os.fdopen(fd, "rb"))
     if s.startswith("file:"):
         s = s[5:]
+    elif s.startswith(("concat:", "subfile,", "cache:", "async:")):
+        from .protocols import open_nested
+        f = open_nested(s)
+        return Reader(f, size=getattr(f, "size", None))
     elif "://" in s:
         from .protocols import open_url
         f = open_url(s)

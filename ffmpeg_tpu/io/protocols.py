@@ -232,4 +232,268 @@ def open_url_write(url: str):
 
 def protocol_names():
     return ["file", "pipe", "fd", "memory", "http", "https", "tcp",
-            "tls", "udp", "rtmp"]
+            "tls", "udp", "rtmp", "concat", "subfile", "cache", "async"]
+
+
+# --------------------------------------------------------------------------
+# nested protocols: concat: / subfile, / cache: / async:
+# (reference: libavformat/concat.c, subfile.c, cache.c, async.c)
+
+def _open_inner(url: str):
+    """Open a nested target as a raw file-like."""
+    nested = open_nested(url)
+    if nested is not None:
+        return nested
+    if "://" in url:
+        f = open_url(url)
+        if f is None:
+            raise ProtocolNotFound(url)
+        return f
+    if url.startswith("file:"):
+        url = url[5:]
+    return open(url, "rb")
+
+
+class ConcatStream:
+    """concat:url1|url2|... — sequential byte concatenation."""
+
+    def __init__(self, spec: str):
+        self._urls = [u for u in spec.split("|") if u]
+        if not self._urls:
+            raise InvalidData("concat: empty list")
+        self._files = [_open_inner(u) for u in self._urls]
+        self._idx = 0
+        sizes = []
+        for f in self._files:
+            try:
+                pos = f.tell()
+                f.seek(0, 2)
+                sizes.append(f.tell())
+                f.seek(pos)
+            except (OSError, AttributeError):
+                sizes = None
+                break
+        self.size = sum(sizes) if sizes else None
+        self._sizes = sizes
+        self._pos = 0
+
+    def read(self, n: int = -1) -> bytes:
+        out = bytearray()
+        while self._idx < len(self._files) and (n < 0 or len(out) < n):
+            want = -1 if n < 0 else n - len(out)
+            chunk = self._files[self._idx].read(want)
+            if not chunk:
+                self._idx += 1
+                continue
+            out += chunk
+        self._pos += len(out)
+        return bytes(out)
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        if self._sizes is None:
+            raise OSError("concat: not seekable")
+        if whence == 1:
+            pos += self._pos
+        elif whence == 2:
+            pos += self.size
+        rem = pos
+        for i, sz in enumerate(self._sizes):
+            if rem <= sz or i == len(self._sizes) - 1:
+                self._idx = i
+                self._files[i].seek(min(rem, sz))
+                for f in self._files[i + 1:]:
+                    f.seek(0)
+                break
+            rem -= sz
+        self._pos = pos
+        return pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def close(self) -> None:
+        for f in self._files:
+            try:
+                f.close()
+            except OSError:
+                pass
+
+
+class SubfileStream:
+    """subfile,,start,N,end,M,,:url — byte window over a seekable
+    input (subfile.c option syntax; end=0 means to-EOF)."""
+
+    def __init__(self, spec: str):
+        if not spec.startswith("subfile,"):
+            raise InvalidData("subfile: bad url")
+        opts_part, _, target = spec[len("subfile,"):].partition(",:")
+        toks = [t for t in opts_part.replace(",,", ",").split(",") if t]
+        kv = dict(zip(toks[0::2], [int(x) for x in toks[1::2]]))
+        self._start = kv.get("start", 0)
+        self._end = kv.get("end", 0)
+        self._f = _open_inner(target)
+        if self._end == 0:
+            self._f.seek(0, 2)
+            self._end = self._f.tell()
+        self.size = self._end - self._start
+        self._f.seek(self._start)
+        self._pos = 0
+
+    def read(self, n: int = -1) -> bytes:
+        left = self.size - self._pos
+        if left <= 0:
+            return b""
+        want = left if n < 0 else min(n, left)
+        data = self._f.read(want)
+        self._pos += len(data)
+        return data
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        if whence == 1:
+            pos += self._pos
+        elif whence == 2:
+            pos += self.size
+        pos = max(0, min(pos, self.size))
+        self._f.seek(self._start + pos)
+        self._pos = pos
+        return pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class CacheStream:
+    """cache:url — backward seeks served from an in-memory cache of
+    everything read so far (cache.c semantics, memory-backed)."""
+
+    def __init__(self, spec: str):
+        self._f = _open_inner(spec)
+        self._cache = bytearray()
+        self._pos = 0
+        self.size = getattr(self._f, "size", None)
+
+    def read(self, n: int = -1) -> bytes:
+        out = bytearray()
+        if self._pos < len(self._cache):
+            take = len(self._cache) - self._pos if n < 0 else n
+            out += self._cache[self._pos:self._pos + take]
+            self._pos += len(out)
+        while n < 0 or len(out) < n:
+            want = -1 if n < 0 else n - len(out)
+            chunk = self._f.read(want)
+            if not chunk:
+                break
+            self._cache += chunk
+            self._pos += len(chunk)
+            out += chunk
+            if n < 0:
+                break
+        return bytes(out)
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        if whence == 1:
+            pos += self._pos
+        elif whence == 2:
+            if self.size is None:
+                # drain to EOF into the cache
+                while True:
+                    c = self._f.read(1 << 20)
+                    if not c:
+                        break
+                    self._cache += c
+                self.size = len(self._cache)
+            pos += self.size
+        if pos > len(self._cache):              # forward: pull through
+            self._pos = len(self._cache)
+            self.read(pos - len(self._cache))
+        self._pos = min(pos, len(self._cache))
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class AsyncStream:
+    """async:url — background-thread read-ahead (async.c): the reader
+    thread fills a bounded buffer so demux never blocks on the wire."""
+
+    BUF_MAX = 8 << 20
+
+    def __init__(self, spec: str):
+        import threading
+        self._f = _open_inner(spec)
+        self.size = getattr(self._f, "size", None)
+        self._lock = threading.Lock()
+        self._cond = threading.Condition(self._lock)
+        self._buf = bytearray()
+        self._eof = False
+        self._err: Optional[BaseException] = None
+        self._closed = False
+        self._t = threading.Thread(target=self._fill, daemon=True,
+                                   name="async-read")
+        self._t.start()
+
+    def _fill(self) -> None:
+        try:
+            while True:
+                with self._cond:
+                    while (len(self._buf) >= self.BUF_MAX
+                           and not self._closed):
+                        self._cond.wait(0.05)
+                    if self._closed:
+                        return
+                chunk = self._f.read(1 << 16)
+                with self._cond:
+                    if not chunk:
+                        self._eof = True
+                        self._cond.notify_all()
+                        return
+                    self._buf += chunk
+                    self._cond.notify_all()
+        except (OSError, EOFError) as e:
+            with self._cond:
+                self._err = e
+                self._eof = True
+                self._cond.notify_all()
+
+    def read(self, n: int = -1) -> bytes:
+        with self._cond:
+            while not self._eof and (n < 0 or len(self._buf) < n):
+                self._cond.wait(0.05)
+            if self._err is not None and not self._buf:
+                raise InvalidData(f"async: {self._err}")
+            if n < 0:
+                while not self._eof:
+                    self._cond.wait(0.05)
+                out = bytes(self._buf)
+                del self._buf[:]
+            else:
+                out = bytes(self._buf[:n])
+                del self._buf[:n]
+            self._cond.notify_all()
+            return out
+
+    def close(self) -> None:
+        with self._cond:
+            self._closed = True
+            self._cond.notify_all()
+        self._t.join(timeout=5)
+        self._f.close()
+
+
+def open_nested(url: str):
+    if url.startswith("concat:"):
+        return ConcatStream(url[len("concat:"):])
+    if url.startswith("subfile,"):
+        return SubfileStream(url)
+    if url.startswith("cache:"):
+        return CacheStream(url[len("cache:"):])
+    if url.startswith("async:"):
+        return AsyncStream(url[len("async:"):])
+    return None
