@@ -134,6 +134,10 @@ class Av1SequenceHeader:
     seq_tier: List[int] = field(default_factory=lambda: [0])
     operating_point_idc: List[int] = field(default_factory=lambda: [0])
     decoder_model_info_present: int = 0
+    equal_picture_interval: int = 0
+    buffer_removal_time_length: int = 0
+    frame_presentation_time_length: int = 0
+    decoder_model_present_for_op: List[int] = field(default_factory=list)
     initial_display_delay_present: int = 0
     frame_width_bits: int = 16
     frame_height_bits: int = 16
@@ -212,15 +216,14 @@ def parse_sequence_header(payload: bytes) -> Av1SequenceHeader:
         s.seq_tier = [0]
         s.operating_point_idc = [0]
     else:
-        equal_picture_interval = 0
         if r.get(1):                          # timing_info_present
-            equal_picture_interval = _timing_info(r)
+            s.equal_picture_interval = _timing_info(r)
             s.decoder_model_info_present = r.get(1)
             if s.decoder_model_info_present:
                 buffer_delay_len = r.get(5) + 1
                 r.get(32)                     # num_units_in_decoding_tick
-                r.get(5)                      # buffer_removal_time_length
-                r.get(5)                      # frame_presentation_time_length
+                s.buffer_removal_time_length = r.get(5) + 1
+                s.frame_presentation_time_length = r.get(5) + 1
         s.initial_display_delay_present = r.get(1)
         n_ops = r.get(5) + 1
         s.operating_point_idc, s.seq_level_idx, s.seq_tier = [], [], []
@@ -229,7 +232,9 @@ def parse_sequence_header(payload: bytes) -> Av1SequenceHeader:
             lvl = r.get(5)
             s.seq_level_idx.append(lvl)
             s.seq_tier.append(r.get(1) if lvl > 7 else 0)
-            if s.decoder_model_info_present and r.get(1):
+            dm = r.get(1) if s.decoder_model_info_present else 0
+            s.decoder_model_present_for_op.append(dm)
+            if dm:
                 r.get(buffer_delay_len)       # decoder_buffer_delay
                 r.get(buffer_delay_len)       # encoder_buffer_delay
                 r.get(1)                      # low_delay_mode_flag
@@ -451,7 +456,9 @@ def _frame_size(r: BitReader, seq: Av1SequenceHeader,
 
 
 def parse_frame_header(payload: bytes, seq: Av1SequenceHeader,
-                       ref_sizes: Optional[list] = None) -> Av1FrameHeader:
+                       ref_sizes: Optional[list] = None,
+                       temporal_id: int = 0,
+                       spatial_id: int = 0) -> Av1FrameHeader:
     """Parse uncompressed_header() through frame/render size.
 
     ref_sizes: optional 8-entry list of (w, h, rw, rh) kept by the
@@ -471,6 +478,8 @@ def parse_frame_header(payload: bytes, seq: Av1SequenceHeader,
     h.show_existing_frame = r.get(1)
     if h.show_existing_frame:
         h.frame_to_show_map_idx = r.get(3)
+        if seq.decoder_model_info_present and not seq.equal_picture_interval:
+            r.get(seq.frame_presentation_time_length)  # temporal_point_info
         if seq.frame_id_numbers_present:
             r.get(id_len)                     # display_frame_id
         if ref_sizes is not None:
@@ -480,7 +489,10 @@ def parse_frame_header(payload: bytes, seq: Av1SequenceHeader,
         return h
     h.frame_type = r.get(2)
     h.show_frame = r.get(1)
-    if not h.show_frame:
+    if h.show_frame:
+        if seq.decoder_model_info_present and not seq.equal_picture_interval:
+            r.get(seq.frame_presentation_time_length)  # temporal_point_info
+    else:
         r.get(1)                              # showable_frame
     if h.frame_type == SWITCH_FRAME or \
             (h.frame_type == KEY_FRAME and h.show_frame):
@@ -504,6 +516,15 @@ def parse_frame_header(payload: bytes, seq: Av1SequenceHeader,
         h.order_hint = r.get(seq.order_hint_bits)
     if not (h.is_intra or h.error_resilient_mode):
         r.get(3)                              # primary_ref_frame
+    if seq.decoder_model_info_present and r.get(1):
+        # buffer_removal_time_present_flag (spec 5.9.2)
+        for op, idc in enumerate(seq.operating_point_idc):
+            if not (seq.decoder_model_present_for_op[op:op + 1] or [0])[0]:
+                continue
+            in_t = (idc >> temporal_id) & 1
+            in_s = (idc >> (spatial_id + 8)) & 1
+            if idc == 0 or (in_t and in_s):
+                r.get(seq.buffer_removal_time_length)  # buffer_removal_time
     if h.frame_type == SWITCH_FRAME or \
             (h.frame_type == KEY_FRAME and h.show_frame):
         h.refresh_frame_flags = 0xFF
@@ -521,11 +542,13 @@ def parse_frame_header(payload: bytes, seq: Av1SequenceHeader,
             r.get(3)                          # last_frame_idx
             r.get(3)                          # gold_frame_idx
             h.ref_frame_idx = [-1] * REFS_PER_FRAME
-        else:
-            for _ in range(REFS_PER_FRAME):
+        for i in range(REFS_PER_FRAME):
+            if not short:
                 h.ref_frame_idx.append(r.get(3))
-                if seq.frame_id_numbers_present:
-                    r.get(seq.delta_frame_id_length)
+            # delta_frame_id_minus_1 is read per-ref even with
+            # frame_refs_short_signaling (spec 5.9.2 loop)
+            if seq.frame_id_numbers_present:
+                r.get(seq.delta_frame_id_length)
         if h.frame_size_override and not h.error_resilient_mode:
             # frame_size_with_refs()
             found = 0

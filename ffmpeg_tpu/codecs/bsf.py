@@ -322,14 +322,23 @@ class HevcMp4ToAnnexB(BitstreamFilter):
                                 [:1] == b"\x01"):
             return [pkt]   # already annex-b
         out = bytearray()
+        # Per-packet got_irap, as the reference: prepend the parameter sets
+        # before the FIRST IRAP of every packet (mid-stream join/seek), but
+        # not when the packet already carries its own PS NALs before it.
+        got_irap = False
+        seen_ps = False
         for nal in _split_length_prefixed(pkt.data, self.nal_size):
             if len(nal) < 2:
                 continue
             ntype = (nal[0] >> 1) & 0x3F
-            if 16 <= ntype <= 23 and self.ps:    # IRAP: prepend PS
+            if 32 <= ntype <= 34:                # VPS/SPS/PPS in-band
+                seen_ps = True
+            if (16 <= ntype <= 23 and self.ps and not got_irap
+                    and not seen_ps):
                 for ps in self.ps:
                     out += b"\x00\x00\x00\x01" + ps
-                self.ps = []
+            if 16 <= ntype <= 23:
+                got_irap = True
             out += b"\x00\x00\x00\x01" + nal
         pkt.data = bytes(out)
         return [pkt]

@@ -164,10 +164,11 @@ class ExrDecoder(Codec):
             if len(block) != want:
                 raise InvalidData("exr: block size mismatch")
             p = 0
+            # lineOrder only affects the order blocks appear in the file;
+            # each block header stores its real y, so placement is the same
+            # for INCREASING_Y and DECREASING_Y (exr.c decode_block()).
             for li in range(nlines):
                 yy = y0 + li
-                if line_order == 1:          # DECREASING_Y
-                    yy = h - 1 - yy
                 for ci in order:
                     cname, ptype = channels[ci]
                     nb = w * _PXSIZE[ptype]

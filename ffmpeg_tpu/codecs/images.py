@@ -201,50 +201,56 @@ class QoiDecoder(Codec):
             raise InvalidData("qoi: bad colorspace")
         if channels not in (3, 4):
             raise InvalidData("qoi: bad channel count")
-        out = np.zeros((h * w, channels), np.uint8)
+        total = w * h
+        # Every payload byte yields at most 62 pixels (QOI_OP_RUN), so a
+        # header whose w*h can't be covered by the remaining bytes is
+        # corrupt — reject instead of looping over phantom pixels.
+        if total > max(0, len(d) - 14) * 62:
+            raise InvalidData("qoi: dimensions exceed payload capacity")
         index = [(0, 0, 0, 0)] * 64
         r = g = b = 0
         a = 255
         pos = 14
         n = 0
-        run = 0
-        total = w * h
-        while n < total:
-            if run > 0:
-                run -= 1
-            elif len(d) - pos > 4:
-                chunk = d[pos]
+        # chunk-level loop (cost bounded by input bytes, not w*h); runs
+        # are expanded afterwards with np.repeat
+        pixels: list = []
+        counts: list = []
+        while n < total and len(d) - pos > 4:
+            chunk = d[pos]
+            pos += 1
+            cnt = 1
+            if chunk == 0xFE:                   # QOI_OP_RGB
+                r, g, b = d[pos], d[pos + 1], d[pos + 2]
+                pos += 3
+            elif chunk == 0xFF:                 # QOI_OP_RGBA
+                r, g, b, a = d[pos], d[pos + 1], d[pos + 2], d[pos + 3]
+                pos += 4
+            elif chunk & 0xC0 == 0x00:          # QOI_OP_INDEX
+                r, g, b, a = index[chunk]
+            elif chunk & 0xC0 == 0x40:          # QOI_OP_DIFF
+                r = (r + ((chunk >> 4) & 3) - 2) & 255
+                g = (g + ((chunk >> 2) & 3) - 2) & 255
+                b = (b + (chunk & 3) - 2) & 255
+            elif chunk & 0xC0 == 0x80:          # QOI_OP_LUMA
+                b2 = d[pos]
                 pos += 1
-                if chunk == 0xFE:                   # QOI_OP_RGB
-                    r, g, b = d[pos], d[pos + 1], d[pos + 2]
-                    pos += 3
-                elif chunk == 0xFF:                 # QOI_OP_RGBA
-                    r, g, b, a = d[pos], d[pos + 1], d[pos + 2], d[pos + 3]
-                    pos += 4
-                elif chunk & 0xC0 == 0x00:          # QOI_OP_INDEX
-                    r, g, b, a = index[chunk]
-                elif chunk & 0xC0 == 0x40:          # QOI_OP_DIFF
-                    r = (r + ((chunk >> 4) & 3) - 2) & 255
-                    g = (g + ((chunk >> 2) & 3) - 2) & 255
-                    b = (b + (chunk & 3) - 2) & 255
-                elif chunk & 0xC0 == 0x80:          # QOI_OP_LUMA
-                    b2 = d[pos]
-                    pos += 1
-                    vg = (chunk & 0x3F) - 32
-                    r = (r + vg - 8 + ((b2 >> 4) & 0x0F)) & 255
-                    g = (g + vg) & 255
-                    b = (b + vg - 8 + (b2 & 0x0F)) & 255
-                else:                               # QOI_OP_RUN
-                    run = chunk & 0x3F
-                index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
-            else:
-                break
-            out[n, 0] = r
-            out[n, 1] = g
-            out[n, 2] = b
-            if channels == 4:
-                out[n, 3] = a
-            n += 1
+                vg = (chunk & 0x3F) - 32
+                r = (r + vg - 8 + ((b2 >> 4) & 0x0F)) & 255
+                g = (g + vg) & 255
+                b = (b + vg - 8 + (b2 & 0x0F)) & 255
+            else:                               # QOI_OP_RUN
+                cnt = (chunk & 0x3F) + 1
+            index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+            cnt = min(cnt, total - n)
+            pixels.append((r, g, b, a))
+            counts.append(cnt)
+            n += cnt
+        px4 = np.repeat(np.asarray(pixels, np.uint8).reshape(-1, 4),
+                        np.asarray(counts, np.int64), axis=0) \
+            if pixels else np.zeros((0, 4), np.uint8)
+        out = np.zeros((total, channels), np.uint8)
+        out[:len(px4)] = px4[:, :channels]
         px = out.reshape(h, w, channels)
         planes = [np.ascontiguousarray(px[:, :, i])
                   for i in range(channels)]

@@ -37,13 +37,19 @@ class WebVttDemuxer(Demuxer):
         return 100 if text.startswith("WEBVTT") else 0
 
     def read_header(self) -> None:
-        text = self.r.read(1 << 24).decode("utf-8-sig", "replace")
+        raw = bytearray()
+        while True:
+            chunk = self.r.read(1 << 24)
+            if not chunk:
+                break
+            raw += chunk
+        text = bytes(raw).decode("utf-8-sig", "replace")
         if not text.startswith("WEBVTT"):
             raise InvalidData("webvtt: missing magic")
         par = CodecParameters(codec_type=MediaType.SUBTITLE,
                               codec_id="webvtt")
         self.add_stream(codecpar=par, time_base=Rational(1, 1000))
-        self._cues: List[Tuple[int, int, str, str]] = []
+        self._cues: List[Tuple[int, int, str, str, str]] = []
         for block in re.split(r"\r?\n\r?\n", text)[1:]:
             block = block.strip("\r\n")
             if not block:
@@ -64,20 +70,24 @@ class WebVttDemuxer(Demuxer):
             g = m.groups()
             start = _ms(*g[:4])
             end = _ms(*g[4:8])
+            settings = (g[8] or "").strip()
             payload = "\n".join(lines[ts_line + 1:])
-            self._cues.append((start, end, payload, cid))
+            self._cues.append((start, end, payload, cid, settings))
         self._idx = 0
 
     def read_packet(self) -> Packet:
         if self._idx >= len(self._cues):
             raise EndOfStream()
-        start, end, payload, cid = self._cues[self._idx]
+        start, end, payload, cid, settings = self._cues[self._idx]
         self._idx += 1
         pkt = Packet(data=payload.encode("utf-8"), pts=start, dts=start,
                      duration=end - start, flags=PKT_FLAG_KEY,
                      time_base=Rational(1, 1000))
         if cid:
             pkt.side_data["webvtt_identifier"] = cid.encode("utf-8")
+        if settings:
+            # matches the reference's AV_PKT_DATA_WEBVTT_SETTINGS side data
+            pkt.side_data["webvtt_settings"] = settings.encode("utf-8")
         return pkt
 
 
@@ -105,6 +115,10 @@ class WebVttMuxer(Muxer):
         cid = pkt.side_data.get("webvtt_identifier")
         if cid:
             out.append(cid.decode("utf-8", "replace") + "\n")
-        out.append(f"{self._fmt(ms)} --> {self._fmt(ms + dur)}\n")
+        settings = pkt.side_data.get("webvtt_settings")
+        line = f"{self._fmt(ms)} --> {self._fmt(ms + dur)}"
+        if settings:
+            line += " " + settings.decode("utf-8", "replace")
+        out.append(line + "\n")
         out.append(pkt.data.decode("utf-8", "replace") + "\n")
         self.w.write("".join(out).encode("utf-8"))

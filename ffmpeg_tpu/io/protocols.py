@@ -463,21 +463,26 @@ class AsyncStream:
                 self._cond.notify_all()
 
     def read(self, n: int = -1) -> bytes:
+        # Drain in <= BUF_MAX slices: the fill thread parks once the buffer
+        # is full, so waiting for len(buf) >= n with n > BUF_MAX livelocks.
+        out = bytearray()
         with self._cond:
-            while not self._eof and (n < 0 or len(self._buf) < n):
-                self._cond.wait(0.05)
-            if self._err is not None and not self._buf:
-                raise InvalidData(f"async: {self._err}")
-            if n < 0:
-                while not self._eof:
+            while True:
+                want = self.BUF_MAX if n < 0 else n - len(out)
+                while (not self._eof and len(self._buf) < want
+                       and len(self._buf) < self.BUF_MAX):
                     self._cond.wait(0.05)
-                out = bytes(self._buf)
-                del self._buf[:]
-            else:
-                out = bytes(self._buf[:n])
-                del self._buf[:n]
-            self._cond.notify_all()
-            return out
+                if self._err is not None and not self._buf and not out:
+                    raise InvalidData(f"async: {self._err}")
+                take = len(self._buf) if n < 0 else min(want, len(self._buf))
+                out += self._buf[:take]
+                del self._buf[:take]
+                self._cond.notify_all()
+                if self._eof and not self._buf:
+                    break
+                if n >= 0 and len(out) >= n:
+                    break
+            return bytes(out)
 
     def close(self) -> None:
         with self._cond:

@@ -44,6 +44,32 @@ def test_hevc_mp4toannexb():
     assert bytes(out2.data) == b"\x00\x00\x00\x01" + trail
 
 
+def test_hevc_mp4toannexb_ps_every_irap():
+    """PS re-prepended before the first IRAP of EVERY packet (per-packet
+    got_irap, bsf/hevc_mp4toannexb.c), skipped when PS arrive in-band."""
+    vps = _nal(32, b"\x0c\x01")
+    sps = _nal(33, b"\x0c\x11")
+    pps = _nal(34, b"\xc1")
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="hevc",
+                          extradata=_hvcc([(32, vps), (33, sps), (34, pps)]))
+    f = get_bsf("hevc_mp4toannexb", par)
+    idr = _nal(19, b"\x80\x11")
+    sc = b"\x00\x00\x00\x01"
+
+    def lp(*nals):
+        return b"".join(len(n).to_bytes(4, "big") + n for n in nals)
+
+    ps = sc + vps + sc + sps + sc + pps
+    assert bytes(f.filter(Packet(data=lp(idr)))[0].data) == ps + sc + idr
+    trail = _nal(1, b"\x00")
+    assert bytes(f.filter(Packet(data=lp(trail)))[0].data) == sc + trail
+    # second keyframe packet (seek/mid-stream join) gets PS again
+    assert bytes(f.filter(Packet(data=lp(idr)))[0].data) == ps + sc + idr
+    # packet already carrying PS NALs is not double-prefixed
+    assert bytes(f.filter(Packet(data=lp(vps, sps, pps, idr)))[0].data) \
+        == ps + sc + idr
+
+
 def _vp9_frame(show_frame, frame_type=0, tail=b"\x55" * 9):
     b0 = (2 << 6) | (0 << 5) | (0 << 4) | (0 << 3) | \
         (frame_type << 2) | (show_frame << 1)

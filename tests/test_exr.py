@@ -85,8 +85,6 @@ def _write_exr(planes: dict, ptype=2, compression=0, line_order=0):
         raw = bytearray()
         for li in range(nlines):
             yy = y0 + li
-            if line_order == 1:
-                yy = h - 1 - yy
             for n in names:
                 row = planes[n][yy]
                 raw += row.astype("<f2" if ptype == 1 else "<f4").tobytes()
@@ -100,6 +98,10 @@ def _write_exr(planes: dict, ptype=2, compression=0, line_order=0):
             if len(comp) >= len(raw):
                 comp = raw                     # stored-raw fallback
         blocks.append((y0, comp))
+    if line_order == 1:
+        # DECREASING_Y only reorders blocks in the file; each header keeps
+        # the block's real y coordinate.
+        blocks.reverse()
     table_pos = len(hdr)
     out = bytearray(hdr)
     out += b"\x00" * (8 * nblocks)

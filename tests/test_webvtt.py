@@ -108,3 +108,20 @@ def test_webvtt_in_matroska(tmp_path):
     assert d2.streams[0].codecpar.codec_id == "webvtt"
     assert [bytes(p.data) for p in d2.packets()] == \
         [bytes(p.data) for p in pkts]
+
+
+def test_webvtt_settings_side_data_and_remux(tmp_path):
+    """Cue settings survive demux → side data → mux (AV_PKT_DATA_WEBVTT_SETTINGS)."""
+    d = open_input(_write(tmp_path))
+    pkts = list(d.packets())
+    assert pkts[0].side_data["webvtt_settings"] == b"align:start position:10%"
+    assert "webvtt_settings" not in pkts[1].side_data
+    out = str(tmp_path / "settings.vtt")
+    m = open_output(out, format="webvtt")
+    m.add_stream(d.streams[0].codecpar, time_base=d.streams[0].time_base)
+    for p in pkts:
+        m.write_packet(p)
+    m.write_trailer()
+    m.close()
+    txt = open(out, encoding="utf-8").read()
+    assert "00:00:01.000 --> 00:00:03.500 align:start position:10%" in txt
