@@ -37,9 +37,6 @@ import numpy as np
 from .. import native
 from ..ops.huffman import (build_jpeg_luts9, jpeg_scan_decode9,
                            jpeg_scan_decode9_pl)
-from ..ops.idct import jpeg_plane_reconstruct
-from ..scale.ops import compile_ops
-from ..scale.swscale import ScaleSpec, build_ops
 
 _LUT_BYTES = 512 * 12
 
@@ -57,10 +54,75 @@ class TpuEntropySpec:
     filter: str = "bicubic"
     packed_cap: int = 0          # bytes per frame region; 0 = auto from
                                  # the first packet (x1.3 + slack)
+    lut_bits: int = 9            # max Huffman code length in the stream
+                                 # (8 halves the kernel's one-hot width;
+                                 # encode with max_code_len=8)
 
     @property
     def mcus(self):
         return -(-self.width // 16), -(-self.height // 16)
+
+
+def _fused_operators(spec: TpuEntropySpec, qy: np.ndarray,
+                     qc: np.ndarray):
+    """Compose dequant + 8x8 IDCT + chroma upsample + resize into two
+    per-axis operator tensors per plane (the swscale op-fusion idea
+    carried all the way into the DCT domain; cf. libswscale/graph.c
+    pass fusion and the `lowres` DCT-domain scalers in mjpegdec.c —
+    here with ALL 64 coefficients, so it is the exact full-resolution
+    linear map, just never materialized at 1920x1080).
+
+    Returns (Ky, Ly, Kc, Lc, tail_ops, (b_offsets, a_scales)) where
+    the 224-line luma operators fold the 2x2 MCU block layout so the
+    entropy output (B, my, mx, 4*64) contracts with NO transpose:
+
+        plane224[o, p] = sum_{m,n,z} C[m,n,z] * K[o,m,z] * L[p,n,z]
+    """
+    from ..ops.idct import ZIGZAG, _dct8_matrix
+    from ..scale import ops as sops
+    from ..scale.swscale import ScaleSpec, build_ops
+
+    OUTW, OUTH = spec.out_w, spec.out_h
+    mcus_x, mcus_y = spec.mcus
+    oplist = build_ops(ScaleSpec(
+        src_w=spec.width, src_h=spec.height, src_fmt="yuv420p",
+        dst_w=OUTW, dst_h=OUTH, dst_fmt=spec.out_fmt,
+        filter=spec.filter, src_range=True, src_chroma_loc="center"))
+    if not (isinstance(oplist[0], sops.ToFloat)
+            and isinstance(oplist[1], sops.ResizeAxis)
+            and oplist[1].axis == -2
+            and isinstance(oplist[2], sops.ResizeAxis)
+            and oplist[2].axis == -1):
+        raise NotImplementedError("fused path needs the standard "
+                                  "ToFloat/ResizeV/ResizeH op prefix")
+    tofloat, res_v, res_h = oplist[0], oplist[1], oplist[2]
+    tail = oplist[3:]
+    A = _dct8_matrix()                     # A[u, x]
+    uidx, vidx = ZIGZAG // 8, ZIGZAG % 8
+
+    def build_kl(mv, mh, q, rv, rh, outh, outw):
+        mvp = np.zeros((outh, rv, 8))
+        mvp.reshape(outh, -1)[:, :mv.shape[1]] = mv
+        mhp = np.zeros((outw, rh, 8))
+        mhp.reshape(outw, -1)[:, :mh.shape[1]] = mh
+        av = np.einsum("orx,ux->oru", mvp, A)
+        ah = np.einsum("ocx,vx->ocv", mhp, A)
+        return av[:, :, uidx] * q[None, None, :], ah[:, :, vidx]
+
+    avy, ahy = build_kl(res_v.matrices[0], res_h.matrices[0],
+                        qy.astype(np.float64), mcus_y * 2, mcus_x * 2,
+                        OUTH, OUTW)
+    ky = np.zeros((OUTH, mcus_y, 4, 64))
+    ly = np.zeros((OUTW, mcus_x, 4, 64))
+    for k in range(4):                     # fold 2x2 MCU block layout
+        ky[:, :, k, :] = avy[:, k // 2::2, :]
+        ly[:, :, k, :] = ahy[:, k % 2::2, :]
+    kc, lc = build_kl(res_v.matrices[1], res_h.matrices[1],
+                      qc.astype(np.float64), mcus_y, mcus_x, OUTH, OUTW)
+    return (ky.reshape(OUTH, mcus_y, 256).astype(np.float32),
+            ly.reshape(OUTW, mcus_x, 256).astype(np.float32),
+            kc.astype(np.float32), lc.astype(np.float32),
+            tail, (tofloat.offsets, tofloat.scales))
 
 
 def _build_program(spec: TpuEntropySpec, cap: int,
@@ -74,16 +136,12 @@ def _build_program(spec: TpuEntropySpec, cap: int,
     L = B * nmcu
     S = spec.stride
     hdr = 2 * nmcu + _LUT_BYTES
-    W, H = spec.width, spec.height
-    ly, lx = mcus_y * 2, mcus_x * 2
-    qyd = jnp.asarray(qy)
-    qcd = jnp.asarray(qc)
-    scale_fn = compile_ops(build_ops(ScaleSpec(
-        src_w=W, src_h=H, src_fmt="yuv420p",
-        dst_w=spec.out_w, dst_h=spec.out_h, dst_fmt=spec.out_fmt,
-        filter=spec.filter, src_range=True, src_chroma_loc="center")))
+
+    ky, ly, kc, lc, tail, (b_ofs, a_scl) = _fused_operators(spec, qy, qc)
+    kyd, lyd, kcd, lcd = map(jnp.asarray, (ky, ly, kc, lc))
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
+    PREC = jax.lax.Precision.HIGHEST
 
     G = 64                       # window alignment granularity (bytes)
     S2 = G + S                   # lane row incl. alignment slack
@@ -116,23 +174,36 @@ def _build_program(spec: TpuEntropySpec, cap: int,
         if on_tpu:
             # Pallas kernel: state + output resident in VMEM, lanes
             # sorted by length into uniform per-frame blocks
-            # (see ops/huffman.py jpeg_scan_decode9_pl)
-            out = jpeg_scan_decode9_pl(rows, lensf, luts, cur0=cur0)
+            # (see ops/huffman.py jpeg_scan_decode9_pl). For <=8-bit
+            # streams every adjacent LUT row pair is identical, so the
+            # kernel reads the 256-row half-size table (half the
+            # one-hot VMEM traffic per symbol).
+            kl = luts[:, ::2] if spec.lut_bits == 8 else luts
+            out = jpeg_scan_decode9_pl(rows, lensf, kl, cur0=cur0)
         else:
             outs = [jpeg_scan_decode9(rows[b * nmcu:(b + 1) * nmcu],
                                       jnp.ones(nmcu, bool), luts[b],
                                       cur0=cur0[b * nmcu:(b + 1) * nmcu])
                     for b in range(B)]
             out = jnp.concatenate(outs)
-        out = out.reshape(B, mcus_y, mcus_x, 6, 64)
-        ycf = out[:, :, :, :4].reshape(B, mcus_y, mcus_x, 2, 2, 64) \
-            .transpose(0, 1, 3, 2, 4, 5).reshape(B, ly, lx, 64)
-        y = jpeg_plane_reconstruct(ycf, qyd, H, W, scale=1)
-        u = jpeg_plane_reconstruct(out[:, :, :, 4], qcd,
-                                   H // 2, W // 2, scale=1)
-        v = jpeg_plane_reconstruct(out[:, :, :, 5], qcd,
-                                   H // 2, W // 2, scale=1)
-        return scale_fn([y, u, v])
+        out = out.reshape(B, mcus_y, mcus_x, 6, 64).astype(jnp.float32)
+        yc = out[:, :, :, :4].reshape(B, mcus_y, mcus_x, 256)
+
+        def p224(coef, k, l):
+            # n-first: the (b,m,p,z) intermediate is 3.6x smaller than
+            # the (b,o,n,z) one and step 2 contracts the large (m,z)
+            t = jnp.einsum("bmnz,pnz->bmpz", coef, l, precision=PREC)
+            return jnp.einsum("bmpz,omz->bop", t, k,
+                              precision=PREC) + 128.0
+
+        comps = [p224(yc, kyd, lyd),
+                 p224(out[:, :, :, 4], kcd, lcd),
+                 p224(out[:, :, :, 5], kcd, lcd)]
+        comps = [(c - b) * (1.0 / a)
+                 for c, b, a in zip(comps, b_ofs, a_scl)]
+        for op in tail:
+            comps = op.apply(comps)
+        return comps
 
     return jax.jit(run)
 

@@ -295,79 +295,111 @@ def jpeg_scan_decode(buf, bitpos0, valid, luts, blocks_per_seg: int = 6,
 NL_PL = 1024          # lanes per kernel block: 8 sublanes x 128 VPU lanes
 
 
-def _make_pl_kernel(stride: int, max_iter: int, nblk: int):
-    """Kernel factory for jpeg_scan_decode9_pl.
+def _make_pl_kernel(stride: int, max_iter: int, nblk: int,
+                    lut_rows: int = 512):
+    """Kernel factory for jpeg_scan_decode9_pl (v5).
 
-    All decode state lives in VMEM for a block of 1024 segments laid
-    out as an (8, 128) lane tile, so each while-loop iteration decodes
-    one Huffman symbol on every lane with zero HBM traffic: the 32-bit
-    window read is a masked reduction over the (S, 8, 128) byte-window
-    scratch, the (run,size,len) lookup is a 512-wide one-hot int8
-    matmul on the MXU, and coefficient emission is a one-hot
-    accumulate into the (8, 128, nblk*64) output tile. Iterations per
-    block = max symbols over its 1024 lanes, which is why callers sort
-    lanes by segment length first (uniform blocks exit early).
+    A block of 1024 segments lives as an (8, 128) lane tile with all
+    decode state in VMEM/vregs; one while-loop iteration decodes one
+    Huffman symbol on every lane:
+
+    - the input arrives as big-endian 32-bit words (built for free in
+      the XLA prelude, where the pack fuses into the row gather); bits
+      are served from a 12-word (384-bit) per-lane L1 buffer held in
+      vregs and refilled by a group-masked reduction once per 4
+      iterations, so no per-symbol 256-wide window read is needed;
+    - the (len,run,size) lookup is a 512-wide one-hot int8 matmul on
+      the MXU (codes are <= 9 bits by construction);
+    - coefficients accumulate into the (8, 128, nblk*64) output tile
+      with a one-hot masked add.
+
+    Iterations per kernel block = max symbols over its 1024 lanes,
+    which is why callers sort lanes by segment length first. Measured
+    on v5e: ~2.2 us/iteration + ~60 us/block fixed; the bench clip
+    runs ~14 ms per 8-frame 1080p batch.
 
     Sequential semantics being vectorized: libavcodec/mjpegdec.c
     decode_block / ITU T.81 F.2.2 (same as jpeg_scan_decode9).
     """
     import jax
     import jax.numpy as jnp
-    from jax.experimental.pallas import tpu as pltpu
+    from jax import lax
 
     S = stride
+    NW = S // 4               # 32-bit words per lane
+    NG = NW // 8              # 8-word (256-bit) refill groups
     NCOEF = nblk * 64
-    CHUNK = 8              # body steps per while-loop condition check
+    CHUNK = 4                 # body steps per refill + cond check
 
-    def kernel(rows_ref, end_ref, cur0_ref, lut_ref, out_ref, rows32_ref):
-        # rows_ref (1,S,8,128) u8; end_ref (1,8,128) i32; cur0_ref
-        # (1,8,128) i32 initial bit positions; lut_ref (1,512,16) i8
-        # (this block's frame); out_ref (1,8,128,NCOEF) i16;
-        # rows32_ref scratch (S,8,128) i32
+    def srl(x, n):
+        return lax.shift_right_logical(x, n)
+
+    def kernel(words_ref, end_ref, cur0_ref, lut_ref, out_ref):
+        # words_ref (1,NW,8,128) i32 big-endian words; end_ref
+        # (1,8,128) i32; cur0_ref (1,8,128) i32 initial bit positions;
+        # lut_ref (1,512,16) i8 (this block's frame); out_ref
+        # (1,8,128,nblk*64) i16
+        peek_bits = lut_rows.bit_length() - 1      # 512 -> 9, 256 -> 8
         lut_const = lut_ref[0]
-        r = rows_ref[0].astype(jnp.int32)
-        r1 = pltpu.roll(r, S - 1, 0)
-        r2 = pltpu.roll(r, S - 2, 0)
-        r3 = pltpu.roll(r, S - 3, 0)
-        rows32_ref[:] = (r << 24) | (r1 << 16) | (r2 << 8) | r3
         end = end_ref[0]
         out_ref[0] = jnp.zeros((8, 128, NCOEF), jnp.int16)
+        gidx = lax.broadcasted_iota(jnp.int32, (NG, 8, 8, 128), 0)
+        oh_iota = lax.broadcasted_iota(jnp.int32, (8, 128, lut_rows), 2)
+        emit_iota = lax.broadcasted_iota(jnp.int32, (8, 128, NCOEF), 2)
+
+        def refill(cur):
+            """L1 = 12 words covering bits [g*256, g*256+384)."""
+            g = srl(cur, 8)
+            wv = words_ref[0].reshape(NG, 8, 8, 128)
+            main = jnp.sum(jnp.where(gidx == g[None, None], wv, 0), axis=0)
+            nxt = jnp.sum(jnp.where(gidx[:, :4] == (g[None, None] + 1),
+                                    wv[:, :4], 0), axis=0)
+            return g * 256, [main[i] for i in range(8)] + \
+                [nxt[i] for i in range(4)]
+
+        def peek32(cur, base, lbuf):
+            """32 bits at absolute bit position cur (cur-base <= 335)."""
+            off = cur - base
+            wi = srl(off, 5)
+            w0 = lbuf[0]
+            w1 = lbuf[1]
+            for i in range(1, 12):
+                m = wi == i
+                w0 = jnp.where(m, lbuf[i], w0)
+                w1 = jnp.where(m, lbuf[i + 1] if i + 1 < 12 else lbuf[i],
+                               w1)
+            sh = off & 31
+            return (w0 << sh) | srl(srl(w1, 1), 31 - sh)
 
         def cond(c):
-            it, cur, blk, k, p0, p1, p2 = c
+            it, cur, blk = c[:3]
             return (it < max_iter) & jnp.any(blk < end)
 
         def body(c):
-            it, cur, blk, k, p0, p1, p2 = c
+            it, cur, blk, k, p0, p1, p2, base, lbuf = c
             done = blk >= end
-            cb = jnp.clip(cur >> 3, 0, S - 1)
-            pos_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 8, 128), 0)
-            w32 = jnp.sum(jnp.where(pos_iota == cb[None],
-                                    rows32_ref[:], 0), axis=0)
-            sh = cur & 7
-            look9 = (w32 >> (23 - sh)) & 0x1FF
-            oh_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 512), 2)
+            w32 = peek32(cur, base, lbuf)
+            look9 = srl(w32, 32 - peek_bits)
             oh = (oh_iota == look9[..., None]).astype(jnp.int8)
-            res = jax.lax.dot_general(
-                oh, lut_const, (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)        # (8,128,16)
+            res = lax.dot_general(oh, lut_const, (((2,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
             b6 = jnp.clip(blk, 0, nblk - 1) % 6
             comp = (b6 >= 4).astype(jnp.int32) + (b6 >= 5)
             is_dc = k < 0
             sel = jnp.where(is_dc, 0, 2) + (comp > 0)
 
-            def pick(col0):
+            def pick(c0):
                 return jnp.where(
-                    sel == 0, res[..., col0],
-                    jnp.where(sel == 1, res[..., col0 + 3],
-                              jnp.where(sel == 2, res[..., col0 + 6],
-                                        res[..., col0 + 9])))
+                    sel == 0, res[..., c0],
+                    jnp.where(sel == 1, res[..., c0 + 3],
+                              jnp.where(sel == 2, res[..., c0 + 6],
+                                        res[..., c0 + 9])))
 
             ln = pick(0)
             run = pick(1)
             sz = pick(2)
-            mag = (w32 >> (32 - sh - ln - sz)) & ((1 << sz) - 1)
-            half = (1 << sz) >> 1
+            mag = srl(w32, jnp.clip(32 - ln - sz, 0, 31)) & ((1 << sz) - 1)
+            half = srl(1 << sz, 1)
             val = jnp.where((sz > 0) & (mag < half),
                             mag - (1 << sz) + 1, mag)
             cur = jnp.where(done, cur, cur + ln + sz)
@@ -381,8 +413,6 @@ def _make_pl_kernel(stride: int, max_iter: int, nblk: int):
             write = (is_dc | (sz > 0)) & (~done) & (pos < 64)
             slot = jnp.clip(blk, 0, nblk - 1) * 64 + jnp.clip(pos, 0, 63)
             wslot = jnp.where(write, slot, NCOEF)
-            emit_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (8, 128, NCOEF), 2)
             emit = jnp.where(emit_iota == wslot[..., None],
                              coef_val[..., None], 0).astype(jnp.int16)
             out_ref[0] += emit
@@ -394,16 +424,21 @@ def _make_pl_kernel(stride: int, max_iter: int, nblk: int):
             bdone = (~is_dc) & (eob | (k_new >= 64))
             blk = jnp.where((~done) & bdone, blk + 1, blk)
             k = jnp.where(done, k, jnp.where(bdone, -1, k_new))
-            return (it + 1, cur, blk, k, p0, p1, p2)
+            return (it + 1, cur, blk, k, p0, p1, p2, base, lbuf)
 
         def chunk_body(c):
+            it, cur, blk, k, p0, p1, p2, base, lbuf = c
+            base, lbuf = refill(cur)
+            c = (it, cur, blk, k, p0, p1, p2, base, lbuf)
             for _ in range(CHUNK):
                 c = body(c)
             return c
 
         z = jnp.zeros((8, 128), jnp.int32)
+        base0, lbuf0 = refill(cur0_ref[0])
         jax.lax.while_loop(cond, chunk_body,
-                           (jnp.int32(0), cur0_ref[0], z, z - 1, z, z, z))
+                           (jnp.int32(0), cur0_ref[0], z, z - 1, z, z, z,
+                            base0, lbuf0))
 
     return kernel
 
@@ -428,6 +463,9 @@ def jpeg_scan_decode9_pl(rows, lens, lut9, blocks_per_seg: int = 6,
     from jax.experimental.pallas import tpu as pltpu
 
     L, S = rows.shape
+    if S % 32:
+        raise ValueError("jpeg_scan_decode9_pl: stride must be a "
+                         "multiple of 32 (word-group refill)")
     NBLK = blocks_per_seg
     NCOEF = NBLK * 64
     if max_iter <= 0:
@@ -436,6 +474,10 @@ def jpeg_scan_decode9_pl(rows, lens, lut9, blocks_per_seg: int = 6,
     lut9 = jnp.asarray(lut9, jnp.int8)
     if lut9.ndim == 2:
         lut9 = lut9[None]
+    lut_rows = lut9.shape[-2]              # 512 (<=9-bit) or 256 (<=8)
+    if lut_rows not in (256, 512):
+        raise ValueError("jpeg_scan_decode9_pl: lut must have 256 or "
+                         "512 rows")
     F = lut9.shape[0]
     if L % F:
         raise ValueError("jpeg_scan_decode9_pl: L not divisible by F")
@@ -462,33 +504,37 @@ def jpeg_scan_decode9_pl(rows, lens, lut9, blocks_per_seg: int = 6,
                       NBLK, 0).astype(jnp.int32)
     cur0_s = jnp.take_along_axis(cur0, perm, axis=1)
 
-    r4 = rows_s.reshape(nb, 8, 128, S).transpose(0, 3, 1, 2)
+    # big-endian 32-bit words, packed in the XLA prelude where the
+    # byte combine fuses into the gather (the kernel reads words only)
+    r5 = rows_s.reshape(nb, 8, 128, S // 4, 4).astype(jnp.int32)
+    w32 = (r5[..., 0] << 24) | (r5[..., 1] << 16) \
+        | (r5[..., 2] << 8) | r5[..., 3]
+    w4 = w32.transpose(0, 3, 1, 2)                  # (nb, NW, 8, 128)
     e3 = end_s.reshape(nb, 8, 128)
     c3 = cur0_s.reshape(nb, 8, 128)
-    lutpad = jnp.zeros((F, 512, 16), jnp.int8).at[:, :, :12].set(lut9)
-    kernel = _make_pl_kernel(S, max_iter, NBLK)
+    lutpad = jnp.zeros((F, lut_rows, 16), jnp.int8).at[:, :, :12].set(lut9)
+    kernel = _make_pl_kernel(S, max_iter, NBLK, lut_rows)
     out = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, S, 8, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, S // 4, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 512, 16), lambda i: (i // bpf, 0, 0),
+            pl.BlockSpec((1, lut_rows, 16), lambda i: (i // bpf, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 8, 128, NCOEF),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb, 8, 128, NCOEF), jnp.int16),
-        scratch_shapes=[pltpu.VMEM((S, 8, 128), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(r4, e3, c3, lutpad)
+    )(w4, e3, c3, lutpad)
     out = out.reshape(F, npf_p, NCOEF)
     inv = jnp.argsort(perm, axis=1)
     out = jnp.take_along_axis(out, inv[:, :, None], axis=1)[:, :npf]
