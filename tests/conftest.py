@@ -30,9 +30,22 @@ DATA = REPO / "tests" / "data"
 REF_FFMPEG = Path("/tmp/ffbuild/ffmpeg")
 REF_FFPROBE = Path("/tmp/ffbuild/ffprobe")
 
+# Golden record/replay layer: with the oracle built, invocations can be
+# recorded (FFTPU_GOLDEN_RECORD=1); without it, committed vectors replay
+# so a clean clone still validates the differential suite (tests whose
+# vectors aren't recorded skip individually).
+import importlib.util as _ilu  # noqa: E402
+
+_spec = _ilu.spec_from_file_location("golden", Path(__file__).parent
+                                     / "golden.py")
+golden = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(golden)
+
+golden.install([REF_FFMPEG, REF_FFPROBE])
+
 
 def have_ref() -> bool:
-    return REF_FFMPEG.exists()
+    return REF_FFMPEG.exists() or golden.have_golden()
 
 
 def run_ref(args, **kw):
