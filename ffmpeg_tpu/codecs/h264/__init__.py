@@ -317,7 +317,9 @@ class H264Decoder(Codec):
             self._pending_field = None
             sps = dec.sps
             w, h = sps.width, sps.mb_height * 32
-            f = Frame.video(w, h, "yuv420p",
+            fmt = "yuv420p" if sps.bit_depth_luma == 8 else \
+                f"yuv420p{sps.bit_depth_luma}le"
+            f = Frame.video(w, h, fmt,
                             planes=[y[:h], u[:h // 2], v[:h // 2]],
                             pts=pkt.pts,
                             time_base=pkt.time_base
@@ -340,7 +342,9 @@ class H264Decoder(Codec):
     def _emit(self, dec: SliceDecoder, pkt: Packet) -> Frame:
         sh = getattr(dec, "last_sh", None)
         do_deblock = sh is not None and sh.disable_deblocking != 1
-        if self.options.get("recon") == "tpu":
+        if self.options.get("recon") == "tpu" and dec.bd == 8:
+            # the jitted device program is 8-bit; >8-bit uses the host
+            # path (device high-bit-depth recon: planned, HEVC-style)
             from . import recon_tpu
             recon_tpu.reconstruct(
                 dec,
@@ -442,8 +446,10 @@ class H264Decoder(Codec):
         y = dec.y[t:t + h, l:l + w]
         u = dec.u[t // 2:(t + h) // 2, l // 2:(l + w) // 2]
         v = dec.v[t // 2:(t + h) // 2, l // 2:(l + w) // 2]
-        f = Frame.video(w, h, "yuv420p", planes=[y.copy(), u.copy(),
-                                                  v.copy()], pts=pkt.pts,
+        fmt = "yuv420p" if sps.bit_depth_luma == 8 else \
+            f"yuv420p{sps.bit_depth_luma}le"
+        f = Frame.video(w, h, fmt, planes=[y.copy(), u.copy(),
+                                           v.copy()], pts=pkt.pts,
                         time_base=pkt.time_base or Rational(1, 25))
         f.key_frame = bool(getattr(dec, "last_sh", None)
                            and dec.last_sh.idr)

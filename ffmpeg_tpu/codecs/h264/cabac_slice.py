@@ -669,7 +669,7 @@ def _luma_residual_cabac(dec, sc, mbx, mby, qp, cbp_luma, trans8, intra):
                 lv64 = np.zeros(64, np.int64)
                 lv64[dec.scan8] = lv
                 dec.coeff8_y[mby * 2 + dy8, mbx * 2 + dx8] = \
-                    recon.dequant8(lv64, qp, w8)
+                    recon.dequant8(lv64, qp + dec.qp_bd_offset, w8)
                 dec.nnz_y[y4:y4 + 2, x4:x4 + 2] = 1
             else:
                 dec.nnz_y[y4:y4 + 2, x4:x4 + 2] = 0
@@ -685,7 +685,8 @@ def _luma_residual_cabac(dec, sc, mbx, mby, qp, cbp_luma, trans8, intra):
         dec.nnz_y[by4, bx4] = total
         raster = np.zeros(16, np.int64)
         raster[dec.scan4] = lv
-        dec.coeff_y[by4, bx4] = recon.dequant4(raster, qp, w4)
+        dec.coeff_y[by4, bx4] = recon.dequant4(
+            raster, qp + dec.qp_bd_offset, w4)
 
 
 def _decode_mb_cabac_b8x8(dec, sc, mbx, mby):
@@ -812,7 +813,7 @@ def _decode_mb_cabac_b(dec, sc, mbx, mby, qp, mb_type):
     if dec.pps.transform_8x8_mode and cbp_luma and ok8:
         trans8 = bool(sc.transform_size_8x8_flag(mbx, mby))
     if cbp:
-        qp = (qp + sc.mb_qp_delta() + 52) % 52
+        qp = dec._qp_add(qp, sc.mb_qp_delta())
     else:
         sc.last_dqp = 0
     dec.mb_qp[mby, mbx] = qp
@@ -883,7 +884,7 @@ def _decode_mb_cabac_intra(dec, sc, mbx, mby, qp, t, intra_slice):
     sc.chroma_mode_tab[mby, mbx] = chroma_mode
 
     if cbp_luma or cbp_chroma or is16:
-        qp = (qp + sc.mb_qp_delta() + 52) % 52
+        qp = dec._qp_add(qp, sc.mb_qp_delta())
     else:
         sc.last_dqp = 0
     dec.mb_qp[mby, mbx] = qp
@@ -897,7 +898,8 @@ def _decode_mb_cabac_intra(dec, sc, mbx, mby, qp, t, intra_slice):
             cbp_entry |= 0x100
         dc_raster = np.zeros(16, np.int64)
         dc_raster[dec.scan4] = dc_lv
-        dcs = recon.luma_dc_transform(dc_raster, qp, s4[0][0])
+        dcs = recon.luma_dc_transform(
+            dc_raster, qp + dec.qp_bd_offset, s4[0][0])
         for blk in range(16):
             dxb, dyb = _BLK_XY[blk]
             bx4, by4 = bx + dxb, by + dyb
@@ -908,7 +910,7 @@ def _decode_mb_cabac_intra(dec, sc, mbx, mby, qp, t, intra_slice):
                 raster[dec.scan4[1:]] = lv
             else:
                 dec.nnz_y[by4, bx4] = 0
-            block = recon.dequant4(raster, qp, s4[0])
+            block = recon.dequant4(raster, qp + dec.qp_bd_offset, s4[0])
             block[0] = dcs[dyb, dxb]
             dec.coeff_y[by4, bx4] = block
         dec.blk_done[by:by + 4, bx:bx + 4] = True
@@ -931,7 +933,8 @@ def _decode_mb_cabac_intra(dec, sc, mbx, mby, qp, t, intra_slice):
                 dec.nnz_y[by4, bx4] = total
                 raster = np.zeros(16, np.int64)
                 raster[dec.scan4] = lv
-                dec.coeff_y[by4, bx4] = recon.dequant4(raster, qp, s4[0])
+                dec.coeff_y[by4, bx4] = recon.dequant4(
+                    raster, qp + dec.qp_bd_offset, s4[0])
             else:
                 dec.nnz_y[by4, bx4] = 0
             dec.blk_done[by4, bx4] = True
@@ -984,7 +987,7 @@ def _decode_mb_cabac_p(dec, sc, mbx, mby, qp, mb_type):
             (mb_type in (0, 1, 2) or all(st == 0 for st in subs)):
         trans8 = bool(sc.transform_size_8x8_flag(mbx, mby))
     if cbp:
-        qp = (qp + sc.mb_qp_delta() + 52) % 52
+        qp = dec._qp_add(qp, sc.mb_qp_delta())
     else:
         sc.last_dqp = 0
     dec.mb_qp[mby, mbx] = qp
@@ -1003,10 +1006,8 @@ def _amvd(sc, bx, by, comp, lst=0):
 
 def _decode_chroma_cabac(dec, sc, mbx, mby, qp, chroma_mode, cbp_chroma,
                          avail_l, avail_t, cbp_entry, intra):
-    qpc = T.CHROMA_QP_8BIT[
-        max(0, min(51, qp + dec.pps.chroma_qp_index_offset))]
-    qpc2 = T.CHROMA_QP_8BIT[
-        max(0, min(51, qp + dec.pps.second_chroma_qp_index_offset))]
+    qpc = dec._chroma_qp(qp, dec.pps.chroma_qp_index_offset)
+    qpc2 = dec._chroma_qp(qp, dec.pps.second_chroma_qp_index_offset)
     if intra:
         dec.chroma_imode[mby, mbx] = chroma_mode
         dec.mb_nbr_avail[mby, mbx] = (avail_l, avail_t)

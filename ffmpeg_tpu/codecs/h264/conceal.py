@@ -96,4 +96,4 @@ def _conceal_spatial(dec, missing) -> None:
                 elif first is not None and not covered[r].any():
                     pass        # already filled downward
         else:
-            plane[:] = 128
+            plane[:] = 1 << (dec.bd - 1)

@@ -22,17 +22,18 @@ def _tap6(a):
 
 
 def mc_luma(ref: np.ndarray, mvx: int, mvy: int, x: int, y: int,
-            w: int, h: int) -> np.ndarray:
+            w: int, h: int, bd: int = 8) -> np.ndarray:
     """Motion-compensated (h, w) luma block at quarter-pel mv."""
+    maxv = (1 << bd) - 1
     xi, yi = x + (mvx >> 2), y + (mvy >> 2)
     xf, yf = mvx & 3, mvy & 3
     if xf == 0 and yf == 0:
-        return _gather(ref, yi, xi, h, w).astype(np.uint8)
+        return _gather(ref, yi, xi, h, w).astype(ref.dtype)
     # padded int-pel region: 2 left/top, 3 right/bottom (+1 for quarter avg)
     pad = _gather(ref, yi - 2, xi - 2, h + 6, w + 6)
 
     def clip8(v):
-        return np.clip(v, 0, 255)
+        return np.clip(v, 0, maxv)
 
     # horizontal halfpel rows b at every int row (rows 0..h+5 → need h+6)
     b_full = (_tap6(pad.T).T + 16) >> 5          # (h+6, w+1)
@@ -82,11 +83,11 @@ def mc_luma(ref: np.ndarray, mvx: int, mvy: int, x: int, y: int,
         bb = b[:h, :w] if yf == 1 else b[1:h + 1, :w]
         hhh = hh[:h, :w] if xf == 1 else hh[:h, 1:w + 1]
         out = avg(bb, hhh)
-    return out.astype(np.uint8)
+    return out.astype(ref.dtype)
 
 
 def mc_chroma(ref: np.ndarray, mvx: int, mvy: int, x: int, y: int,
-              w: int, h: int) -> np.ndarray:
+              w: int, h: int, bd: int = 8) -> np.ndarray:
     """Eighth-pel bilinear chroma (mv in luma quarter units → chroma
     eighth units are the same integer values)."""
     xi, yi = x + (mvx >> 3), y + (mvy >> 3)
@@ -98,7 +99,7 @@ def mc_chroma(ref: np.ndarray, mvx: int, mvy: int, x: int, y: int,
     D = pad[1:h + 1, 1:w + 1]
     out = ((8 - xf) * (8 - yf) * A + xf * (8 - yf) * B +
            (8 - xf) * yf * C + xf * yf * D + 32) >> 6
-    return out.astype(np.uint8)
+    return out.astype(ref.dtype)
 
 
 def median_mv(a, b, c):

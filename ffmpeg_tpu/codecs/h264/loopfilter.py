@@ -14,23 +14,24 @@ def _clip3(x, lo, hi):
     return max(lo, min(hi, x))
 
 
-def _filter_luma_edge(P, Q, bs, index_a, beta):
+def _filter_luma_edge(P, Q, bs, index_a, beta, scale=1, maxv=255):
     """P/Q: lists of 4 samples each side (p3..p0 / q0..q3) per pixel row.
-    Returns filtered (P, Q)."""
-    alpha = T.ALPHA_TABLE[52 + index_a]
+    Returns filtered (P, Q). alpha/beta/tc0 pre-scale by 1<<(bd-8)
+    (spec 8.7.2.2 high-bit-depth threshold scaling)."""
+    alpha = T.ALPHA_TABLE[52 + index_a] * scale
     p3, p2, p1, p0 = P
     q0, q1, q2, q3 = Q
     if abs(p0 - q0) >= alpha or abs(p1 - p0) >= beta or \
             abs(q1 - q0) >= beta:
         return P, Q
     if bs < 4:
-        tc0 = T.TC0_TABLE[52 + index_a][bs]
+        tc0 = T.TC0_TABLE[52 + index_a][bs] * scale
         ap = abs(p2 - p0) < beta
         aq = abs(q2 - q0) < beta
         tc = tc0 + (1 if ap else 0) + (1 if aq else 0)
         delta = _clip3((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
-        np0 = _clip3(p0 + delta, 0, 255)
-        nq0 = _clip3(q0 - delta, 0, 255)
+        np0 = _clip3(p0 + delta, 0, maxv)
+        nq0 = _clip3(q0 - delta, 0, maxv)
         np1 = p1 + _clip3((p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1,
                           -tc0, tc0) if ap else p1
         nq1 = q1 + _clip3((q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1,
@@ -55,15 +56,16 @@ def _filter_luma_edge(P, Q, bs, index_a, beta):
     return (p3, np2, np1, np0), (nq0, nq1, nq2, q3)
 
 
-def _filter_chroma_edge(p1, p0, q0, q1, bs, index_a, beta):
-    alpha = T.ALPHA_TABLE[52 + index_a]
+def _filter_chroma_edge(p1, p0, q0, q1, bs, index_a, beta, scale=1,
+                        maxv=255):
+    alpha = T.ALPHA_TABLE[52 + index_a] * scale
     if abs(p0 - q0) >= alpha or abs(p1 - p0) >= beta or \
             abs(q1 - q0) >= beta:
         return p0, q0
     if bs < 4:
-        tc = T.TC0_TABLE[52 + index_a][bs] + 1
+        tc = T.TC0_TABLE[52 + index_a][bs] * scale + 1
         delta = _clip3((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
-        return _clip3(p0 + delta, 0, 255), _clip3(q0 - delta, 0, 255)
+        return _clip3(p0 + delta, 0, maxv), _clip3(q0 - delta, 0, maxv)
     return (2 * p1 + p0 + q1 + 2) >> 2, (2 * q1 + q0 + p1 + 2) >> 2
 
 
@@ -73,6 +75,13 @@ def deblock_frame(dec, alpha_off=0, beta_off=0):
     nnz_y; I-frames: MB edges bS 4, internal bS 3 when coeffs present."""
     sps = dec.sps
     nmbx, nmby = sps.mb_width, sps.mb_height
+    scale = 1 << (dec.bd - 8)
+    maxv = (1 << dec.bd) - 1
+    qoff = dec.qp_bd_offset
+
+    def chroma_qp_f(qp, coff):
+        qpi = _clip3(qp + coff, -qoff, 51)
+        return qpi if qpi < 0 else T.CHROMA_QP_8BIT[qpi]
     qpc_off = dec.pps.chroma_qp_index_offset
     qpc2_off = dec.pps.second_chroma_qp_index_offset
 
@@ -148,7 +157,8 @@ def deblock_frame(dec, alpha_off=0, beta_off=0):
                     qp_p = qp_cur
                 qp_avg = (qp_p + qp_cur + 1) >> 1
                 ia = _clip3(qp_avg + alpha_off, 0, 51)
-                beta = T.BETA_TABLE[52 + _clip3(qp_avg + beta_off, 0, 51)]
+                beta = T.BETA_TABLE[
+                    52 + _clip3(qp_avg + beta_off, 0, 51)] * scale
                 if T.ALPHA_TABLE[52 + ia] == 0:
                     continue
                 bxq = mbx * 4 + e
@@ -159,7 +169,8 @@ def deblock_frame(dec, alpha_off=0, beta_off=0):
                         continue
                     Pv = tuple(int(dec.y[row, x - 4 + k]) for k in range(4))
                     Qv = tuple(int(dec.y[row, x + k]) for k in range(4))
-                    Pn, Qn = _filter_luma_edge(Pv, Qv, bs, ia, beta)
+                    Pn, Qn = _filter_luma_edge(Pv, Qv, bs, ia, beta,
+                                               scale, maxv)
                     for k in range(4):
                         dec.y[row, x - 4 + k] = Pn[k]
                         dec.y[row, x + k] = Qn[k]
@@ -167,12 +178,11 @@ def deblock_frame(dec, alpha_off=0, beta_off=0):
                     cxe = mbx * 8 + (e // 2) * 4
                     for ci, plane in enumerate((dec.u, dec.v)):
                         coff = qpc_off if ci == 0 else qpc2_off
-                        qpc = (T.CHROMA_QP_8BIT[_clip3(qp_p + coff, 0, 51)] +
-                               T.CHROMA_QP_8BIT[_clip3(qp_cur + coff, 0, 51)]
-                               + 1) >> 1
+                        qpc = (chroma_qp_f(qp_p, coff)
+                               + chroma_qp_f(qp_cur, coff) + 1) >> 1
                         cia = _clip3(qpc + alpha_off, 0, 51)
                         cbeta = T.BETA_TABLE[
-                            52 + _clip3(qpc + beta_off, 0, 51)]
+                            52 + _clip3(qpc + beta_off, 0, 51)] * scale
                         if T.ALPHA_TABLE[52 + cia] == 0:
                             continue
                         for row in range(mby * 8, mby * 8 + 8):
@@ -185,7 +195,8 @@ def deblock_frame(dec, alpha_off=0, beta_off=0):
                             q0, q1 = int(plane[row, cxe]), \
                                 int(plane[row, cxe + 1])
                             np0, nq0 = _filter_chroma_edge(
-                                p1, p0, q0, q1, bs, cia, cbeta)
+                                p1, p0, q0, q1, bs, cia, cbeta,
+                                scale, maxv)
                             plane[row, cxe - 1] = np0
                             plane[row, cxe] = nq0
             # ---- horizontal edges ---------------------------------------
@@ -201,7 +212,8 @@ def deblock_frame(dec, alpha_off=0, beta_off=0):
                     qp_p = qp_cur
                 qp_avg = (qp_p + qp_cur + 1) >> 1
                 ia = _clip3(qp_avg + alpha_off, 0, 51)
-                beta = T.BETA_TABLE[52 + _clip3(qp_avg + beta_off, 0, 51)]
+                beta = T.BETA_TABLE[
+                    52 + _clip3(qp_avg + beta_off, 0, 51)] * scale
                 if T.ALPHA_TABLE[52 + ia] == 0:
                     continue
                 byq = mby * 4 + e
@@ -212,7 +224,8 @@ def deblock_frame(dec, alpha_off=0, beta_off=0):
                         continue
                     Pv = tuple(int(dec.y[y - 4 + k, col]) for k in range(4))
                     Qv = tuple(int(dec.y[y + k, col]) for k in range(4))
-                    Pn, Qn = _filter_luma_edge(Pv, Qv, bs, ia, beta)
+                    Pn, Qn = _filter_luma_edge(Pv, Qv, bs, ia, beta,
+                                               scale, maxv)
                     for k in range(4):
                         dec.y[y - 4 + k, col] = Pn[k]
                         dec.y[y + k, col] = Qn[k]
@@ -220,12 +233,11 @@ def deblock_frame(dec, alpha_off=0, beta_off=0):
                     cye = mby * 8 + (e // 2) * 4
                     for ci, plane in enumerate((dec.u, dec.v)):
                         coff = qpc_off if ci == 0 else qpc2_off
-                        qpc = (T.CHROMA_QP_8BIT[_clip3(qp_p + coff, 0, 51)] +
-                               T.CHROMA_QP_8BIT[_clip3(qp_cur + coff, 0, 51)]
-                               + 1) >> 1
+                        qpc = (chroma_qp_f(qp_p, coff)
+                               + chroma_qp_f(qp_cur, coff) + 1) >> 1
                         cia = _clip3(qpc + alpha_off, 0, 51)
                         cbeta = T.BETA_TABLE[
-                            52 + _clip3(qpc + beta_off, 0, 51)]
+                            52 + _clip3(qpc + beta_off, 0, 51)] * scale
                         if T.ALPHA_TABLE[52 + cia] == 0:
                             continue
                         for col in range(mbx * 8, mbx * 8 + 8):
@@ -238,6 +250,7 @@ def deblock_frame(dec, alpha_off=0, beta_off=0):
                             q0, q1 = int(plane[cye, col]), \
                                 int(plane[cye + 1, col])
                             np0, nq0 = _filter_chroma_edge(
-                                p1, p0, q0, q1, bs, cia, cbeta)
+                                p1, p0, q0, q1, bs, cia, cbeta,
+                                scale, maxv)
                             plane[cye - 1, col] = np0
                             plane[cye, col] = nq0

@@ -163,8 +163,11 @@ def parse_sps(rbsp: bytes) -> SPS:
         if b.get1():            # seq_scaling_matrix_present
             s.scaling4, s.scaling8 = parse_scaling_matrices(
                 b, 2, None, None)
-    if s.chroma_format_idc != 1 or s.bit_depth_luma != 8:
-        raise NotSupported("h264: only 4:2:0 8-bit supported")
+    if s.chroma_format_idc != 1:
+        raise NotSupported("h264: only 4:2:0 chroma supported")
+    if not 8 <= s.bit_depth_luma <= 14 or \
+            s.bit_depth_chroma != s.bit_depth_luma:
+        raise NotSupported("h264: bit depth must be 8..14, luma==chroma")
     s.log2_max_frame_num = b.ue() + 4
     s.poc_type = b.ue()
     if s.poc_type == 0:

@@ -81,8 +81,9 @@ def dequant8(levels_raster: np.ndarray, qp: int,
     return _rshift_round(c * ls, 6 - m)
 
 
-def idct8_add(dst: np.ndarray, block: np.ndarray) -> None:
-    """In-place: dst(8,8) uint8 += idct8(block(64,) raster int) — the
+def idct8_add(dst: np.ndarray, block: np.ndarray,
+              maxv: int = 255) -> None:
+    """In-place: dst(8,8) pixels += idct8(block(64,) raster int) — the
     exact integer transform of spec 8.5.12.3 (h264idct8_add)."""
     b = block.astype(np.int64).reshape(8, 8)
 
@@ -113,12 +114,13 @@ def idct8_add(dst: np.ndarray, block: np.ndarray) -> None:
     t = pass1([b[:, i] for i in range(8)])       # -> (h_out, row)
     s = pass1([t[:, k] for k in range(8)])       # -> (v_out, h_out)
     r = (s + 32) >> 6
-    out = np.clip(dst.astype(np.int64) + r, 0, 255)
-    dst[:] = out.astype(np.uint8)
+    out = np.clip(dst.astype(np.int64) + r, 0, maxv)
+    dst[:] = out.astype(dst.dtype)
 
 
-def idct4_add(dst: np.ndarray, block: np.ndarray) -> None:
-    """In-place: dst(4,4) uint8 += idct(block(16,) raster int)."""
+def idct4_add(dst: np.ndarray, block: np.ndarray,
+              maxv: int = 255) -> None:
+    """In-place: dst(4,4) pixels += idct(block(16,) raster int)."""
     b = block.astype(np.int64).reshape(4, 4).copy()
     b[0, 0] += 32
     z0 = b[0] + b[2]
@@ -131,8 +133,8 @@ def idct4_add(dst: np.ndarray, block: np.ndarray) -> None:
     z2 = (r[:, 1] >> 1) - r[:, 3]
     z3 = r[:, 1] + (r[:, 3] >> 1)
     out = np.stack([z0 + z3, z1 + z2, z1 - z2, z0 - z3], axis=1) >> 6
-    np.clip(dst.astype(np.int64) + out, 0, 255, out=out)
-    dst[:] = out.astype(np.uint8)
+    np.clip(dst.astype(np.int64) + out, 0, maxv, out=out)
+    dst[:] = out.astype(dst.dtype)
 
 
 def luma_dc_transform(dc_levels: np.ndarray, qp: int,
@@ -164,7 +166,8 @@ def chroma_dc_transform(dc_levels: np.ndarray, qp: int,
 # Intra prediction.  All functions take the plane, position and
 # availability flags, returning the predicted block.
 
-def pred4x4(plane, x, y, mode, avail_l, avail_t, avail_tr, avail_tl):
+def pred4x4(plane, x, y, mode, avail_l, avail_t, avail_tr,
+            avail_tl, bd=8):
     # invalid streams can request a mode whose reference samples are
     # unavailable (the reference errors the slice; we conceal with DC)
     if (not avail_l and mode in (1, 4, 5, 6, 8)) or \
@@ -194,7 +197,7 @@ def pred4x4(plane, x, y, mode, avail_l, avail_t, avail_tr, avail_tl):
         elif avail_t:
             dc = (int(top.sum()) + 2) >> 2
         else:
-            dc = 128
+            dc = 1 << (bd - 1)
         return np.full((4, 4), dc, np.int32)
     out = np.zeros((4, 4), np.int32)
     if mode == 3:                                  # diagonal down-left
@@ -321,7 +324,8 @@ def filter_ref8(left, top, tl, avail_l, avail_t, avail_tr, avail_tl):
     return lf, tf, tlf
 
 
-def pred8x8(plane, x, y, mode, avail_l, avail_t, avail_tr, avail_tl):
+def pred8x8(plane, x, y, mode, avail_l, avail_t, avail_tr,
+            avail_tl, bd=8):
     """Intra_8x8 luma prediction (spec 8.3.2.2.2-8.3.2.2.10) on
     FILTERED reference samples."""
     # invalid streams can request a mode whose reference samples are
@@ -357,7 +361,7 @@ def pred8x8(plane, x, y, mode, avail_l, avail_t, avail_tr, avail_tl):
         elif avail_t:
             dc = (int(top[:8].sum()) + 4) >> 3
         else:
-            dc = 128
+            dc = 1 << (bd - 1)
         return np.full((8, 8), dc, np.int64)
 
     def t(k):
@@ -430,7 +434,7 @@ def pred8x8(plane, x, y, mode, avail_l, avail_t, avail_tr, avail_tl):
     return out
 
 
-def pred16x16(plane, x, y, mode, avail_l, avail_t):
+def pred16x16(plane, x, y, mode, avail_l, avail_t, bd=8):
     p = plane.astype(np.int32)
     if mode == 0:                                  # vertical
         return np.tile(p[y - 1, x:x + 16], (16, 1))
@@ -445,7 +449,7 @@ def pred16x16(plane, x, y, mode, avail_l, avail_t):
         elif avail_t:
             dc = (int(p[y - 1, x:x + 16].sum()) + 8) >> 4
         else:
-            dc = 128
+            dc = 1 << (bd - 1)
         return np.full((16, 16), dc, np.int32)
     # plane (mode 3)
     top = p[y - 1, x - 1:x + 16].astype(np.int64)
@@ -457,10 +461,10 @@ def pred16x16(plane, x, y, mode, avail_l, avail_t):
     c = (5 * v + 32) >> 6
     jj, ii = np.mgrid[0:16, 0:16]
     out = (a + b * (ii - 7) + c * (jj - 7) + 16) >> 5
-    return np.clip(out, 0, 255)
+    return np.clip(out, 0, (1 << bd) - 1)
 
 
-def pred_chroma8x8(plane, x, y, mode, avail_l, avail_t):
+def pred_chroma8x8(plane, x, y, mode, avail_l, avail_t, bd=8):
     p = plane.astype(np.int32)
     if mode == 1:                                  # horizontal
         return np.tile(p[y:y + 8, x - 1][:, None], (1, 8))
@@ -477,7 +481,8 @@ def pred_chroma8x8(plane, x, y, mode, avail_l, avail_t):
         b = (17 * h + 16) >> 5
         c = (17 * v + 16) >> 5
         jj, ii = np.mgrid[0:8, 0:8]
-        return np.clip((a + b * (ii - 3) + c * (jj - 3) + 16) >> 5, 0, 255)
+        return np.clip((a + b * (ii - 3) + c * (jj - 3) + 16) >> 5,
+                       0, (1 << bd) - 1)
     # DC (mode 0): per-4x4 quadrant rules (spec 8.3.4.1)
     out = np.zeros((8, 8), np.int32)
     for qy in range(2):
@@ -494,20 +499,20 @@ def pred_chroma8x8(plane, x, y, mode, avail_l, avail_t):
                 elif lsum is not None:
                     dc = (lsum + 2) >> 2
                 else:
-                    dc = 128
+                    dc = 1 << (bd - 1)
             elif qx == 1:       # top-right prefers top
                 if tsum is not None:
                     dc = (tsum + 2) >> 2
                 elif lsum is not None:
                     dc = (lsum + 2) >> 2
                 else:
-                    dc = 128
+                    dc = 1 << (bd - 1)
             else:               # bottom-left prefers left
                 if lsum is not None:
                     dc = (lsum + 2) >> 2
                 elif tsum is not None:
                     dc = (tsum + 2) >> 2
                 else:
-                    dc = 128
+                    dc = 1 << (bd - 1)
             out[qy * 4:qy * 4 + 4, qx * 4:qx * 4 + 4] = dc
     return out

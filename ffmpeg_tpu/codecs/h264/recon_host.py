@@ -20,17 +20,17 @@ _BLK_XY = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
            (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3)]
 
 
-def _add_residual(plane, x, y, block):
+def _add_residual(plane, x, y, block, maxv=255):
     if not block.any():
         return
     dst = plane[y:y + 4, x:x + 4].copy()
-    recon.idct4_add(dst, block.astype(np.int64))
+    recon.idct4_add(dst, block.astype(np.int64), maxv)
     plane[y:y + 4, x:x + 4] = dst
 
 
-def _add_residual8(plane, x, y, block):
+def _add_residual8(plane, x, y, block, maxv=255):
     dst = plane[y:y + 8, x:x + 8].copy()
-    recon.idct8_add(dst, block.astype(np.int64))
+    recon.idct8_add(dst, block.astype(np.int64), maxv)
     plane[y:y + 8, x:x + 8] = dst
 
 
@@ -44,13 +44,15 @@ def _luma_residual_mb(dec, mbx, mby):
             bx8, by8 = mbx * 2 + dx8, mby * 2 + dy8
             blk = dec.coeff8_y[by8, bx8]
             if blk.any():
-                _add_residual8(dec.y, bx8 * 8, by8 * 8, blk)
+                _add_residual8(dec.y, bx8 * 8, by8 * 8, blk,
+                               (1 << dec.bd) - 1)
         return
     bx, by = mbx * 4, mby * 4
     for sy in range(4):
         for sx in range(4):
             _add_residual(dec.y, (bx + sx) * 4, (by + sy) * 4,
-                          dec.coeff_y[by + sy, bx + sx])
+                          dec.coeff_y[by + sy, bx + sx],
+                          (1 << dec.bd) - 1)
 
 
 def build_weight_arrays(dec, sh):
@@ -116,15 +118,15 @@ def _implicit_w(poc_cur, poc0, poc1):
     return 64 - w1, w1
 
 
-def _wp_uni(p, w, o, d):
+def _wp_uni(p, w, o, d, maxv=255):
     v = ((p.astype(np.int64) * w + ((1 << d) >> 1)) >> d) + o
-    return np.clip(v, 0, 255).astype(np.uint8)
+    return np.clip(v, 0, maxv).astype(p.dtype)
 
 
-def _wp_bi(p0, p1, w0, w1, o0, o1, d):
+def _wp_bi(p0, p1, w0, w1, o0, o1, d, maxv=255):
     v = ((p0.astype(np.int64) * w0 + p1.astype(np.int64) * w1
           + (1 << d)) >> (d + 1)) + ((o0 + o1 + 1) >> 1)
-    return np.clip(v, 0, 255).astype(np.uint8)
+    return np.clip(v, 0, maxv).astype(p0.dtype)
 
 
 def _recon_inter_mb(dec, mbx, mby, list0, list1):
@@ -144,18 +146,22 @@ def _recon_inter_mb(dec, mbx, mby, list0, list1):
                 ry, ru, rv = lstref[r]["planes"]
                 mvx = int(dec.mv[lst, by4, bx4, 0])
                 mvy = int(dec.mv[lst, by4, bx4, 1])
-                preds.append((mc_luma(ry, mvx, mvy, x, y, 4, 4),
-                              mc_chroma(ru, mvx, mvy, cx, cy, 2, 2),
-                              mc_chroma(rv, mvx, mvy, cx, cy, 2, 2)))
+                preds.append((mc_luma(ry, mvx, mvy, x, y, 4, 4,
+                                      bd=dec.bd),
+                              mc_chroma(ru, mvx, mvy, cx, cy, 2, 2,
+                                        bd=dec.bd),
+                              mc_chroma(rv, mvx, mvy, cx, cy, 2, 2,
+                                        bd=dec.bd)))
                 lists.append(lst)
             if not preds:
                 continue
             d, dcb = int(dl[by4, bx4]), int(dc_[by4, bx4])
+            maxv = (1 << dec.bd) - 1
             if len(preds) == 2:
                 out = tuple(
                     _wp_bi(a, b, int(wt[0][by4, bx4]),
                            int(wt[1][by4, bx4]), int(ot[0][by4, bx4]),
-                           int(ot[1][by4, bx4]), dd)
+                           int(ot[1][by4, bx4]), dd, maxv)
                     for (a, b), wt, ot, dd in zip(
                         zip(*preds), (wl, wu, wv), (ol, ou, ov),
                         (d, dcb, dcb)))
@@ -163,7 +169,7 @@ def _recon_inter_mb(dec, mbx, mby, list0, list1):
                 l0 = lists[0]
                 out = tuple(
                     _wp_uni(a, int(wt[l0, by4, bx4]),
-                            int(ot[l0, by4, bx4]), dd)
+                            int(ot[l0, by4, bx4]), dd, maxv)
                     for a, wt, ot, dd in zip(
                         preds[0], (wl, wu, wv), (ol, ou, ov),
                         (d, dcb, dcb)))
@@ -177,7 +183,8 @@ def _recon_inter_mb(dec, mbx, mby, list0, list1):
         for dy in range(2):
             for dx in range(2):
                 _add_residual(pl, mbx * 8 + dx * 4, mby * 8 + dy * 4,
-                              co[mby * 2 + dy, mbx * 2 + dx])
+                              co[mby * 2 + dy, mbx * 2 + dx],
+                              (1 << dec.bd) - 1)
 
 
 def _recon_intra_mb(dec, mbx, mby):
@@ -193,22 +200,25 @@ def _recon_intra_mb(dec, mbx, mby):
                                 for f in dec.blk8_avail[by8, bx8])
             pred = recon.pred8x8(dec.y, px, py,
                                  int(dec.i8_pred[by8, bx8]),
-                                 al, at, atr, atl)
+                                 al, at, atr, atl, bd=dec.bd)
             dec.y[py:py + 8, px:px + 8] = \
-                np.clip(pred, 0, 255).astype(np.uint8)
+                np.clip(pred, 0, (1 << dec.bd) - 1).astype(dec.y.dtype)
             blk = dec.coeff8_y[by8, bx8]
             if blk.any():
-                _add_residual8(dec.y, px, py, blk)
+                _add_residual8(dec.y, px, py, blk,
+                               (1 << dec.bd) - 1)
         _recon_intra_chroma(dec, mbx, mby, avail_l, avail_t)
         return
     if i16 >= 0:
-        pred = recon.pred16x16(dec.y, x0, y0, i16, avail_l, avail_t)
+        pred = recon.pred16x16(dec.y, x0, y0, i16, avail_l, avail_t,
+                               bd=dec.bd)
         dec.y[y0:y0 + 16, x0:x0 + 16] = \
-            np.clip(pred, 0, 255).astype(np.uint8)
+            np.clip(pred, 0, (1 << dec.bd) - 1).astype(dec.y.dtype)
         for sy in range(4):
             for sx in range(4):
                 _add_residual(dec.y, x0 + sx * 4, y0 + sy * 4,
-                              dec.coeff_y[by + sy, bx + sx])
+                              dec.coeff_y[by + sy, bx + sx],
+                              (1 << dec.bd) - 1)
     else:
         for blk in range(16):
             dx, dy = _BLK_XY[blk]
@@ -216,10 +226,11 @@ def _recon_intra_mb(dec, mbx, mby):
             px, py = x0 + dx * 4, y0 + dy * 4
             al, at, atr, atl = (bool(f) for f in dec.blk_avail[by4, bx4])
             pred = recon.pred4x4(dec.y, px, py, int(dec.i4_pred[by4, bx4]),
-                                 al, at, atr, atl)
+                                 al, at, atr, atl, bd=dec.bd)
             dec.y[py:py + 4, px:px + 4] = \
-                np.clip(pred, 0, 255).astype(np.uint8)
-            _add_residual(dec.y, px, py, dec.coeff_y[by4, bx4])
+                np.clip(pred, 0, (1 << dec.bd) - 1).astype(dec.y.dtype)
+            _add_residual(dec.y, px, py, dec.coeff_y[by4, bx4],
+                          (1 << dec.bd) - 1)
     _recon_intra_chroma(dec, mbx, mby, avail_l, avail_t)
 
 
@@ -227,13 +238,15 @@ def _recon_intra_chroma(dec, mbx, mby, avail_l, avail_t):
     cmode = int(dec.chroma_imode[mby, mbx])
     cx0, cy0 = mbx * 8, mby * 8
     for pl, co in ((dec.u, dec.coeff_u), (dec.v, dec.coeff_v)):
-        pred = recon.pred_chroma8x8(pl, cx0, cy0, cmode, avail_l, avail_t)
+        pred = recon.pred_chroma8x8(pl, cx0, cy0, cmode, avail_l,
+                                    avail_t, bd=dec.bd)
         pl[cy0:cy0 + 8, cx0:cx0 + 8] = \
-            np.clip(pred, 0, 255).astype(np.uint8)
+            np.clip(pred, 0, (1 << dec.bd) - 1).astype(pl.dtype)
         for dy in range(2):
             for dx in range(2):
                 _add_residual(pl, cx0 + dx * 4, cy0 + dy * 4,
-                              co[mby * 2 + dy, mbx * 2 + dx])
+                              co[mby * 2 + dy, mbx * 2 + dx],
+                              (1 << dec.bd) - 1)
 
 
 def reconstruct(dec) -> None:

@@ -167,9 +167,12 @@ class SliceDecoder:
         self.sps = sps
         self.pps = pps
         w, h = sps.mb_width * 16, sps.mb_height * 16
-        self.y = np.full((h, w), 0, np.uint8)
-        self.u = np.full((h // 2, w // 2), 0, np.uint8)
-        self.v = np.full((h // 2, w // 2), 0, np.uint8)
+        self.bd = sps.bit_depth_luma
+        self.qp_bd_offset = 6 * (self.bd - 8)
+        pix = np.uint8 if self.bd == 8 else np.uint16
+        self.y = np.full((h, w), 0, pix)
+        self.u = np.full((h // 2, w // 2), 0, pix)
+        self.v = np.full((h // 2, w // 2), 0, pix)
         nmbx, nmby = sps.mb_width, sps.mb_height
         # ---- parse outputs consumed by recon_host / recon_tpu ----
         # dequantized residual blocks, raster coefficient order (DC of
@@ -218,6 +221,20 @@ class SliceDecoder:
         # reference's per-list ref_cache PART_NOT_AVAILABLE state)
         self._cur_mb = (-1, -1)
         self._curmask = np.zeros((2, 4, 4), bool)
+
+    def _qp_add(self, qp: int, delta: int) -> int:
+        """mb_qp_delta update (spec 7.4.5: QPY wraps in
+        [-QpBdOffsetY, 51])."""
+        off = self.qp_bd_offset
+        return ((qp + delta + 52 + 2 * off) % (52 + off)) - off
+
+    def _chroma_qp(self, qp: int, coff: int) -> int:
+        """QP'c for dequant (spec 8.5.8 + Table 8-15, incl.
+        QpBdOffsetC)."""
+        off = self.qp_bd_offset
+        qpi = max(-off, min(51, qp + coff))
+        qpc = qpi if qpi < 0 else T.CHROMA_QP_8BIT[qpi]
+        return qpc + off
 
     def _te_ref(self, b: Bits, lst: int) -> int:
         """ref_idx_lX as te(v) (spec 7.3.5.2 / 9.1.1): 1-bit inverted
@@ -633,7 +650,7 @@ class SliceDecoder:
         if self.pps.transform_8x8_mode and cbp_luma and ok8:
             trans8 = bool(b.get1())
         if cbp:
-            qp = (qp + b.se() + 52) % 52
+            qp = self._qp_add(qp, b.se())
         self.mb_qp[mby, mbx] = qp
         self._inter_luma_residual(b, mbx, mby, qp, cbp_luma, trans8)
         self._decode_chroma_inter(b, mbx, mby, qp, cbp_chroma)
@@ -754,7 +771,7 @@ class SliceDecoder:
                  or all(st == 0 for st in subs)):
             trans8 = bool(b.get1())
         if cbp:
-            qp = (qp + b.se() + 52) % 52
+            qp = self._qp_add(qp, b.se())
         self.mb_qp[mby, mbx] = qp
         self._inter_luma_residual(b, mbx, mby, qp, cbp_luma, trans8)
         self._decode_chroma_inter(b, mbx, mby, qp, cbp_chroma)
@@ -785,13 +802,13 @@ class SliceDecoder:
             self.nnz_y[by4, bx4] = total
             raster = np.zeros(16, np.int64)
             raster[self.scan4] = lv
-            self.coeff_y[by4, bx4] = recon.dequant4(raster, qp, w4)
+            self.coeff_y[by4, bx4] = recon.dequant4(
+                raster, qp + self.qp_bd_offset, w4)
 
     def _decode_chroma_inter(self, b, mbx, mby, qp, cbp_chroma):
-        qpc = T.CHROMA_QP_8BIT[
-            max(0, min(51, qp + self.pps.chroma_qp_index_offset))]
-        qpc2 = T.CHROMA_QP_8BIT[
-            max(0, min(51, qp + self.pps.second_chroma_qp_index_offset))]
+        qpc = self._chroma_qp(qp, self.pps.chroma_qp_index_offset)
+        qpc2 = self._chroma_qp(qp,
+                               self.pps.second_chroma_qp_index_offset)
         s4 = self.pps.scaling4
         comps = ((self.coeff_u, self.nnz_u, qpc, s4[4]),
                  (self.coeff_v, self.nnz_v, qpc2, s4[5]))
@@ -860,16 +877,17 @@ class SliceDecoder:
             # byte-align then raw samples
             if b.pos & 7:
                 b.pos += 8 - (b.pos & 7)
-            py_ = np.empty((16, 16), np.uint8)
-            pu_ = np.empty((8, 8), np.uint8)
-            pv_ = np.empty((8, 8), np.uint8)
+            pix = self.y.dtype
+            py_ = np.empty((16, 16), pix)
+            pu_ = np.empty((8, 8), pix)
+            pv_ = np.empty((8, 8), pix)
             for j in range(16):
                 for i in range(16):
-                    py_[j, i] = b.get(8)
+                    py_[j, i] = b.get(self.bd)
             for pl in (pu_, pv_):
                 for j in range(8):
                     for i in range(8):
-                        pl[j, i] = b.get(8)
+                        pl[j, i] = b.get(self.bd)
             self.is_pcm[mby, mbx] = True
             self.pcm[mby * self.sps.mb_width + mbx] = (py_, pu_, pv_)
             self.nnz_y[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 16
@@ -915,7 +933,7 @@ class SliceDecoder:
             cbp_luma = cbp & 15
             cbp_chroma = cbp >> 4
             if cbp:
-                qp = (qp + b.se() + 52) % 52
+                qp = self._qp_add(qp, b.se())
             self.mb_qp[mby, mbx] = qp
 
             for blk in range(16):
@@ -934,7 +952,8 @@ class SliceDecoder:
                     raster = np.zeros(16, np.int64)
                     raster[self.scan4] = lv
                     self.coeff_y[by4, bx4] = recon.dequant4(
-                        raster, qp, self.pps.scaling4[0])
+                        raster, qp + self.qp_bd_offset,
+                        self.pps.scaling4[0])
                 else:
                     self.nnz_y[by4, bx4] = 0
                 self.blk_done[by4, bx4] = True
@@ -948,7 +967,7 @@ class SliceDecoder:
         cbp_chroma = (it // 4) % 3
         cbp_luma = 15 if it >= 12 else 0
         chroma_mode = b.ue()
-        qp = (qp + b.se() + 52) % 52
+        qp = self._qp_add(qp, b.se())
         self.mb_qp[mby, mbx] = qp
         self.intra4x4_modes[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 2
         self.i16_mode[mby, mbx] = pred_mode
@@ -958,7 +977,7 @@ class SliceDecoder:
         dc_lv, _dc_total = decode_residual(b, 16, nc)
         dc_raster = np.zeros(16, np.int64)
         dc_raster[self.scan4] = dc_lv
-        dc = recon.luma_dc_transform(dc_raster, qp,
+        dc = recon.luma_dc_transform(dc_raster, qp + self.qp_bd_offset,
                                      self.pps.scaling4[0][0])
 
         for blk in range(16):
@@ -972,7 +991,8 @@ class SliceDecoder:
                 raster[self.scan4[1:]] = lv
             else:
                 self.nnz_y[by4, bx4] = 0
-            block = recon.dequant4(raster, qp, self.pps.scaling4[0])
+            block = recon.dequant4(raster, qp + self.qp_bd_offset,
+                                   self.pps.scaling4[0])
             block[0] = dc[dy, dx]
             self.coeff_y[by4, bx4] = block
         self.blk_done[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = True
@@ -1036,7 +1056,8 @@ class SliceDecoder:
             for i in range(16):
                 lv64[self.scan8[4 * i + n]] = lv[i]
         w8 = self.pps.scaling8[0 if intra else 1]
-        self.coeff8_y[by8, bx8] = recon.dequant8(lv64, qp, w8)
+        self.coeff8_y[by8, bx8] = recon.dequant8(
+            lv64, qp + self.qp_bd_offset, w8)
 
     def _decode_i8x8(self, b: Bits, mbx: int, mby: int, qp: int) -> int:
         """Intra_8x8 macroblock (CAVLC)."""
@@ -1051,7 +1072,7 @@ class SliceDecoder:
         cbp = T.GOLOMB_TO_INTRA4X4_CBP[cbp_code]
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
         if cbp:
-            qp = (qp + b.se() + 52) % 52
+            qp = self._qp_add(qp, b.se())
         self.mb_qp[mby, mbx] = qp
         for blk8 in range(4):
             self._record_blk8(mbx, mby, blk8, modes[blk8])
@@ -1069,10 +1090,9 @@ class SliceDecoder:
 
     def _decode_chroma(self, b, mbx, mby, qp, chroma_mode, cbp_chroma,
                        avail_l, avail_t):
-        qpc = T.CHROMA_QP_8BIT[
-            max(0, min(51, qp + self.pps.chroma_qp_index_offset))]
-        qpc2 = T.CHROMA_QP_8BIT[
-            max(0, min(51, qp + self.pps.second_chroma_qp_index_offset))]
+        qpc = self._chroma_qp(qp, self.pps.chroma_qp_index_offset)
+        qpc2 = self._chroma_qp(qp,
+                               self.pps.second_chroma_qp_index_offset)
         self.chroma_imode[mby, mbx] = chroma_mode
         self.mb_nbr_avail[mby, mbx] = (avail_l, avail_t)
         s4 = self.pps.scaling4
