@@ -167,6 +167,7 @@ class Av1SequenceHeader:
     color_primaries: int = 2
     transfer_characteristics: int = 2
     matrix_coefficients: int = 2
+    color_description_present: int = 0
     color_range: int = 0
     subsampling_x: int = 1
     subsampling_y: int = 1
@@ -287,7 +288,8 @@ def parse_sequence_header(payload: bytes) -> Av1SequenceHeader:
     else:
         s.bit_depth = 10 if high else 8
     s.mono_chrome = 0 if s.seq_profile == 1 else r.get(1)
-    if r.get(1):                              # color_description_present
+    s.color_description_present = r.get(1)
+    if s.color_description_present:
         s.color_primaries = r.get(8)
         s.transfer_characteristics = r.get(8)
         s.matrix_coefficients = r.get(8)
@@ -386,10 +388,16 @@ def write_sequence_header(s: Av1SequenceHeader) -> bytes:
         w.put(1 if s.bit_depth == 10 else 0, 1)
     if s.seq_profile != 1:
         w.put(s.mono_chrome, 1)
-    w.put(0, 1)                               # color_description_present
+    w.put(s.color_description_present, 1)
+    if s.color_description_present:
+        w.put(s.color_primaries, 8)
+        w.put(s.transfer_characteristics, 8)
+        w.put(s.matrix_coefficients, 8)
+    srgb = (s.color_primaries == 1 and s.transfer_characteristics == 13
+            and s.matrix_coefficients == 0)
     if s.mono_chrome:
         w.put(s.color_range, 1)
-    else:
+    elif not srgb:
         w.put(s.color_range, 1)
         if s.seq_profile == 2 and s.bit_depth == 12:
             w.put(s.subsampling_x, 1)

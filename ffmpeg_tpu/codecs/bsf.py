@@ -419,3 +419,267 @@ class Vp9Superframe(BitstreamFilter):
         self._pending = []
         pkt.data = self._build_superframe(frames)
         return [pkt]
+
+
+def _annexb_units(data: bytes):
+    """→ [(start_code_bytes, nal_bytes)] preserving start-code lengths."""
+    units = []
+    pos = 0
+    while True:
+        j = data.find(b"\x00\x00\x01", pos)
+        if j < 0:
+            break
+        sc = 4 if j > 0 and data[j - 1] == 0 else 3
+        nstart = j + 3
+        k = data.find(b"\x00\x00\x01", nstart)
+        end = len(data) if k < 0 else (k - 1 if k > 0 and data[k - 1] == 0
+                                       else k)
+        units.append((data[j - 1:nstart] if sc == 4 else data[j:nstart],
+                      data[nstart:end]))
+        pos = nstart
+    return units
+
+
+@register_bsf
+class HevcMetadataBsf(BitstreamFilter):
+    """Edit HEVC parameter-set syntax in-stream via the CBS framework
+    (bsf/h265_metadata.c analog). Options:
+
+      level=<idc*30 or idc>    general_level_idc (VPS+SPS PTL)
+      sample_aspect_ratio=W:H  VUI aspect ratio (writes idc 255 SAR)
+      video_format=<0..5>, video_full_range_flag=<0|1>
+      colour_primaries=, transfer_characteristics=, matrix_coeffs=
+      chroma_sample_loc_type=<0..5>
+      tick_rate=NUM:DEN        VUI timing (time_scale:num_units)
+      crop_left/right/top/bottom=<px> (conformance window, chroma units
+      applied per chroma format like the reference)
+
+    Unsupported/opaque units pass through untouched."""
+
+    name = "hevc_metadata"
+    level = None
+    sample_aspect_ratio = None
+    video_format = None
+    video_full_range_flag = None
+    colour_primaries = None
+    transfer_characteristics = None
+    matrix_coeffs = None
+    chroma_sample_loc_type = None
+    tick_rate = None
+    crop_left = None
+    crop_right = None
+    crop_top = None
+    crop_bottom = None
+
+    def _edit_vui(self, obj):
+        def ensure(flag):
+            if not obj.get(flag):
+                obj[flag] = 1
+
+        ensure("vui_parameters_present_flag")
+        for k, default in (
+                ("aspect_ratio_info_present_flag", 0),
+                ("overscan_info_present_flag", 0),
+                ("video_signal_type_present_flag", 0),
+                ("chroma_loc_info_present_flag", 0),
+                ("neutral_chroma_indication_flag", 0),
+                ("field_seq_flag", 0),
+                ("frame_field_info_present_flag", 0),
+                ("default_display_window_flag", 0),
+                ("vui_timing_info_present_flag", 0),
+                ("bitstream_restriction_flag", 0)):
+            obj.setdefault(k, default)
+        if self.sample_aspect_ratio is not None:
+            w, h = str(self.sample_aspect_ratio).replace("/", ":").split(":")
+            obj["aspect_ratio_info_present_flag"] = 1
+            obj["aspect_ratio_idc"] = 255
+            obj["sar_width"] = int(w)
+            obj["sar_height"] = int(h)
+        if self.video_format is not None or \
+                self.video_full_range_flag is not None or \
+                self.colour_primaries is not None or \
+                self.transfer_characteristics is not None or \
+                self.matrix_coeffs is not None:
+            obj["video_signal_type_present_flag"] = 1
+            obj.setdefault("video_format", 5)
+            obj.setdefault("video_full_range_flag", 0)
+            obj.setdefault("colour_description_present_flag", 0)
+            if self.video_format is not None:
+                obj["video_format"] = int(self.video_format)
+            if self.video_full_range_flag is not None:
+                obj["video_full_range_flag"] = int(self.video_full_range_flag)
+            if self.colour_primaries is not None or \
+                    self.transfer_characteristics is not None or \
+                    self.matrix_coeffs is not None:
+                obj["colour_description_present_flag"] = 1
+                obj.setdefault("colour_primaries", 2)
+                obj.setdefault("transfer_characteristics", 2)
+                obj.setdefault("matrix_coeffs", 2)
+                if self.colour_primaries is not None:
+                    obj["colour_primaries"] = int(self.colour_primaries)
+                if self.transfer_characteristics is not None:
+                    obj["transfer_characteristics"] = \
+                        int(self.transfer_characteristics)
+                if self.matrix_coeffs is not None:
+                    obj["matrix_coeffs"] = int(self.matrix_coeffs)
+        if self.chroma_sample_loc_type is not None:
+            obj["chroma_loc_info_present_flag"] = 1
+            obj["chroma_sample_loc_type_top_field"] = \
+                int(self.chroma_sample_loc_type)
+            obj["chroma_sample_loc_type_bottom_field"] = \
+                int(self.chroma_sample_loc_type)
+        if self.tick_rate is not None:
+            num, den = str(self.tick_rate).replace("/", ":").split(":")
+            obj["vui_timing_info_present_flag"] = 1
+            obj["vui_num_units_in_tick"] = int(den)
+            obj["vui_time_scale"] = int(num)
+            obj.setdefault("vui_poc_proportional_to_timing_flag", 0)
+            obj.setdefault("vui_hrd_parameters_present_flag", 0)
+
+    def filter(self, pkt: Packet) -> List[Packet]:
+        from .cbs import HevcCodedBitstream
+        from ..utils.error import InvalidData as _ID
+        data = bytes(pkt.data)
+        units = _annexb_units(data)
+        if not units:
+            return [pkt]
+        out = bytearray()
+        for sc, unit in units:
+            try:
+                obj = HevcCodedBitstream.read_nal(unit)
+            except _ID:
+                obj = None
+            if obj is not None:
+                if self.level is not None and "general_level_idc" in obj:
+                    lv = float(self.level)
+                    obj["general_level_idc"] = \
+                        round(lv * 30) if lv < 8.1 else int(lv)
+                if obj["_nal_type"] == 33:
+                    self._edit_vui(obj)
+                    crop = {"crop_left": "conf_win_left_offset",
+                            "crop_right": "conf_win_right_offset",
+                            "crop_top": "conf_win_top_offset",
+                            "crop_bottom": "conf_win_bottom_offset"}
+                    if any(getattr(self, k) is not None for k in crop):
+                        sub = 2 if obj["chroma_format_idc"] in (1, 2) \
+                            else 1
+                        obj["conformance_window_flag"] = 1
+                        for k, fk in crop.items():
+                            obj.setdefault(fk, 0)
+                            v = getattr(self, k)
+                            if v is not None:
+                                obj[fk] = int(v) // sub
+                unit = HevcCodedBitstream.write_nal(obj)
+            out += sc + unit
+        new = Packet(data=bytes(out), pts=pkt.pts, dts=pkt.dts,
+                     duration=pkt.duration, flags=pkt.flags,
+                     stream_index=pkt.stream_index,
+                     time_base=pkt.time_base)
+        return [new]
+
+
+@register_bsf
+class Av1MetadataBsf(BitstreamFilter):
+    """Edit AV1 sequence-header OBU syntax (bsf/av1_metadata.c analog).
+    Options: color_primaries, transfer_characteristics,
+    matrix_coefficients, color_range (tv|pc|0|1),
+    chroma_sample_position (unknown|vertical|colocated|0..3).
+    Other OBUs pass through byte-identical."""
+
+    name = "av1_metadata"
+    color_primaries = None
+    transfer_characteristics = None
+    matrix_coefficients = None
+    color_range = None
+    chroma_sample_position = None
+
+    _CSP = {"unknown": 0, "vertical": 1, "colocated": 2}
+    _RANGE = {"tv": 0, "pc": 1}
+
+    def filter(self, pkt: Packet) -> List[Packet]:
+        from . import av1 as A
+        data = bytes(pkt.data)
+        try:
+            obus = A.split_obus(data)
+        except InvalidData:
+            return [pkt]
+        out = bytearray()
+        for obu in obus:
+            if obu.type == A.OBU_SEQUENCE_HEADER:
+                s = A.parse_sequence_header(obu.payload)
+                if self.color_primaries is not None or \
+                        self.transfer_characteristics is not None or \
+                        self.matrix_coefficients is not None:
+                    s.color_description_present = 1
+                    if self.color_primaries is not None:
+                        s.color_primaries = int(self.color_primaries)
+                    if self.transfer_characteristics is not None:
+                        s.transfer_characteristics = \
+                            int(self.transfer_characteristics)
+                    if self.matrix_coefficients is not None:
+                        s.matrix_coefficients = \
+                            int(self.matrix_coefficients)
+                if self.color_range is not None:
+                    s.color_range = self._RANGE.get(
+                        str(self.color_range), None)
+                    if s.color_range is None:
+                        s.color_range = int(self.color_range)
+                if self.chroma_sample_position is not None and \
+                        s.subsampling_x and s.subsampling_y:
+                    v = self._CSP.get(str(self.chroma_sample_position))
+                    s.chroma_sample_position = (
+                        v if v is not None
+                        else int(self.chroma_sample_position))
+                out += A.wrap_obu(A.OBU_SEQUENCE_HEADER,
+                                  A.write_sequence_header(s))
+            else:
+                out += obu.raw
+        new = Packet(data=bytes(out), pts=pkt.pts, dts=pkt.dts,
+                     duration=pkt.duration, flags=pkt.flags,
+                     stream_index=pkt.stream_index,
+                     time_base=pkt.time_base)
+        return [new]
+
+
+@register_bsf
+class Dts2PtsBsf(BitstreamFilter):
+    """Derive missing DTS from PTS for reordered streams
+    (bsf/dts2pts.c scope, reordering-heap method): packets arrive in
+    decode order; the k-th smallest PTS seen so far is the DTS of the
+    k-th packet once `delay` packets of lookahead are buffered, which
+    is exact whenever `delay` >= the stream's reorder depth (the
+    reference derives the same order from the H.264 POC GOP tree)."""
+
+    name = "dts2pts"
+    delay = 2
+
+    def __init__(self, par=None, **opts):
+        super().__init__(par, **opts)
+        import heapq
+        self._heapq = heapq
+        self._pts_heap: List[int] = []
+        self._queue: List[Packet] = []
+        self._dur = 0
+
+    def _drain(self, flush=False) -> List[Packet]:
+        out = []
+        want = 0 if flush else int(self.delay)
+        shift = int(self.delay) * (self._dur or 1)
+        while self._queue and len(self._queue) > want:
+            pkt = self._queue.pop(0)
+            # k-th smallest pts, shifted back by the reorder delay so
+            # dts <= pts holds for every packet (x264-style bumping)
+            pkt.dts = self._heapq.heappop(self._pts_heap) - shift
+            out.append(pkt)
+        return out
+
+    def filter(self, pkt: Optional[Packet]) -> List[Packet]:
+        if pkt is None:
+            return self._drain(flush=True)
+        if pkt.pts != NOPTS:
+            if not self._dur:
+                self._dur = max(int(pkt.duration or 0), 0)
+            self._heapq.heappush(self._pts_heap, pkt.pts)
+            self._queue.append(pkt)
+            return self._drain()
+        return [pkt]
