@@ -27,6 +27,11 @@ class HevcDecoder(Codec):
 
     def __init__(self, par, options=None):
         super().__init__(par, options)
+        # device_recon: run transforms + inter MC + intra prediction +
+        # in-loop filters on the TPU (recon_tpu.py); host does only the
+        # CABAC parse. Byte-exact with the host path.
+        self.device_recon = bool(
+            (options or {}).get("device_recon", False))
         self.sps = {}
         self.pps = {}
         self.nal_size = 0
@@ -147,14 +152,23 @@ class HevcDecoder(Codec):
         if sh.slice_type != 2:
             refs, rpl = self._ref_lists(sps, sh, poc)
         dec = FrameDec(sps, pps, sh, poc=poc, refs=refs, rpl=rpl)
+        if self.device_recon:
+            from .recorder import ReconRecorder
+            dec.recorder = ReconRecorder(dec)
         payload = rbsp[sh.data_bit_pos // 8:]
         core = CabacDecoder(payload)
         CtuCoder(dec, core, payload=payload).code_slice_data()
-        from .filter import deblock_frame, sao_frame
-        if not sh.deblocking_disabled:
-            deblock_frame(dec)
-        if sps.sao_enabled and (sh.sao_luma or sh.sao_chroma):
-            sao_frame(dec)
+        if dec.recorder is not None:
+            from . import recon_tpu
+            recon_tpu.reconstruct(dec, dec.recorder)
+            from .filter_tpu import filters_tpu
+            dec.y, dec.u, dec.v = filters_tpu(dec)
+        else:
+            from .filter import deblock_frame, sao_frame
+            if not sh.deblocking_disabled:
+                deblock_frame(dec)
+            if sps.sao_enabled and (sh.sao_luma or sh.sao_chroma):
+                sao_frame(dec)
         y, u, v = dec.y.copy(), dec.u.copy(), dec.v.copy()
         self.dpb.append({"poc": poc, "y": y, "u": u, "v": v})
         fmt = {8: "yuv420p", 10: "yuv420p10le",

@@ -78,6 +78,10 @@ class FrameDec:
         self.y = np.zeros((H, W), dt)
         self.u = np.zeros((H // 2, W // 2), dt)
         self.v = np.zeros((H // 2, W // 2), dt)
+        # when set (recorder.ReconRecorder), the parse records recon
+        # work items instead of reconstructing inline; recon_tpu.py
+        # replays them on the device
+        self.recorder = None
         # per-4x4 (min PU/TB) intra mode map, default DC (=1)
         self.ipm = np.ones(((H + 3) // 4, (W + 3) // 4), np.int32)
         ncb = 1 << (sps.log2_ctb - sps.log2_min_cb)
@@ -533,7 +537,7 @@ class CtuCoder:
                            _wrap16(pred[1] + mvd[1]))
             f = MV.MvField(pf, mvs, refs)
         MV.set_mvf(dec, x0, y0, w, h, f)
-        if not io.encode:
+        if not io.encode and dec.recorder is None:
             INTER.predict_pu(dec, x0, y0, w, h, f)
         return merge
 
@@ -878,6 +882,17 @@ class CtuCoder:
                 and dec.same_tile(x0, y0, x0 - 1, y0 + size)
         return cand_left, cand_bl, cand_up, cand_tr, cand_up_left
 
+    def _filter_kind(self, mode, size, c_idx):
+        """Reference-sample filter kind for a recorded intra pred
+        (recorder.F_*): none / [1 2 1] smooth / strong-candidate."""
+        from . import recorder as R
+        if not recon.smoothing_applies(mode, size, c_idx):
+            return R.F_NONE
+        if self.dec.sps.strong_intra_smoothing and c_idx == 0 \
+                and size == 32:
+            return R.F_STRONG
+        return R.F_SMOOTH
+
     def _intra_pred(self, plane, x, y, size, mode, c_idx, avail):
         l, bl, t, tr, tl = avail
         bd = self.dec.bd
@@ -900,9 +915,15 @@ class CtuCoder:
         # parse), then residual
         if self._cu_intra and not self.io.encode:
             avail = self._avail(x0, y0, size)
-            pred = self._intra_pred(dec.y, x0, y0, size, mode, 0, avail)
-            dec.y[y0:y0 + size, x0:x0 + size] = np.clip(pred, 0,
-                                                        dec.pmax)
+            if dec.recorder is not None:
+                dec.recorder.record_intra(
+                    0, x0, y0, size, mode, avail,
+                    self._filter_kind(mode, size, 0))
+            else:
+                pred = self._intra_pred(dec.y, x0, y0, size, mode, 0,
+                                        avail)
+                dec.y[y0:y0 + size, x0:x0 + size] = np.clip(pred, 0,
+                                                            dec.pmax)
         scan = SCAN_DIAG
         scan_c = SCAN_DIAG
         if self._cu_intra and log2 < 4:   # mode-based scans: intra only
@@ -936,10 +957,15 @@ class CtuCoder:
                                            (dec.v, cbf_cr)), start=1):
             if self._cu_intra and not self.io.encode:
                 avail = self._avail(xc * 2, yc * 2, sizec * 2)
-                pred = self._intra_pred(pl, xc, yc, sizec, mode_c,
-                                        c_idx, avail)
-                pl[yc:yc + sizec, xc:xc + sizec] = np.clip(pred, 0,
-                                                           dec.pmax)
+                if dec.recorder is not None:
+                    dec.recorder.record_intra(
+                        c_idx, xc, yc, sizec, mode_c, avail,
+                        self._filter_kind(mode_c, sizec, c_idx))
+                else:
+                    pred = self._intra_pred(pl, xc, yc, sizec, mode_c,
+                                            c_idx, avail)
+                    pl[yc:yc + sizec, xc:xc + sizec] = np.clip(
+                        pred, 0, dec.pmax)
             if cbf:
                 self.residual(xc, yc, log2c, scan_c, c_idx)
 
@@ -1210,6 +1236,13 @@ class CtuCoder:
             scale_m = sl.matrix(log2, mid)
         coef = np.clip((out * scale * scale_m + add) >> shift,
                        -32768, 32767)
+        if dec.recorder is not None:
+            from . import recorder as R
+            kind = R.K_TSKIP if tskip else (
+                R.K_DST if (c_idx == 0 and log2 == 2 and self._cu_intra)
+                else R.K_IDCT)
+            dec.recorder.record_tu(c_idx, x0, y0, n, coef, kind)
+            return
         if tskip:
             # bypass transform (dsp_template.c dequant): shift
             # 15-bd-log2, always > 0 for 4x4 at Main depths
