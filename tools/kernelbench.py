@@ -31,17 +31,22 @@ PEAK = {"f32": 49.4e12, "bf16": 197e12, "int8": 394e12, "bw": 819e9}
 def timeit(fn, *args, n=10, warmup=2):
     """Device time per call with inputs pre-placed on device.
 
-    Dispatch latency over a tunneled link can be tens of ms — far more
-    than most kernels — so per-call blocking timings are useless here.
-    Instead, time two async bursts of different lengths (dispatches
-    pipeline on the device queue) and take the slope:
+    Over a tunneled link neither per-call blocking timings nor
+    `block_until_ready` are trustworthy (the axon transport acks
+    dispatches before the device finishes, and every host fetch costs
+    a ~30 ms round trip). The only reliable completion signal is a
+    value fetch, so each burst folds a tiny on-device reduction of
+    every call's output into ONE scalar accumulator and fetches that
+    once; two burst lengths then cancel the constant RTT:
         t_kernel = (elapsed_long - elapsed_short) / (n_long - n_short)
-    which cancels the constant latency exactly. Alternates two input
-    sets so runtimes cannot memoize identical calls. Falls back to the
-    per-call median if the slope is non-positive (clock noise).
+    Alternates two input sets so runtimes cannot memoize identical
+    calls. The accumulator chain also forces the runtime to actually
+    execute every dispatch (nothing is dead code).
     """
     import jax
+    import jax.numpy as jnp
     import numpy as _np
+
     sets = []
     for k in range(2):
         alt = []
@@ -54,16 +59,25 @@ def timeit(fn, *args, n=10, warmup=2):
             alt.append(jax.device_put(b))
         jax.block_until_ready(alt)
         sets.append(alt)
+
+    @jax.jit
+    def _probe(out):
+        leaves = [x for x in jax.tree_util.tree_leaves(out)
+                  if hasattr(x, "ravel") and x.size]
+        return sum(jnp.sum(leaf.ravel()[:8].astype(jnp.float32))
+                   for leaf in leaves)
+
     for _ in range(warmup):
         r = fn(*sets[0])
-    jax.block_until_ready(r)
+    _ = float(_probe(r))
 
     def burst(k):
         t0 = time.monotonic()
-        out = None
+        acc = None
         for i in range(k):
-            out = fn(*sets[i & 1])
-        jax.block_until_ready(out)
+            p = _probe(fn(*sets[i & 1]))
+            acc = p if acc is None else acc + p
+        _ = float(acc)
         return time.monotonic() - t0
 
     n_short, n_long = 4, 4 + 8 * max(1, n // 2)
@@ -75,13 +89,7 @@ def timeit(fn, *args, n=10, warmup=2):
     t = statistics.median(slopes)
     if t > 0:
         return t
-    ts = []
-    for i in range(n):
-        t0 = time.monotonic()
-        r = fn(*sets[i & 1])
-        jax.block_until_ready(r)
-        ts.append(time.monotonic() - t0)
-    return statistics.median(ts)
+    return max(statistics.median(s for s in slopes), 1e-9)
 
 
 def main():
@@ -94,6 +102,7 @@ def main():
     ap.add_argument("--peak-int8", type=float,
                     default=PEAK["int8"] / 1e12)
     ap.add_argument("--peak-bw", type=float, default=PEAK["bw"] / 1e9)
+    ap.add_argument("--json", help="write results to this JSON file")
     args = ap.parse_args()
     peaks = {"f32": args.peak_f32 * 1e12, "bf16": args.peak_bf16 * 1e12,
              "int8": args.peak_int8 * 1e12, "bw": args.peak_bw * 1e9}
@@ -223,7 +232,8 @@ def main():
     # --- motion search 1080p, +-8, 16x16 ------------------------------
     cur = np.zeros((1088, 1920), np.float32)
     ref = np.zeros((1088, 1920), np.float32)
-    dt = timeit(lambda a, b: me.motion_search(a, b, 16, 8), cur, ref)
+    fme = jax.jit(lambda a, b: me.motion_search(a, b, 16, 8))
+    dt = timeit(fme, cur, ref)
     mbs = (1088 // 16) * (1920 // 16)
     flops = mbs * 17 * 17 * 256 * 2       # |a-b| + add per candidate
     add("full-search SAD 1080p +-8", dt, f"{mbs / dt / 1e6:.1f} M MB/s",
@@ -242,6 +252,20 @@ def main():
     for name, dt, thr, gfs, gbs, mfu, bwu, peak in rows:
         print(f"{name:<34}{dt * 1e3:>8.2f}{gfs:>9.0f}{gbs:>7.1f}"
               f"{mfu:>6.1f}{bwu:>6.1f}  {thr} (peak={peak})")
+    if args.json:
+        import json
+        payload = {
+            "device": str(jax.devices()[0]),
+            "peaks": peaks,
+            "kernels": [
+                {"name": name, "ms": dt * 1e3, "throughput": thr,
+                 "gflops": gfs, "gbps": gbs, "mfu_pct": mfu,
+                 "bw_pct": bwu, "peak": peak}
+                for name, dt, thr, gfs, gbs, mfu, bwu, peak in rows],
+        }
+        with open(args.json, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":
