@@ -63,7 +63,8 @@ class VP9Core:
     """Stateful frame decoder: reference slots, the 4 probability
     contexts, and the previous frame's MV grid."""
 
-    def __init__(self):
+    def __init__(self, device_recon=False):
+        self.device_recon = device_recon
         self.refs: List[Optional[tuple]] = [None] * 8
         self.ref_mv = [None] * 8          # unused slots for clarity
         self.ctx = [ProbContext() for _ in range(4)]
@@ -114,6 +115,9 @@ class VP9Core:
         if h.use_last_frame_mvs:
             prev_mv = (self.prev[2], self.prev[3])
         fs = FrameState(h, probs, refs=refs, prev_mv=prev_mv)
+        if self.device_recon:
+            from .recorder import ReconRecorder
+            fs.recorder = ReconRecorder(fs)
 
         if h.refreshctx and h.parallelmode:
             self._store_ctx(h, probs)
@@ -146,6 +150,9 @@ class VP9Core:
                     for col in range(w.tile_col_start,
                                      min(w.tile_col_end, fs.cols), 8):
                         w.decode_sb(row, col, 0)
+        if fs.recorder is not None:
+            from . import recon_tpu
+            recon_tpu.reconstruct(fs, fs.recorder)
         loopfilter_frame(fs)
 
         if h.refreshctx and not h.parallelmode:
@@ -222,7 +229,10 @@ class VP9Decoder(Codec):
 
     def __init__(self, *a, **kw):
         super().__init__(*a, **kw)
-        self.core = VP9Core()
+        # NB: `bool` here is the vp9.bool submodule (package-namespace
+        # shadowing), so use truthiness directly
+        self.core = VP9Core(
+            device_recon=not not self.options.get("device_recon"))
 
     def decode(self, pkt: Optional[Packet]) -> List[Frame]:
         if pkt is None or not pkt.data:

@@ -198,6 +198,7 @@ class FrameState:
             self.prev_mv_ref = np.full((r, c, 2), -1, np.int32)
             self.prev_mv_xy = np.zeros((r, c, 2, 2), np.int32)
         self.counts = new_counts()
+        self.recorder = None              # set for device recon
         # loop filter inputs
         self.lf_lvl = np.zeros((self.rows, self.cols), np.int32)
         r4 = self.sb_rows * 16
@@ -512,9 +513,19 @@ class TileWalker:
             self._mask_edges(row, col, w4, h4, tx, uvtx, bs,
                              skip_inter=(not intra and skip))
 
-        # reconstruction
+        # reconstruction (inline host path, or record for device
+        # replay — recon_tpu.py)
         if not io.encode:
-            if intra:
+            if fs.recorder is not None:
+                if intra:
+                    fs.recorder.record_intra(
+                        self, row, col, bs, tx, uvtx, modes, uvmode,
+                        eobs, blocks, uveobs, uvblocks)
+                else:
+                    fs.recorder.record_inter(
+                        self, row, col, bs, tx, uvtx, eobs, blocks,
+                        uveobs, uvblocks)
+            elif intra:
                 self._recon(row, col, bs, tx, uvtx, modes, uvmode,
                             eobs, blocks, uveobs, uvblocks)
             else:

@@ -86,61 +86,69 @@ def _avg_mv(*mvs):
     return (_rdiv4(sx), _rdiv4(sy))
 
 
+def mc_calls(w, row, col, bs):
+    """Enumerate the mc_block invocations for one inter block as
+    tuples (plane 0/1/2, li, dy, dx, bh, bw, mvx, mvy, shift) —
+    shared by the host executor (inter_pred) and the device recorder
+    (recorder.py), so the sub-8x8 chroma MV averaging rules live in
+    exactly one place. dst position == src base position for every
+    call (vp9_mc_template.c)."""
+    b = w.b
+    py0 = row * 8
+    px0 = col * 8
+    out = []
+    for li in range(2 if b["comp"] else 1):
+        mv = [b["mv"][k][li] for k in range(4)]
+        if bs == BS_8x4:
+            out.append((0, li, py0, px0, 4, 8, mv[0][0], mv[0][1], 3))
+            out.append((0, li, py0 + 4, px0, 4, 8,
+                        mv[2][0], mv[2][1], 3))
+            uvmv = _avg_mv(mv[0], mv[2])
+        elif bs == BS_4x8:
+            out.append((0, li, py0, px0, 8, 4, mv[0][0], mv[0][1], 3))
+            out.append((0, li, py0, px0 + 4, 8, 4,
+                        mv[1][0], mv[1][1], 3))
+            uvmv = _avg_mv(mv[0], mv[1])
+        elif bs > BS_8x8:                 # BS_4x4
+            for k, (oy, ox) in enumerate(((0, 0), (0, 4),
+                                          (4, 0), (4, 4))):
+                out.append((0, li, py0 + oy, px0 + ox, 4, 4,
+                            mv[k][0], mv[k][1], 3))
+            uvmv = _avg_mv(mv[0], mv[1], mv[2], mv[3])
+        else:
+            bw = int(T.BWH_TAB[0][bs][0]) * 4
+            bh = int(T.BWH_TAB[0][bs][1]) * 4
+            out.append((0, li, py0, px0, bh, bw,
+                        mv[0][0], mv[0][1], 3))
+            uvbw = int(T.BWH_TAB[1][bs][0]) * 4
+            uvbh = int(T.BWH_TAB[1][bs][1]) * 4
+            for pl in (1, 2):
+                out.append((pl, li, py0 >> 1, px0 >> 1, uvbh, uvbw,
+                            mv[0][0], mv[0][1], 4))
+            continue
+        for pl in (1, 2):                 # sub-8x8 chroma: one 4x4
+            out.append((pl, li, py0 >> 1, px0 >> 1, 4, 4,
+                        uvmv[0], uvmv[1], 4))
+    return out
+
+
 def inter_pred(w, row, col, bs):
     """MC for one block into the frame planes
     (vp9_mc_template.c inter_pred, 4:2:0)."""
     fs = w.fs
     b = w.b
     filt = b["filter"]
-    py0 = row * 8
-    px0 = col * 8
-    for li in range(2 if b["comp"] else 1):
+    for pl, li, dy, dx, bh, bw, mvx, mvy, shift in \
+            mc_calls(w, row, col, bs):
         ry, ru, rv, rw, rh = fs.refs[b["ref"][li]]
-        cw, ch = (rw + 1) >> 1, (rh + 1) >> 1
-        avg = li == 1
-        mv = [b["mv"][k][li] for k in range(4)]
-        if bs == BS_8x4:
-            mc_block(fs.y, py0, px0, 4, 8, ry, py0, px0,
-                     mv[0][0], mv[0][1], 3, filt, rw, rh, avg)
-            mc_block(fs.y, py0 + 4, px0, 4, 8, ry, py0 + 4, px0,
-                     mv[2][0], mv[2][1], 3, filt, rw, rh, avg)
-            uvmv = _avg_mv(mv[0], mv[2])
-            for pl, rp in ((fs.u, ru), (fs.v, rv)):
-                mc_block(pl, py0 >> 1, px0 >> 1, 4, 4, rp,
-                         py0 >> 1, px0 >> 1, uvmv[0], uvmv[1], 4,
-                         filt, cw, ch, avg)
-        elif bs == BS_4x8:
-            mc_block(fs.y, py0, px0, 8, 4, ry, py0, px0,
-                     mv[0][0], mv[0][1], 3, filt, rw, rh, avg)
-            mc_block(fs.y, py0, px0 + 4, 8, 4, ry, py0, px0 + 4,
-                     mv[1][0], mv[1][1], 3, filt, rw, rh, avg)
-            uvmv = _avg_mv(mv[0], mv[1])
-            for pl, rp in ((fs.u, ru), (fs.v, rv)):
-                mc_block(pl, py0 >> 1, px0 >> 1, 4, 4, rp,
-                         py0 >> 1, px0 >> 1, uvmv[0], uvmv[1], 4,
-                         filt, cw, ch, avg)
-        elif bs > BS_8x8:                 # BS_4x4
-            for k, (oy, ox) in enumerate(((0, 0), (0, 4),
-                                          (4, 0), (4, 4))):
-                mc_block(fs.y, py0 + oy, px0 + ox, 4, 4, ry,
-                         py0 + oy, px0 + ox, mv[k][0], mv[k][1], 3,
-                         filt, rw, rh, avg)
-            uvmv = _avg_mv(mv[0], mv[1], mv[2], mv[3])
-            for pl, rp in ((fs.u, ru), (fs.v, rv)):
-                mc_block(pl, py0 >> 1, px0 >> 1, 4, 4, rp,
-                         py0 >> 1, px0 >> 1, uvmv[0], uvmv[1], 4,
-                         filt, cw, ch, avg)
+        if pl == 0:
+            plane, rp, pw, ph = fs.y, ry, rw, rh
         else:
-            bw = int(T.BWH_TAB[0][bs][0]) * 4
-            bh = int(T.BWH_TAB[0][bs][1]) * 4
-            uvbw = int(T.BWH_TAB[1][bs][0]) * 4
-            uvbh = int(T.BWH_TAB[1][bs][1]) * 4
-            mc_block(fs.y, py0, px0, bh, bw, ry, py0, px0,
-                     mv[0][0], mv[0][1], 3, filt, rw, rh, avg)
-            for pl, rp in ((fs.u, ru), (fs.v, rv)):
-                mc_block(pl, py0 >> 1, px0 >> 1, uvbh, uvbw, rp,
-                         py0 >> 1, px0 >> 1, mv[0][0], mv[0][1], 4,
-                         filt, cw, ch, avg)
+            plane = fs.u if pl == 1 else fs.v
+            rp = ru if pl == 1 else rv
+            pw, ph = (rw + 1) >> 1, (rh + 1) >> 1
+        mc_block(plane, dy, dx, bh, bw, rp, dy, dx, mvx, mvy,
+                 shift, filt, pw, ph, li == 1)
 
 
 def inter_recon(w, row, col, bs, tx, uvtx, eobs, blocks, uveobs,

@@ -14,24 +14,24 @@ def _r(v):
     return (v + 8192) >> 14
 
 
-def idct4_1d(x):
+def idct4_1d(x, stack=np.stack):
     t0 = _r((x[0] + x[2]) * 11585)
     t1 = _r((x[0] - x[2]) * 11585)
     t2 = _r(x[1] * 6270 - x[3] * 15137)
     t3 = _r(x[1] * 15137 + x[3] * 6270)
-    return np.stack([t0 + t3, t1 + t2, t1 - t2, t0 - t3])
+    return stack([t0 + t3, t1 + t2, t1 - t2, t0 - t3])
 
 
-def iadst4_1d(x):
+def iadst4_1d(x, stack=np.stack):
     t0 = 5283 * x[0] + 15212 * x[2] + 9929 * x[3]
     t1 = 9929 * x[0] - 5283 * x[2] - 15212 * x[3]
     t2 = 13377 * (x[0] - x[2] + x[3])
     t3 = 13377 * x[1]
-    return np.stack([_r(t0 + t3), _r(t1 + t3), _r(t2),
+    return stack([_r(t0 + t3), _r(t1 + t3), _r(t2),
                      _r(t0 + t1 - t3)])
 
 
-def idct8_1d(x):
+def idct8_1d(x, stack=np.stack):
     t0a = _r((x[0] + x[4]) * 11585)
     t1a = _r((x[0] - x[4]) * 11585)
     t2a = _r(x[2] * 6270 - x[6] * 15137)
@@ -50,11 +50,11 @@ def idct8_1d(x):
     t6a_ = t7a - t6a
     t5 = _r((t6a_ - t5a_) * 11585)
     t6 = _r((t6a_ + t5a_) * 11585)
-    return np.stack([t0 + t7, t1 + t6, t2 + t5, t3 + t4,
+    return stack([t0 + t7, t1 + t6, t2 + t5, t3 + t4,
                      t3 - t4, t2 - t5, t1 - t6, t0 - t7])
 
 
-def iadst8_1d(x):
+def iadst8_1d(x, stack=np.stack):
     t0a = 16305 * x[7] + 1606 * x[0]
     t1a = 1606 * x[7] - 16305 * x[0]
     t2a = 14449 * x[5] + 7723 * x[2]
@@ -87,10 +87,10 @@ def iadst8_1d(x):
     o4 = _r((t2_ - t3_) * 11585)
     o2 = _r((t6_ + t7_) * 11585)
     o5 = -_r((t6_ - t7_) * 11585)
-    return np.stack([o0, o1, o2, o3, o4, o5, o6, o7])
+    return stack([o0, o1, o2, o3, o4, o5, o6, o7])
 
 
-def idct16_1d(x):
+def idct16_1d(x, stack=np.stack):
     t0a = _r((x[0] + x[8]) * 11585)
     t1a = _r((x[0] - x[8]) * 11585)
     t2a = _r(x[4] * 6270 - x[12] * 15137)
@@ -154,14 +154,14 @@ def idct16_1d(x):
     t11 = _r((t12a - t11a) * 11585)
     t12 = _r((t12a + t11a) * 11585)
 
-    return np.stack([
+    return stack([
         t0a + t15a, t1a + t14, t2a + t13a, t3a + t12,
         t4 + t11, t5 + t10a, t6 + t9, t7 + t8a,
         t7 - t8a, t6 - t9, t5 - t10a, t4 - t11,
         t3a - t12, t2a - t13a, t1a - t14, t0a - t15a])
 
 
-def iadst16_1d(x):
+def iadst16_1d(x, stack=np.stack):
     t0 = x[15] * 16364 + x[0] * 804
     t1 = x[15] * 804 - x[0] * 16364
     t2 = x[13] * 15893 + x[2] * 3981
@@ -257,10 +257,10 @@ def iadst16_1d(x):
     o[9] = _r((t11 - t10) * 11585)
     o[5] = _r(-(t14a + t15a) * 11585)
     o[10] = _r((t14a - t15a) * 11585)
-    return np.stack(o)
+    return stack(o)
 
 
-def idct32_1d(x):
+def idct32_1d(x, stack=np.stack):
     t0a = _r((x[0] + x[16]) * 11585)
     t1a = _r((x[0] - x[16]) * 11585)
     t2a = _r(x[8] * 6270 - x[24] * 15137)
@@ -430,7 +430,7 @@ def idct32_1d(x):
     t23a = _r((t24 - t23) * 11585)
     t24a = _r((t24 + t23) * 11585)
 
-    return np.stack([
+    return stack([
         t0 + t31, t1 + t30a, t2 + t29, t3 + t28a,
         t4 + t27, t5a + t26a, t6a + t25, t7 + t24a,
         t8 + t23a, t9a + t22, t10 + t21a, t11a + t20,
