@@ -326,6 +326,11 @@ def main():
         full = run_fullres_tpu_entropy()
     except Exception as exc:            # noqa: BLE001 — record, degrade
         full = {"fps": 0.0, "error": f"{type(exc).__name__}: {exc}"}
+    try:
+        import benchrows
+        secondary = benchrows.all_rows()
+    except Exception as exc:            # noqa: BLE001 — record, degrade
+        secondary = {"error": f"{type(exc).__name__}: {exc}"}
 
     value = full.get("fps", 0.0)
     denom = pin_full_rst or fresh_full_rst
@@ -354,6 +359,7 @@ def main():
             if pin_low else 0.0,
             **prb,
             **{k: v for k, v in full.items() if k != "fps"},
+            "secondary": secondary,
         },
     }))
 

@@ -527,9 +527,10 @@ def _pow2(k, lo=4):
     return n
 
 
-def reconstruct(dec, rec: R.ReconRecorder) -> None:
-    """Fill dec.y/u/v (pre-loop-filter) from the recorded work items,
-    running transforms + inter MC + intra prediction on the device."""
+def prepare(dec, rec: R.ReconRecorder):
+    """Build the device program + argument tensors for one frame;
+    returns (fn, args) so callers (bench replay) can re-execute the
+    device stage without re-marshaling the record."""
     sps = dec.sps
     H, W = sps.height, sps.width
     bd = dec.bd
@@ -611,8 +612,15 @@ def reconstruct(dec, rec: R.ReconRecorder) -> None:
     key = (H, W, bd, Rn, nlev, has_inter,
            tuple(tu_shapes), tuple(intra_shapes))
     fn = _build_program(key)
-    y, u, v = fn(dpb_y, dpb_u, dpb_v, slot4, mvx4, mvy4,
-                 dec.pf.astype(np.int32), tu_args, intra_args)
+    return fn, (dpb_y, dpb_u, dpb_v, slot4, mvx4, mvy4,
+                dec.pf.astype(np.int32), tu_args, intra_args)
+
+
+def reconstruct(dec, rec: R.ReconRecorder) -> None:
+    """Fill dec.y/u/v (pre-loop-filter) from the recorded work items,
+    running transforms + inter MC + intra prediction on the device."""
+    fn, args = prepare(dec, rec)
+    y, u, v = fn(*args)
     dec.y[:] = np.asarray(y)
     dec.u[:] = np.asarray(u)
     dec.v[:] = np.asarray(v)

@@ -384,8 +384,10 @@ def _build_program(key):
     return jax.jit(program)
 
 
-def reconstruct(fs, rec) -> None:
-    """Fill fs.y/u/v (pre-loop-filter) from the recorded work."""
+def prepare(fs, rec):
+    """Build the device program + argument tensors for one frame;
+    returns (fn, args) so callers (bench replay) can re-execute the
+    device stage without re-marshaling the record."""
     H, W = fs.y.shape
     Hc, Wc = fs.u.shape
     dw, dh = fs.h.width, fs.h.height
@@ -476,7 +478,13 @@ def reconstruct(fs, rec) -> None:
     key = (H, W, Hc, Wc, Rn, nlev, dw, dh, tuple(mc_shapes),
            tuple(tu_shapes), tuple(intra_shapes))
     fn = _build_program(key)
-    y, u, v = fn(dpb_y, dpb_c, mc_args, tu_args, intra_args)
+    return fn, (dpb_y, dpb_c, mc_args, tu_args, intra_args)
+
+
+def reconstruct(fs, rec) -> None:
+    """Fill fs.y/u/v (pre-loop-filter) from the recorded work."""
+    fn, args = prepare(fs, rec)
+    y, u, v = fn(*args)
     fs.y[:] = np.asarray(y)
     fs.u[:] = np.asarray(u)
     fs.v[:] = np.asarray(v)

@@ -105,11 +105,15 @@ def _rdft_matrices(n: int):
 
 
 def _matmul_codelet(mat: np.ndarray, scale: float):
-    m = jnp.asarray(mat * scale, jnp.float32)
+    # pre-transpose on the host and jit: the codelet is often called
+    # eagerly per audio frame, where un-jitted dispatch (transpose +
+    # matmul as two eager ops) costs ~20 ms/call over a tunneled link
+    m_t = jnp.asarray((mat * scale).T.copy(), jnp.float32)
 
+    @jax.jit
     def fn(x):
-        return jnp.matmul(x, m.T, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+        return jnp.matmul(x, m_t, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
     return fn
 
 
@@ -198,7 +202,19 @@ def _fft_pairs(n: int, inverse: bool):
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=256)
+@lru_cache(maxsize=256)
 def tx_init(kind: str, n: int, inverse: bool = False, scale: float = 1.0):
+    """Cached, jitted transform: fn(x)->y operating on the last axes.
+
+    Audio codecs call this eagerly once per frame per channel; without
+    the jit wrapper each call pays multiple eager dispatches (~20 ms
+    over a tunneled device link), and without the cache each call
+    would retrace."""
+    import jax as _jax
+    return _jax.jit(_tx_init(kind, n, inverse, scale))
+
+
+def _tx_init(kind: str, n: int, inverse: bool = False, scale: float = 1.0):
     """Return a traceable fn(x)->y operating on the last axes.
 
     kinds:

@@ -99,7 +99,10 @@ def test_mdct_batched():
     x = rng.standard_normal((4, 256)).astype(np.float32)
     y = np.asarray(tx.mdct(x, 128))
     assert y.shape == (4, 128)
-    np.testing.assert_allclose(y[0], np.asarray(tx.mdct(x[0], 128)), atol=1e-5)
+    # batched vs single now compile separately (tx_init jits per input
+    # shape), so XLA fusion may reassociate within float tolerance
+    np.testing.assert_allclose(y[0], np.asarray(tx.mdct(x[0], 128)),
+                               atol=1e-4, rtol=1e-5)
 
 
 def test_kbd_window_properties():
