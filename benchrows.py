@@ -260,12 +260,24 @@ def dataloader_row():
     }
 
 
-def all_rows():
+def all_rows(budget_s=None):
+    """Run the rows cheapest-first under a wall-clock budget so the
+    driver's bench capture can never be starved by the secondary
+    rows (the recon rows pay a ~3 min host-parse fixed cost each)."""
+    import os
+    if budget_s is None:
+        budget_s = float(os.environ.get("BENCH_SECONDARY_BUDGET_S",
+                                        "600"))
     rows = {}
-    for name, fn in (("vp9_recon_1080p", recon_row_vp9),
-                     ("hevc_recon_1080p", recon_row_hevc),
+    t0 = time.monotonic()
+    for name, fn in (("dataloader", dataloader_row),
                      ("audio_frontend", audio_frontend_row),
-                     ("dataloader", dataloader_row)):
+                     ("hevc_recon_1080p", recon_row_hevc),
+                     ("vp9_recon_1080p", recon_row_vp9)):
+        spent = time.monotonic() - t0
+        if spent > budget_s:
+            rows[name] = {"skipped": f"budget ({spent:.0f}s spent)"}
+            continue
         try:
             rows[name] = fn()
         except Exception as exc:          # noqa: BLE001 — record only
