@@ -240,7 +240,9 @@ def dataloader_row():
         x = jnp.stack([r, g, b], -1).astype(jnp.float32)
         x = x[:, 12:212, 12:212, :]       # crop 200x200
         x = (x / 255.0 - 0.45) / 0.225    # normalize
-        return jnp.sum(x[..., ::50, ::50, :], dtype=jnp.float32)
+        # full-tensor reduction so XLA cannot dead-code-eliminate the
+        # crop/normalize work for any pixel
+        return jnp.sum(x, dtype=jnp.float32)
 
     def one():
         out = graph(y, u, v)

@@ -66,13 +66,6 @@ TX_4X4 = 0
 TX_32X32 = 3
 BS_8x8 = 9
 
-# intra luma txfm type per mode (block.py INTRA_TXFM_TYPE)
-_ITXTP = [TX.ADST_DCT, TX.DCT_ADST, TX.DCT_DCT, TX.DCT_DCT,
-          TX.ADST_ADST, TX.ADST_DCT, TX.DCT_ADST, TX.ADST_DCT,
-          TX.DCT_ADST, TX.ADST_ADST,
-          TX.DCT_DCT, TX.DCT_DCT, TX.DCT_DCT, TX.DCT_DCT]
-
-
 class ReconRecorder:
     """Collects reconstruction work for one FrameState."""
 

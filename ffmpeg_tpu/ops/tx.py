@@ -202,7 +202,6 @@ def _fft_pairs(n: int, inverse: bool):
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=256)
-@lru_cache(maxsize=256)
 def tx_init(kind: str, n: int, inverse: bool = False, scale: float = 1.0):
     """Cached, jitted transform: fn(x)->y operating on the last axes.
 

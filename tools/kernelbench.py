@@ -89,7 +89,10 @@ def timeit(fn, *args, n=10, warmup=2):
     t = statistics.median(slopes)
     if t > 0:
         return t
-    return max(statistics.median(s for s in slopes), 1e-9)
+    # Non-positive slope = the measurement is noise-dominated; report
+    # NaN so the row is visibly invalid rather than clamping to a fake
+    # 1 ns kernel time (which would fabricate near-infinite MFU).
+    return float("nan")
 
 
 def main():
