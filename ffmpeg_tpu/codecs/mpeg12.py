@@ -329,7 +329,15 @@ class Mpeg12Decoder(Codec):
         st = _SliceState(coeffs, flags, mvs_f, mvs_b, fsel_f, fsel_b,
                          field_mv, dct_type)
         for sl in slices:
-            self._decode_slice(sl, pic, st, mb_w, mb_h)
+            try:
+                self._decode_slice(sl, pic, st, mb_w, mb_h)
+            except (InvalidData, IndexError) as e:
+                # damaged slice: keep what decoded, conceal the rest
+                # (error_resilience.c semantics; AV_EF_EXPLODE disables)
+                if self.options.get("err_detect") == "explode":
+                    raise InvalidData(f"mpeg12: slice error: {e}") \
+                        from e
+                self.warning(f"slice error, concealing: {e}")
 
         # handle skipped MBs in P: copy (MV 0), flags stay 0 → copy from last
         out_planes = self._reconstruct(pic, st, mb_w, mb_h)
@@ -372,6 +380,7 @@ class Mpeg12Decoder(Codec):
         pred_mv = np.zeros((2, 2, 2), np.int32)
 
         first = True
+        n_mbs = mb_w * mb_h
         while br.bits_left() > 0:
             # macroblock address increment (may include escapes)
             inc = 0
@@ -389,33 +398,54 @@ class Mpeg12Decoder(Codec):
                 try:
                     v = _vlc(br, _ADDR_LUT)
                 except InvalidData:
-                    return           # padding at slice end
+                    # legit end = only zero padding remains until the
+                    # next start code; anything else is corruption
+                    if self._rest_is_padding(br):
+                        return
+                    raise InvalidData("mpeg12: corrupt macroblock "
+                                      "address increment mid-slice")
                 inc += v + 1
                 break
             if first:
                 mb_x = inc - 1
                 first = False
             else:
+                addr = mb_y * mb_w + mb_x
                 if inc > 1:
                     # skipped MBs: reset predictors
                     pred_dc = [dc_pred_reset] * 3
                     if pic.type == P_TYPE:
                         pred_mv[:] = 0
                     for sk in range(1, inc):
-                        sx = mb_x + sk
-                        if sx >= mb_w:
+                        sa = addr + sk
+                        if sa >= n_mbs:
                             break
+                        sy, sx = divmod(sa, mb_w)
+                        if seq.mpeg2 and sy != mb_y:
+                            break    # 13818-2: slices never cross rows
                         if pic.type == B_TYPE:
                             # skipped B: frame prediction from the PMVs
                             # with the previous MB's directions
-                            flags[mb_y, sx] = flags[mb_y, mb_x] & \
+                            flags[sy, sx] = flags[mb_y, mb_x] & \
                                 (MB_FWD | MB_BWD)
-                            mvs_f[mb_y, sx, 0] = pred_mv[0, 0]
-                            mvs_b[mb_y, sx, 0] = pred_mv[1, 0]
+                            mvs_f[sy, sx, 0] = pred_mv[0, 0]
+                            mvs_b[sy, sx, 0] = pred_mv[1, 0]
                         else:
-                            flags[mb_y, sx] = MB_FWD   # zero-MV copy
-                mb_x += inc
-            if mb_x >= mb_w:
+                            flags[sy, sx] = MB_FWD   # zero-MV copy
+                addr += inc
+                if seq.mpeg2:
+                    # 13818-2: a slice is confined to one MB row
+                    mb_x = mb_x + inc
+                    if mb_x >= mb_w:
+                        return
+                else:
+                    # 11172-2: slices may span rows; the address simply
+                    # continues in raster order (mpeg12dec.c wraps
+                    # mb_x/mb_y the same way for MPEG-1 slices)
+                    if addr >= n_mbs:
+                        return
+                    mb_y, mb_x = divmod(addr, mb_w)
+            if mb_x >= mb_w or mb_y >= mb_h:
                 return
 
             if pic.type == I_TYPE:
@@ -469,6 +499,17 @@ class Mpeg12Decoder(Codec):
                     if cbp & (1 << (5 - blk)):
                         self._decode_inter_block(br, pic, coeffs[mb_y, mb_x, blk],
                                                  qscale)
+
+    @staticmethod
+    def _rest_is_padding(br: BitReader) -> bool:
+        """True if only zero bits remain (legal slice padding)."""
+        n = br.bits_left()
+        while n > 0:
+            k = min(n, 24)
+            if br.get(k):
+                return False
+            n -= k
+        return True
 
     def _decode_mb_motion(self, br: BitReader, pic: _Pic, which: int,
                           pred_mv: np.ndarray, motion_type: int,

@@ -112,6 +112,31 @@ def test_mpeg1_decode(tmp_path):
 
 
 @requires_ref
+def test_mpeg1_truncated_slice_explodes(tmp_path):
+    """A slice that aborts before its last MB must raise under
+    err_detect=explode and conceal (not crash) otherwise
+    (decode.c AV_EF_EXPLODE semantics)."""
+    p = tmp_path / "v.m1v"
+    subprocess.run([str(refutil.REF), "-v", "error", "-f", "lavfi",
+                    "-i", f"testsrc2=size={W}x{H}:rate=25",
+                    "-frames:v", "1", "-c:v", "mpeg1video", "-q:v", "4",
+                    "-g", "5", "-bf", "0", "-pix_fmt", "yuv420p",
+                    "-f", "mpeg1video", "-y", str(p)],
+                   check=True, capture_output=True)
+    d = open_input(str(p))
+    par = d.streams[0].codecpar
+    pkt = next(iter(d.packets()))
+    cut = Packet(data=pkt.data[:len(pkt.data) // 2], pts=0)
+    from ffmpeg_tpu.utils.error import InvalidData
+    dec = CodecContext.open_decoder(par, options={"err_detect": "explode"})
+    with pytest.raises(InvalidData):
+        dec.decode_all([cut])
+    dec2 = CodecContext.open_decoder(par)
+    frames = dec2.decode_all([cut])     # concealed, no raise
+    assert len(frames) == 1
+
+
+@requires_ref
 def test_mpeg2_interlaced_ip(tmp_path):
     """Interlaced coding tools in frame pictures: field motion (ilme)
     + interlaced DCT (ildct) + alternate scan, IP GOP."""
