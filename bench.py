@@ -30,6 +30,16 @@ Measurement discipline (r02/r03 verdict fixes):
   clamp, so it is linear-exact but ~53 dB vs the clamping host path);
 - persistent XLA compilation cache so repeated runs skip the one-time
   Mosaic/XLA compile.
+
+Round-5 finding (measured, see probes()): the axon tunnel moves
+INCOMPRESSIBLE data at only ~30-45 MB/s (it compresses in flight; the
+r04 "h2d_GBps 1.37" probe was an ack artifact — block_until_ready
+returns before the bytes land). Every frame's entropy-coded bytes
+(~150-170 KB) must cross that link and transfers do not overlap device
+compute (measured), so the e2e headline is hard-capped at
+link/bytes-per-frame (~200-260 f/s ≈ 2.5-3.3x pinned CPU) regardless
+of device speed. `extra.link_ceiling_fps` reports the per-run cap;
+device_only_fps shows what the chip does once fed.
 """
 
 import ctypes
@@ -136,7 +146,15 @@ def cpu_fps(clip: Path, lowres: bool, nruns: int = 2) -> float:
 
 
 def probes() -> dict:
-    """Dispatch-latency + host->device transfer self-probes."""
+    """Dispatch-latency + host->device link self-probes.
+
+    The link probe uses a FETCH as the completion signal —
+    `block_until_ready` is acked by the axon tunnel before the bytes
+    land, which is how r04 recorded a fictitious 1.37 GB/s. It is run
+    twice, with incompressible (random) and all-zero payloads: the
+    tunnel compresses in flight, so the random figure is the real
+    ceiling for entropy-coded media data and the zeros figure bounds
+    the protocol overhead."""
     jax = _jax()
     import jax.numpy as jnp
     out = {}
@@ -151,15 +169,22 @@ def probes() -> dict:
         jax.block_until_ready(r)
         ts.append(time.monotonic() - t0)
     out["dispatch_ms"] = round(statistics.median(ts) * 1e3, 3)
-    buf = np.random.default_rng(0).integers(
-        0, 255, (1 << 20, 12), np.uint8)     # 12 MB
-    ts = []
-    for _ in range(3):
-        t0 = time.monotonic()
+    probe = jax.jit(lambda d: jnp.sum(d.ravel()[::4097].astype(jnp.int32)))
+    for key, buf in (
+            ("link_MBps_incompressible",
+             np.random.default_rng(0).integers(0, 256, 8 << 20)
+             .astype(np.uint8)),
+            ("link_MBps_zeros", np.zeros(8 << 20, np.uint8))):
         d = jax.device_put(buf)
-        jax.block_until_ready(d)
-        ts.append(time.monotonic() - t0)
-    out["h2d_GBps"] = round(buf.nbytes / statistics.median(ts) / 1e9, 2)
+        int(probe(d))                      # warm + compile
+        ts = []
+        for i in range(3):
+            buf[i] = i                     # defeat transfer caching
+            t0 = time.monotonic()
+            d = jax.device_put(buf)
+            int(probe(d))                  # fetch = real completion
+            ts.append(time.monotonic() - t0)
+        out[key] = round(buf.nbytes / statistics.median(ts) / 1e6, 1)
     return out
 
 
@@ -239,55 +264,74 @@ def run_fullres_tpu_entropy() -> dict:
     psnr = 10 * np.log10(255 ** 2 / max((e * e).mean(), 1e-9))
 
     # device-only rate (inputs pre-staged; rotate sets to defeat any
-    # transparent result caching in the runtime)
+    # transparent result caching in the runtime). Burst-slope timing:
+    # over the tunnel, block_until_ready is acked before the device
+    # finishes, so the only honest completion signal is a value fetch;
+    # two burst lengths cancel the constant fetch RTT
+    # (tools/kernelbench.py timeit discipline).
     staged = [jax.device_put(prep_window(r)) for r in range(NRING)]
-    outs = [wfn(staged[k % NRING]) for k in range(2)]
-    jax.block_until_ready(outs)
-    t0 = time.monotonic()
-    outs = [wfn(staged[k % NRING]) for k in range(4)]
-    jax.block_until_ready(outs)
-    device_fps = 4 * WINDOW_BATCHES * BATCH / (time.monotonic() - t0)
+
+    def _fetch(out):
+        return float(np.asarray(out[0].ravel()[0]))
+
+    def burst(k):
+        t0 = time.monotonic()
+        outs = [wfn(staged[i % NRING]) for i in range(k)]
+        _fetch(outs[-1])
+        return time.monotonic() - t0
+
+    burst(2)
+    slopes = [(burst(6) - burst(2)) / 4 for _ in range(3)]
+    t_win = statistics.median(slopes)
+    device_fps = WINDOW_BATCHES * BATCH / t_win if t_win > 0 else 0.0
 
     # steady-state e2e. Warm-up is ADAPTIVE: the tunnel/allocator ramp
     # lasts a variable number of windows, so warm until two consecutive
     # windows agree within 10% (or 8 windows), then measure
-    # >= MIN_MEASURE_S. One async-issued transfer + one dispatch per
-    # window; block on the previous window's output, so issue stays one
-    # window ahead of execution. The tunnel's throughput drifts over
+    # >= MIN_MEASURE_S. Two windows stay in flight (transfer + dispatch
+    # issued ahead); completion is a SCALAR FETCH of the output —
+    # block_until_ready is acked early by the tunnel, so fetch is the
+    # only honest signal, and with depth-2 issue its RTT hides behind
+    # the next window's transfer. Window rate = frames between
+    # consecutive completions. The tunnel's throughput drifts over
     # multi-minute scales (shared link), so the headline is the BETTER
     # median of two independent passes — the same best-of discipline
     # the CPU side gets (cpu_fps is best-of-2), cf. checkasm's
     # minimum-cycles benching.
     def steady_pass(nwarm_cap):
+        DEPTH = 2
         windows = []
         warmups = []
         r = 0
         t_measure0 = None
-        prev_out = None
-        prev_t = None
+        t_prev_done = None
+        pend = []
         while True:
-            tw = time.monotonic()
-            dev = jax.device_put(prep_window(r))
-            out = wfn(dev)
-            if prev_out is not None:
-                jax.block_until_ready(prev_out)
-                t_done = time.monotonic()
-                rate = WINDOW_BATCHES * BATCH / (t_done - prev_t)
-                if t_measure0 is None:
-                    warmups.append(rate)
-                    if (len(warmups) >= 3
-                            and abs(warmups[-1] - warmups[-2])
-                            < 0.10 * warmups[-2]) \
-                            or len(warmups) >= nwarm_cap:
-                        t_measure0 = t_done
-                else:
-                    windows.append(rate)
-                    if (t_done - t_measure0 >= MIN_MEASURE_S
-                            and len(windows) >= 5) or len(windows) >= 30:
-                        jax.block_until_ready(out)
-                        break
-            prev_out, prev_t = out, tw
+            pend.append(wfn(jax.device_put(prep_window(r))))
             r += 1
+            if len(pend) <= DEPTH:
+                continue
+            _fetch(pend.pop(0))
+            t_done = time.monotonic()
+            if t_prev_done is None:
+                t_prev_done = t_done
+                continue
+            rate = WINDOW_BATCHES * BATCH / (t_done - t_prev_done)
+            t_prev_done = t_done
+            if t_measure0 is None:
+                warmups.append(rate)
+                if (len(warmups) >= 3
+                        and abs(warmups[-1] - warmups[-2])
+                        < 0.10 * warmups[-2]) \
+                        or len(warmups) >= nwarm_cap:
+                    t_measure0 = t_done
+            else:
+                windows.append(rate)
+                if (t_done - t_measure0 >= MIN_MEASURE_S
+                        and len(windows) >= 5) or len(windows) >= 30:
+                    for p in pend:
+                        _fetch(p)
+                    break
         med = statistics.median(windows)
         spread = (max(windows) - min(windows)) / med if med else 1.0
         return med, windows, warmups, spread
@@ -334,6 +378,13 @@ def main():
 
     value = full.get("fps", 0.0)
     denom = pin_full_rst or fresh_full_rst
+    # physics of this capture environment: the host<->device tunnel
+    # moves incompressible (entropy-coded) data at link_MBps; every
+    # frame's compressed bytes must cross it, so the e2e rate is
+    # hard-capped at link/bytes-per-frame even with zero device time.
+    cap_b = full.get("cap_bytes_per_frame", 0)
+    link = prb.get("link_MBps_incompressible", 0.0)
+    link_ceiling = link * 1e6 / cap_b if cap_b else 0.0
     print(json.dumps({
         "metric": "1080p_mjpeg_decode_scale224_rgb24",
         "value": round(value, 2),
@@ -358,6 +409,7 @@ def main():
             # full-coefficient exact, CPU -lowres 1 is lossy
             "vs_cpu_lowres1_pinned": round(value / pin_low, 2)
             if pin_low else 0.0,
+            "link_ceiling_fps": round(link_ceiling, 1),
             **prb,
             **{k: v for k, v in full.items() if k != "fps"},
             "secondary": secondary,
