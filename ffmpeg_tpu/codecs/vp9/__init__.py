@@ -63,8 +63,9 @@ class VP9Core:
     """Stateful frame decoder: reference slots, the 4 probability
     contexts, and the previous frame's MV grid."""
 
-    def __init__(self, device_recon=False):
+    def __init__(self, device_recon=False, native=False):
         self.device_recon = device_recon
+        self.native = native              # C++ parse + device replay
         self.refs: List[Optional[tuple]] = [None] * 8
         self.ref_mv = [None] * 8          # unused slots for clarity
         self.ctx = [ProbContext() for _ in range(4)]
@@ -115,12 +116,33 @@ class VP9Core:
         if h.use_last_frame_mvs:
             prev_mv = (self.prev[2], self.prev[3])
         fs = FrameState(h, probs, refs=refs, prev_mv=prev_mv)
-        if self.device_recon:
+        if self.device_recon and not self.native:
             from .recorder import ReconRecorder
             fs.recorder = ReconRecorder(fs)
 
         if h.refreshctx and h.parallelmode:
             self._store_ctx(h, probs)
+
+        if self.native:
+            # C++ tile walk (csrc/vp9_parse.cpp) + device replay
+            from . import recon_tpu
+            from .native_parse import parse_frame_native
+            rec = parse_frame_native(fs, data, pos)
+            recon_tpu.reconstruct(fs, rec)
+            loopfilter_frame(fs)
+            if h.refreshctx and not h.parallelmode:
+                adapt_probs(self.ctx[h.framectxid], h, fs.counts,
+                            probs, self.last_keyframe)
+            entry = (fs.y, fs.u, fs.v, h.width, h.height)
+            for i in range(8):
+                if h.refreshrefmask & (1 << i):
+                    self.refs[i] = entry
+            self.prev = (h.width, h.height, fs.mv_ref, fs.mv_xy)
+            self.last_keyframe = h.keyframe
+            self.last_invisible = not h.show_frame
+            self.lf_deltas = (list(h.lf_ref_delta),
+                              list(h.lf_mode_delta))
+            return h, (entry if h.show_frame else None)
 
         n_tc = 1 << h.log2_tile_cols
         n_tr = 1 << h.log2_tile_rows
@@ -232,7 +254,8 @@ class VP9Decoder(Codec):
         # NB: `bool` here is the vp9.bool submodule (package-namespace
         # shadowing), so use truthiness directly
         self.core = VP9Core(
-            device_recon=not not self.options.get("device_recon"))
+            device_recon=not not self.options.get("device_recon"),
+            native=not not self.options.get("native"))
 
     def decode(self, pkt: Optional[Packet]) -> List[Frame]:
         if pkt is None or not pkt.data:

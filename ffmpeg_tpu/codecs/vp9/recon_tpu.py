@@ -481,9 +481,144 @@ def prepare(fs, rec):
     return fn, (dpb_y, dpb_c, mc_args, tu_args, intra_args)
 
 
+def _dpb_arrays(fs):
+    """DPB planes + slot map for the frame's (up to 3) refs."""
+    H, W = fs.y.shape
+    Hc, Wc = fs.u.shape
+    slots, slot_of = [], {}
+    for r in fs.refs:
+        if r is not None and id(r[0]) not in slot_of:
+            slot_of[id(r[0])] = len(slots)
+            slots.append(r)
+    Rn = max(1, len(slots))
+    dpb_y = np.zeros((Rn, H, W), np.uint8)
+    dpb_c = np.zeros((Rn, 2, Hc, Wc), np.uint8)
+    for i, (ry, ru, rv, _w, _h) in enumerate(slots):
+        dpb_y[i, :ry.shape[0], :ry.shape[1]] = ry
+        dpb_c[i, 0, :ru.shape[0], :ru.shape[1]] = ru
+        dpb_c[i, 1, :rv.shape[0], :rv.shape[1]] = rv
+    smap = np.zeros(3, np.int32)
+    for i in range(3):
+        if fs.refs and i < len(fs.refs) and fs.refs[i] is not None:
+            smap[i] = slot_of[id(fs.refs[i][0])]
+    return dpb_y, dpb_c, smap
+
+
+def prepare_native(fs, rec):
+    """prepare() from a native_parse.NativeRecord (flat arrays,
+    numpy-vectorized — no per-record Python)."""
+    from .itxfm import _TXTP as TXTP_TAB
+    H, W = fs.y.shape
+    Hc, Wc = fs.u.shape
+    dw, dh = fs.h.width, fs.h.height
+    dpb_y, dpb_c, smap = _dpb_arrays(fs)
+    Rn = dpb_y.shape[0]
+
+    mc_args, mc_shapes = {}, []
+    for cls in _MC_CLASSES:
+        raw = rec.mc_arr.get(cls)
+        k0 = 0 if raw is None else len(raw)
+        K = _pow2(k0) if k0 else 0
+        arr = np.zeros((11, max(K, 1)), np.int32)
+        arr[0] = INVALID                       # dy
+        if k0:
+            r = raw.T
+            arr[0, :k0] = r[1]                 # dy
+            arr[1, :k0] = r[2]                 # dx
+            arr[2, :k0] = r[3]                 # mx0
+            arr[3, :k0] = r[4]                 # my0
+            arr[4, :k0] = smap[r[5]]
+            arr[5, :k0] = r[6]                 # mx1
+            arr[6, :k0] = r[7]                 # my1
+            arr[7, :k0] = smap[r[8]]
+            arr[8, :k0] = r[9]                 # comp
+            arr[9, :k0] = r[10]                # filt
+            arr[10, :k0] = np.maximum(r[0] - 1, 0)   # cpl
+        mc_args[cls] = tuple(arr)
+        mc_shapes.append((cls, K))
+
+    tu_args, tu_shapes = {}, []
+    for cls in _CLASSES:
+        meta, coefs = rec.tu_arr.get(cls, (None, None))
+        k0 = 0 if meta is None else len(meta)
+        K = _pow2(k0) if k0 else 0
+        n = cls[1]
+        px = np.full(max(K, 1), INVALID, np.int32)
+        py = np.full(max(K, 1), INVALID, np.int32)
+        coef = np.zeros((max(K, 1), n, n), np.int32)
+        cpl = np.zeros(max(K, 1), np.int32)
+        if k0:
+            px[:k0] = meta[:, 0]
+            py[:k0] = meta[:, 1]
+            cpl[:k0] = meta[:, 2]
+            coef[:k0] = coefs.reshape(k0, n, n)
+        tu_args[cls] = (px, py, coef, cpl)
+        tu_shapes.append((cls, K))
+
+    nlev = _pow2(rec.max_level, lo=4) if rec.max_level else 0
+    txtp_adst_col = np.zeros(4, bool)
+    txtp_adst_row = np.zeros(4, bool)
+    for t in range(4):
+        ka, kb = TXTP_TAB[t]
+        txtp_adst_col[t] = ka == "adst"
+        txtp_adst_row[t] = kb == "adst"
+    intra_args, intra_shapes = {}, []
+    for cls in _CLASSES:
+        meta, coefs = rec.in_arr.get(cls, (None, None))
+        k0 = 0 if meta is None else len(meta)
+        n = cls[1]
+        nl = max(nlev, 1)
+        if k0:
+            lv = meta[:, 0] - 1
+            order = np.argsort(lv, kind="stable")
+            lv_s = lv[order]
+            # index within level: position - first index of that level
+            first = np.searchsorted(lv_s, lv_s)
+            within = np.arange(k0) - first
+            kmax = int(within.max()) + 1 if k0 else 0
+            K = _pow2(kmax, lo=2)
+        else:
+            K = 0
+        kk = max(K, 1)
+        px = np.full((nl, kk), INVALID, np.int32)
+        py = np.full((nl, kk), INVALID, np.int32)
+        mode = np.zeros((nl, kk), np.int32)
+        m_top = np.zeros((nl, kk), np.int32)
+        m_left = np.zeros((nl, kk), np.int32)
+        tl_sel = np.zeros((nl, kk), np.int32)
+        cpl = np.zeros((nl, kk), np.int32)
+        acol = np.zeros((nl, kk), bool)
+        arow = np.zeros((nl, kk), bool)
+        coef = np.zeros((nl, kk, n, n), np.int32)
+        if k0:
+            ms = meta[order]
+            px[lv_s, within] = ms[:, 1]
+            py[lv_s, within] = ms[:, 2]
+            mode[lv_s, within] = ms[:, 3]
+            m_top[lv_s, within] = ms[:, 4]
+            m_left[lv_s, within] = ms[:, 5]
+            tl_sel[lv_s, within] = ms[:, 6]
+            cpl[lv_s, within] = ms[:, 8]
+            acol[lv_s, within] = txtp_adst_col[ms[:, 7]]
+            arow[lv_s, within] = txtp_adst_row[ms[:, 7]]
+            coef[lv_s, within] = coefs[order].reshape(k0, n, n)
+        intra_args[cls] = (px, py, mode, m_top, m_left, tl_sel, cpl,
+                           acol, arow, coef)
+        intra_shapes.append((cls, K))
+
+    key = (H, W, Hc, Wc, Rn, nlev, dw, dh, tuple(mc_shapes),
+           tuple(tu_shapes), tuple(intra_shapes))
+    fn = _build_program(key)
+    return fn, (dpb_y, dpb_c, mc_args, tu_args, intra_args)
+
+
 def reconstruct(fs, rec) -> None:
     """Fill fs.y/u/v (pre-loop-filter) from the recorded work."""
-    fn, args = prepare(fs, rec)
+    from .native_parse import NativeRecord
+    if isinstance(rec, NativeRecord):
+        fn, args = prepare_native(fs, rec)
+    else:
+        fn, args = prepare(fs, rec)
     y, u, v = fn(*args)
     fs.y[:] = np.asarray(y)
     fs.u[:] = np.asarray(u)
