@@ -66,6 +66,10 @@ class VP9Core:
     def __init__(self, device_recon=False, native=False):
         self.device_recon = device_recon
         self.native = native              # C++ parse + device replay
+        self.capture = None               # list -> parse-only capture:
+                                          # (h, fs, rec) appended, recon
+                                          # + LF skipped (models/vp9_tpu
+                                          # replays whole windows)
         self.refs: List[Optional[tuple]] = [None] * 8
         self.ref_mv = [None] * 8          # unused slots for clarity
         self.ctx = [ProbContext() for _ in range(4)]
@@ -128,8 +132,11 @@ class VP9Core:
             from . import recon_tpu
             from .native_parse import parse_frame_native
             rec = parse_frame_native(fs, data, pos)
-            recon_tpu.reconstruct(fs, rec)
-            loopfilter_frame(fs)
+            if self.capture is not None:
+                self.capture.append((h, fs, rec))
+            else:
+                recon_tpu.reconstruct(fs, rec)
+                loopfilter_frame(fs)
             if h.refreshctx and not h.parallelmode:
                 adapt_probs(self.ctx[h.framectxid], h, fs.counts,
                             probs, self.last_keyframe)

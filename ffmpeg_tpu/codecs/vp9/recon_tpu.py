@@ -305,8 +305,10 @@ def _intra_level(jnp, P, pw, ph, n, args, chroma):
 
 # -- program ---------------------------------------------------------------
 
-@functools.lru_cache(maxsize=64)
-def _build_program(key):
+def _recon_frame(key, dpb_y, dpb_c, mc_args, tu_args, intra_args):
+    """Traceable one-frame reconstruction body (shared by the
+    per-frame program below and the windowed decoder in
+    models/vp9_tpu.py)."""
     import jax
     jnp = _jnp()
     (H, W, Hc, Wc, Rn, nlev, dw, dh, mc_shapes, tu_shapes,
@@ -381,7 +383,13 @@ def _build_program(key):
         return (Y.astype(jnp.uint8), C[0].astype(jnp.uint8),
                 C[1].astype(jnp.uint8))
 
-    return jax.jit(program)
+    return program(dpb_y, dpb_c, mc_args, tu_args, intra_args)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_program(key):
+    import jax
+    return jax.jit(functools.partial(_recon_frame, key))
 
 
 def prepare(fs, rec):
@@ -504,21 +512,24 @@ def _dpb_arrays(fs):
     return dpb_y, dpb_c, smap
 
 
-def prepare_native(fs, rec):
-    """prepare() from a native_parse.NativeRecord (flat arrays,
-    numpy-vectorized — no per-record Python)."""
+def build_frame_args(rec, smap, shapes=None):
+    """Padded device-arg tensors from a NativeRecord.
+
+    smap: int32 [3] mapping record ref ids (0..2) to DPB slot indices.
+    shapes: optional (mc_shapes, tu_shapes, intra_shapes, nlev) to pad
+    to — used by the windowed decoder so every frame of a window
+    shares ONE compiled program. Returns (mc_args, tu_args,
+    intra_args, (mc_shapes, tu_shapes, intra_shapes, nlev))."""
     from .itxfm import _TXTP as TXTP_TAB
-    H, W = fs.y.shape
-    Hc, Wc = fs.u.shape
-    dw, dh = fs.h.width, fs.h.height
-    dpb_y, dpb_c, smap = _dpb_arrays(fs)
-    Rn = dpb_y.shape[0]
+    want_mc = dict(shapes[0]) if shapes else None
+    want_tu = dict(shapes[1]) if shapes else None
+    want_in = dict(shapes[2]) if shapes else None
 
     mc_args, mc_shapes = {}, []
     for cls in _MC_CLASSES:
         raw = rec.mc_arr.get(cls)
         k0 = 0 if raw is None else len(raw)
-        K = _pow2(k0) if k0 else 0
+        K = want_mc[cls] if want_mc else (_pow2(k0) if k0 else 0)
         arr = np.zeros((11, max(K, 1)), np.int32)
         arr[0] = INVALID                       # dy
         if k0:
@@ -541,7 +552,7 @@ def prepare_native(fs, rec):
     for cls in _CLASSES:
         meta, coefs = rec.tu_arr.get(cls, (None, None))
         k0 = 0 if meta is None else len(meta)
-        K = _pow2(k0) if k0 else 0
+        K = want_tu[cls] if want_tu else (_pow2(k0) if k0 else 0)
         n = cls[1]
         px = np.full(max(K, 1), INVALID, np.int32)
         py = np.full(max(K, 1), INVALID, np.int32)
@@ -555,7 +566,8 @@ def prepare_native(fs, rec):
         tu_args[cls] = (px, py, coef, cpl)
         tu_shapes.append((cls, K))
 
-    nlev = _pow2(rec.max_level, lo=4) if rec.max_level else 0
+    nlev = shapes[3] if shapes else (
+        _pow2(rec.max_level, lo=4) if rec.max_level else 0)
     txtp_adst_col = np.zeros(4, bool)
     txtp_adst_row = np.zeros(4, bool)
     for t in range(4):
@@ -576,9 +588,9 @@ def prepare_native(fs, rec):
             first = np.searchsorted(lv_s, lv_s)
             within = np.arange(k0) - first
             kmax = int(within.max()) + 1 if k0 else 0
-            K = _pow2(kmax, lo=2)
+            K = want_in[cls] if want_in else _pow2(kmax, lo=2)
         else:
-            K = 0
+            K = want_in[cls] if want_in else 0
         kk = max(K, 1)
         px = np.full((nl, kk), INVALID, np.int32)
         py = np.full((nl, kk), INVALID, np.int32)
@@ -606,8 +618,24 @@ def prepare_native(fs, rec):
                            acol, arow, coef)
         intra_shapes.append((cls, K))
 
-    key = (H, W, Hc, Wc, Rn, nlev, dw, dh, tuple(mc_shapes),
-           tuple(tu_shapes), tuple(intra_shapes))
+    return (mc_args, tu_args, intra_args,
+            (tuple(mc_shapes), tuple(tu_shapes), tuple(intra_shapes),
+             nlev))
+
+
+def prepare_native(fs, rec):
+    """prepare() from a native_parse.NativeRecord (flat arrays,
+    numpy-vectorized — no per-record Python)."""
+    H, W = fs.y.shape
+    Hc, Wc = fs.u.shape
+    dw, dh = fs.h.width, fs.h.height
+    dpb_y, dpb_c, smap = _dpb_arrays(fs)
+    Rn = dpb_y.shape[0]
+    mc_args, tu_args, intra_args, (mc_shapes, tu_shapes,
+                                   intra_shapes, nlev) = \
+        build_frame_args(rec, smap)
+    key = (H, W, Hc, Wc, Rn, nlev, dw, dh, mc_shapes, tu_shapes,
+           intra_shapes)
     fn = _build_program(key)
     return fn, (dpb_y, dpb_c, mc_args, tu_args, intra_args)
 
