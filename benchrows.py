@@ -80,45 +80,99 @@ def _measure_loop(fn, unit_count, min_s=MIN_MEASURE_S, max_windows=24):
 # -- HEVC / VP9 device recon replay ----------------------------------------
 
 def recon_row_vp9():
-    path = BENCH_DATA / "vp9_1080p.ivf"
+    """FULL VP9 decode (r5): C++ entropy parse + windowed device
+    replay with fused in-loop deblock, DPB device-resident — on the
+    100-frame committed 1080p stream, byte-exact vs the reference
+    (tests + the emit_planes gate in models/vp9_tpu.py)."""
+    path = BENCH_DATA / "vp9_1080p_100.ivf"
     if not path.exists():
         return {"error": "no bench stream"}
-    from ffmpeg_tpu.codecs.vp9 import VP9Core, split_superframe
-    from ffmpeg_tpu.codecs.vp9 import recon_tpu as RT
+    from ffmpeg_tpu.models.vp9_tpu import Vp9TpuDecoder
     data = path.read_bytes()
-    # IVF: 32-byte header, 12-byte frame headers
     pos, frames = 32, []
     while pos + 12 <= len(data):
         sz = int.from_bytes(data[pos:pos + 4], "little")
         frames.append(data[pos + 12:pos + 12 + sz])
         pos += 12 + sz
-    core = VP9Core(device_recon=True)
-    captured = []
-    real = RT.reconstruct
-    RT.reconstruct = lambda fs, rec: (captured.append((fs, rec)),
-                                      real(fs, rec))[1]
-    try:
-        t0 = time.monotonic()
-        for i, f in enumerate(frames):
-            for sub in split_superframe(f):
-                core.decode_frame(sub)
-        parse_s = time.monotonic() - t0
-    finally:
-        RT.reconstruct = real
-    prepared = _stage_dpb([RT.prepare(fs, rec) for fs, rec in captured], 2)
-    med, spread, _ = _measure_loop(
-        lambda: _replay(prepared), len(captured))
-    pin = _pinned("vp9_1080p")
+    dec = Vp9TpuDecoder()
+    dec.decode(frames, stats={})          # compile + warm
+    rates, comps = [], []
+    t0 = time.monotonic()
+    while True:
+        st = {}
+        tw = time.monotonic()
+        dec.decode(frames, stats=st)
+        rates.append(st["frames"] / (time.monotonic() - tw))
+        comps.append(st)
+        if time.monotonic() - t0 > MIN_MEASURE_S or len(rates) >= 4:
+            break
+    med = statistics.median(rates)
+    spread = (max(rates) - min(rates)) / med if med else 1.0
+    n = comps[-1]["frames"]
+    pin = _pinned("vp9_1080p_100")
     return {
-        "device_recon_fps": round(med, 1),
+        "full_decode_fps": round(med, 1),
         "cpu_pinned_full_decode_fps": pin,
         "vs_cpu": round(med / pin, 2) if pin else 0.0,
         "spread": round(spread, 3),
-        "host_parse_s_per_frame": round(parse_s / len(captured), 1),
-        "comparison": "device recon replay (MC+residual+intra "
-                      "wavefront; DPB device-resident, work tensors "
-                      "h2d fresh; entropy parse excluded) vs "
-                      "pinned cpu full decode of the same stream",
+        "host_parse_ms_per_frame":
+            round(comps[-1]["parse_s"] / n * 1e3, 1),
+        "build_ms_per_frame":
+            round(comps[-1]["build_s"] / n * 1e3, 1),
+        "device_ms_per_frame":
+            round(comps[-1]["device_s"] / n * 1e3, 1),
+        "frames": n,
+        "comparison": "FULL decode (C++ tile parse + windowed device "
+                      "recon + fused device deblock; output stays "
+                      "device-resident) vs pinned cpu full decode of "
+                      "the same 100-frame stream (r4: parse alone was "
+                      "31.7 s/frame and replay 0.8 f/s on 3 frames)",
+    }
+
+
+def encode_hotloop_row():
+    """BASELINE row 6: the encode hot loop — full-search SAD motion
+    search (Pallas strip kernel), bounded qpel MC, residual FDCT +
+    quant — MB/s on 1080p, vs the pinned full reference mpeg4 encode
+    (which uses EPZS ME + entropy; scope noted in `comparison`)."""
+    import jax
+    import jax.numpy as jnp
+    from ffmpeg_tpu.ops import idct, mc, me
+
+    H, W, B = 1088, 1920, 16
+    rng = np.random.default_rng(3)
+    cur = rng.integers(0, 256, (H, W)).astype(np.float32)
+    ref = np.roll(cur, (3, -5), (0, 1)) + \
+        rng.normal(0, 2, (H, W)).astype(np.float32)
+
+    @jax.jit
+    def hot(cur, ref):
+        mvs, cost = me.motion_search(cur, ref, B, 8)
+        pred = mc.mc_blocks_bounded(ref, mvs * 4, B, max_disp=12)
+        resid = cur - pred
+        blocks = resid.reshape(H // 8, 8, W // 8, 8) \
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        coef = idct.fdct8x8(blocks)
+        q = jnp.round(coef / 16.0)
+        return jnp.sum(jnp.abs(q)) + jnp.sum(cost)
+
+    dc, dr = jax.device_put(cur), jax.device_put(ref)
+    float(hot(dc, dr))
+
+    def one():
+        float(hot(dc, dr))
+
+    mbs = (H // B) * (W // B)
+    med, spread, _ = _measure_loop(one, mbs, min_s=5.0, max_windows=40)
+    pin = _pinned("encode_mbps")
+    return {
+        "mb_per_s": round(med, 0),
+        "cpu_pinned_mb_per_s": pin,
+        "vs_cpu": round(med / pin, 2) if pin else 0.0,
+        "spread": round(spread, 3),
+        "comparison": "device ME(+-8 full search)+qpel MC+FDCT+quant "
+                      "hot loop, MB/s vs pinned cpu ffmpeg mpeg4 "
+                      "encode (EPZS ME + full entropy) at 1080p",
     }
 
 
@@ -274,8 +328,9 @@ def all_rows(budget_s=None):
     t0 = time.monotonic()
     for name, fn in (("dataloader", dataloader_row),
                      ("audio_frontend", audio_frontend_row),
-                     ("hevc_recon_1080p", recon_row_hevc),
-                     ("vp9_recon_1080p", recon_row_vp9)):
+                     ("encode_hotloop_1080p", encode_hotloop_row),
+                     ("vp9_full_decode_1080p", recon_row_vp9),
+                     ("hevc_recon_1080p", recon_row_hevc)):
         spent = time.monotonic() - t0
         if spent > budget_s:
             rows[name] = {"skipped": f"budget ({spent:.0f}s spent)"}

@@ -365,21 +365,39 @@ def _recon_frame(key, dpb_y, dpb_c, mc_args, tu_args, intra_args):
                          cc[:, None, :]].set(
                     jnp.clip(cur + res, 0, 255), mode="drop")
 
-        # stage C: intra wavefront over dependency levels
+        # stage C: intra wavefront over dependency levels. Args are
+        # FLAT level-sorted arrays + per-level offsets (a dense
+        # (nlev, kmax) layout costs nlev*kmax slots — 19 GB on a 1080p
+        # keyframe whose dependency chains run ~1024 levels deep);
+        # each scan step slices its level's window and masks the tail.
         if nlev:
-            def step(carry, xs):
+            def step(carry, lv):
                 Y, C = carry
-                for (is_luma, n), K in intra_shapes:
-                    if K == 0:
+                for (is_luma, n), shp in intra_shapes:
+                    if not shp or shp[1] == 0:
                         continue
-                    a = xs[(is_luma, n)]
+                    KT, kmax = shp
+                    a = intra_args[(is_luma, n)]
+                    offs = a[-1]
+                    off = offs[lv]
+                    cnt = offs[lv + 1] - off
+
+                    def sl(arr):
+                        return jax.lax.dynamic_slice(
+                            arr, (off,) + (0,) * (arr.ndim - 1),
+                            (kmax,) + arr.shape[1:])
+
+                    valid = jnp.arange(kmax) < cnt
+                    px = jnp.where(valid, sl(a[0]), INVALID)
+                    py = jnp.where(valid, sl(a[1]), INVALID)
+                    args2 = (px, py) + tuple(sl(x) for x in a[2:-1])
                     if is_luma:
-                        Y = _intra_level(jnp, Y, W, H, n, a, False)
+                        Y = _intra_level(jnp, Y, W, H, n, args2, False)
                     else:
-                        C = _intra_level(jnp, C, Wc, Hc, n, a, True)
+                        C = _intra_level(jnp, C, Wc, Hc, n, args2, True)
                 return (Y, C), 0
 
-            (Y, C), _ = jax.lax.scan(step, (Y, C), intra_args)
+            (Y, C), _ = jax.lax.scan(step, (Y, C), jnp.arange(nlev))
         return (Y.astype(jnp.uint8), C[0].astype(jnp.uint8),
                 C[1].astype(jnp.uint8))
 
@@ -447,41 +465,47 @@ def prepare(fs, rec):
 
     nlev = _pow2(rec.max_level, lo=4) if rec.max_level else 0
     intra_args, intra_shapes = {}, []
+    nl = max(nlev, 1)
     for cls in _CLASSES:
         lst = rec.intra.get(cls, [])
         per = {}
-        kmax = 0
+        kmax0 = 0
         for it in lst:
             per.setdefault(it[0] - 1, []).append(it)
-            kmax = max(kmax, len(per[it[0] - 1]))
-        K = _pow2(kmax, lo=2) if lst else 0
+            kmax0 = max(kmax0, len(per[it[0] - 1]))
+        kmax = _pow2(kmax0, lo=2) if lst else 0
+        KT = _pow2(len(lst) + kmax) if lst else 0
         n = cls[1]
-        kk = max(K, 1)
-        nl = max(nlev, 1)
-        px = np.full((nl, kk), INVALID, np.int32)
-        py = np.full((nl, kk), INVALID, np.int32)
-        mode = np.zeros((nl, kk), np.int32)
-        m_top = np.zeros((nl, kk), np.int32)
-        m_left = np.zeros((nl, kk), np.int32)
-        tl_sel = np.zeros((nl, kk), np.int32)
-        cpl = np.zeros((nl, kk), np.int32)
-        acol = np.zeros((nl, kk), bool)
-        arow = np.zeros((nl, kk), bool)
-        coef = np.zeros((nl, kk, n, n), np.int32)
-        for lv, items in per.items():
-            for i, (_l, x0, y0, m, mt, ml, ts, txtp, cf,
-                    pl) in enumerate(items):
-                px[lv, i], py[lv, i] = x0, y0
-                mode[lv, i], m_top[lv, i] = m, mt
-                m_left[lv, i], tl_sel[lv, i] = ml, ts
-                cpl[lv, i] = pl
+        kt = max(KT, 1)
+        px = np.full(kt, INVALID, np.int32)
+        py = np.full(kt, INVALID, np.int32)
+        mode = np.zeros(kt, np.int32)
+        m_top = np.zeros(kt, np.int32)
+        m_left = np.zeros(kt, np.int32)
+        tl_sel = np.zeros(kt, np.int32)
+        cpl = np.zeros(kt, np.int32)
+        acol = np.zeros(kt, bool)
+        arow = np.zeros(kt, bool)
+        coef = np.zeros((kt, n, n), np.int32)
+        offsets = np.zeros(nl + 1, np.int32)
+        j = 0
+        for lv in range(nl):
+            offsets[lv] = j
+            for (_l, x0, y0, m, mt, ml, ts, txtp, cf,
+                 pl) in per.get(lv, ()):
+                px[j], py[j] = x0, y0
+                mode[j], m_top[j] = m, mt
+                m_left[j], tl_sel[j] = ml, ts
+                cpl[j] = pl
                 ka, kb = TX._TXTP[txtp]
-                acol[lv, i] = ka == "adst"
-                arow[lv, i] = kb == "adst"
-                coef[lv, i] = cf
+                acol[j] = ka == "adst"
+                arow[j] = kb == "adst"
+                coef[j] = cf
+                j += 1
+        offsets[nl] = j
         intra_args[cls] = (px, py, mode, m_top, m_left, tl_sel, cpl,
-                           acol, arow, coef)
-        intra_shapes.append((cls, K))
+                           acol, arow, coef, offsets)
+        intra_shapes.append((cls, (KT, kmax) if kmax else 0))
 
     key = (H, W, Hc, Wc, Rn, nlev, dw, dh, tuple(mc_shapes),
            tuple(tu_shapes), tuple(intra_shapes))
@@ -575,48 +599,53 @@ def build_frame_args(rec, smap, shapes=None):
         txtp_adst_col[t] = ka == "adst"
         txtp_adst_row[t] = kb == "adst"
     intra_args, intra_shapes = {}, []
+    nl = max(nlev, 1)
     for cls in _CLASSES:
         meta, coefs = rec.in_arr.get(cls, (None, None))
         k0 = 0 if meta is None else len(meta)
         n = cls[1]
-        nl = max(nlev, 1)
         if k0:
             lv = meta[:, 0] - 1
             order = np.argsort(lv, kind="stable")
             lv_s = lv[order]
-            # index within level: position - first index of that level
-            first = np.searchsorted(lv_s, lv_s)
-            within = np.arange(k0) - first
-            kmax = int(within.max()) + 1 if k0 else 0
-            K = want_in[cls] if want_in else _pow2(kmax, lo=2)
+            counts = np.bincount(lv_s, minlength=nl)
+            kmax0 = int(counts.max())
         else:
-            K = want_in[cls] if want_in else 0
-        kk = max(K, 1)
-        px = np.full((nl, kk), INVALID, np.int32)
-        py = np.full((nl, kk), INVALID, np.int32)
-        mode = np.zeros((nl, kk), np.int32)
-        m_top = np.zeros((nl, kk), np.int32)
-        m_left = np.zeros((nl, kk), np.int32)
-        tl_sel = np.zeros((nl, kk), np.int32)
-        cpl = np.zeros((nl, kk), np.int32)
-        acol = np.zeros((nl, kk), bool)
-        arow = np.zeros((nl, kk), bool)
-        coef = np.zeros((nl, kk, n, n), np.int32)
+            kmax0 = 0
+        if want_in:
+            KT, kmax = want_in[cls] if want_in[cls] else (0, 0)
+        else:
+            kmax = _pow2(kmax0, lo=2) if k0 else 0
+            KT = _pow2(k0 + kmax) if k0 else 0
+        # flat level-sorted layout + per-level offsets
+        kt = max(KT, 1)
+        px = np.full(kt, INVALID, np.int32)
+        py = np.full(kt, INVALID, np.int32)
+        mode = np.zeros(kt, np.int32)
+        m_top = np.zeros(kt, np.int32)
+        m_left = np.zeros(kt, np.int32)
+        tl_sel = np.zeros(kt, np.int32)
+        cpl = np.zeros(kt, np.int32)
+        acol = np.zeros(kt, bool)
+        arow = np.zeros(kt, bool)
+        coef = np.zeros((kt, n, n), np.int32)
+        offsets = np.zeros(nl + 1, np.int32)
         if k0:
             ms = meta[order]
-            px[lv_s, within] = ms[:, 1]
-            py[lv_s, within] = ms[:, 2]
-            mode[lv_s, within] = ms[:, 3]
-            m_top[lv_s, within] = ms[:, 4]
-            m_left[lv_s, within] = ms[:, 5]
-            tl_sel[lv_s, within] = ms[:, 6]
-            cpl[lv_s, within] = ms[:, 8]
-            acol[lv_s, within] = txtp_adst_col[ms[:, 7]]
-            arow[lv_s, within] = txtp_adst_row[ms[:, 7]]
-            coef[lv_s, within] = coefs[order].reshape(k0, n, n)
+            px[:k0] = ms[:, 1]
+            py[:k0] = ms[:, 2]
+            mode[:k0] = ms[:, 3]
+            m_top[:k0] = ms[:, 4]
+            m_left[:k0] = ms[:, 5]
+            tl_sel[:k0] = ms[:, 6]
+            cpl[:k0] = ms[:, 8]
+            acol[:k0] = txtp_adst_col[ms[:, 7]]
+            arow[:k0] = txtp_adst_row[ms[:, 7]]
+            coef[:k0] = coefs[order].reshape(k0, n, n)
+            offsets[1:] = np.cumsum(counts)
         intra_args[cls] = (px, py, mode, m_top, m_left, tl_sel, cpl,
-                           acol, arow, coef)
-        intra_shapes.append((cls, K))
+                           acol, arow, coef, offsets)
+        intra_shapes.append((cls, (KT, kmax) if kmax else 0))
 
     return (mc_args, tu_args, intra_args,
             (tuple(mc_shapes), tuple(tu_shapes), tuple(intra_shapes),

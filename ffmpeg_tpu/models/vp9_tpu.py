@@ -106,7 +106,8 @@ class Vp9TpuDecoder:
         """Per-class maxima over the window (pow2-padded)."""
         mc_max = {c: 0 for c in _MC_CLASSES}
         tu_max = {c: 0 for c in _CLASSES}
-        in_max = {c: 0 for c in _CLASSES}
+        in_tot = {c: 0 for c in _CLASSES}    # total records
+        in_wid = {c: 0 for c in _CLASSES}    # max per-level width
         nlev = 0
         for _h, _fs, rec in caps:
             for c in _MC_CLASSES:
@@ -116,16 +117,24 @@ class Vp9TpuDecoder:
                 m, _ = rec.tu_arr.get(c, (None, None))
                 tu_max[c] = max(tu_max[c], 0 if m is None else len(m))
                 m, _ = rec.in_arr.get(c, (None, None))
-                in_max[c] = max(in_max[c], 0 if m is None else len(m))
+                if m is not None and len(m):
+                    in_tot[c] = max(in_tot[c], len(m))
+                    wid = int(np.bincount(m[:, 0]).max())
+                    in_wid[c] = max(in_wid[c], wid)
             nlev = max(nlev, rec.max_level)
         mc_shapes = tuple((c, _pow2(k) if k else 0)
                           for c, k in mc_max.items())
         tu_shapes = tuple((c, _pow2(k) if k else 0)
                           for c, k in tu_max.items())
-        in_shapes = tuple((c, _pow2(k, lo=2) if k else 0)
-                          for c, k in in_max.items())
+        in_shapes = []
+        for c in _CLASSES:
+            if in_tot[c]:
+                kmax = _pow2(in_wid[c], lo=2)
+                in_shapes.append((c, (_pow2(in_tot[c] + kmax), kmax)))
+            else:
+                in_shapes.append((c, 0))
         nlev = _pow2(nlev, lo=4) if nlev else 0
-        return mc_shapes, tu_shapes, in_shapes, nlev
+        return mc_shapes, tuple(tu_shapes), tuple(in_shapes), nlev
 
     @staticmethod
     def frame_args(h, fs, rec, shapes):
@@ -161,25 +170,38 @@ class Vp9TpuDecoder:
         h0, fs0, _ = caps[0]
         H, W = fs0.y.shape
         Hc, Wc = fs0.u.shape
-        shapes = self.window_shapes(caps)
-        key = (H, W, Hc, Wc, shapes[3], h0.width, h0.height,
-               shapes[0], shapes[1], shapes[2],
-               fs0.sb_rows, fs0.sb_cols, emit_planes)
-        step = _build_step(key)
+        # Two shape groups: intra-heavy frames (keyframe/intraonly —
+        # deep dependency-level tensors) vs inter frames. Padding the
+        # whole window to the keyframe's intra shapes costs ~175 MB of
+        # args PER FRAME; grouping keeps inter frames to a few MB.
+        gid = [0 if (h.keyframe or h.intraonly) else 1
+               for h, _fs, _r in caps]
+        steps, shapes_g = {}, {}
+        for g in set(gid):
+            grp = [c for c, gg in zip(caps, gid) if gg == g]
+            shp = self.window_shapes(grp)
+            shapes_g[g] = shp
+            key = (H, W, Hc, Wc, shp[3], h0.width, h0.height,
+                   shp[0], shp[1], shp[2],
+                   fs0.sb_rows, fs0.sb_cols, emit_planes)
+            steps[g] = _build_step(key)
 
         t0 = time.monotonic()
-        args = [self.frame_args(h, fs, rec, shapes)
-                for h, fs, rec in caps]
+        args = [self.frame_args(h, fs, rec, shapes_g[g])
+                for (h, fs, rec), g in zip(caps, gid)]
         t_build = time.monotonic() - t0
 
         t0 = time.monotonic()
         dpb_y = jax.device_put(np.zeros((8, H, W), np.uint8))
         dpb_c = jax.device_put(np.zeros((8, 2, Hc, Wc), np.uint8))
         outs = []
-        for a in args:
+        DEPTH = 8    # bound in-flight arg/temp memory
+        for i, (a, g) in enumerate(zip(args, gid)):
             da = jax.device_put(a)
-            dpb_y, dpb_c, out = step(dpb_y, dpb_c, *da)
+            dpb_y, dpb_c, out = steps[g](dpb_y, dpb_c, *da)
             outs.append(out)
+            if i >= DEPTH:
+                jax.block_until_ready(outs[i - DEPTH])
         jax.block_until_ready(outs[-1])
         if not emit_planes:
             # fetch = the only honest completion signal on the tunnel

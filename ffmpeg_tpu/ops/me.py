@@ -76,10 +76,99 @@ def satd_blocks(a, b, block: int = 8):
     return jnp.sum(jnp.abs(t), axis=(-1, -2)) / block
 
 
+def sad_cost_volume_pl(cur, ref, block: int = 16, search: int = 8,
+                       interpret: bool = False):
+    """Full-search SAD as ONE Pallas kernel (same contract as
+    sad_cost_volume).
+
+    Design (r5, replacing the 289-pass XLA formulation that ran at
+    0.08% MFU): grid over block-row strips; each program holds the cur
+    strip (B, W) and the padded ref strip (B+2R, W+2R) in VMEM, unrolls
+    all (2R+1)^2 candidates as shifted abs-diff row-reductions into a
+    (ncand, W) scratch, and block-pools it with one (ncand, W) x
+    (W, BX) matmul on the MXU. HBM traffic drops from 289 plane passes
+    to 2 strip reads + 1 small write per strip.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w = cur.shape[-2:]
+    B, R = block, search
+    by, bx = h // B, w // B
+    W = bx * B
+    nc = (2 * R + 1) ** 2
+    ncp = -(-nc // 8) * 8
+    # lane-pad the shifted axis to a 128 multiple
+    Wp = -(-(W + 2 * R) // 128) * 128
+    curp = jnp.zeros((by * B, Wp), cur.dtype).at[:, :W].set(
+        cur[:by * B, :W])
+    refp = jnp.zeros((h + 2 * R, Wp), ref.dtype)
+    refpad = jnp.pad(ref[:, :W].astype(ref.dtype),
+                     ((R, R), (R, R)), mode="edge")
+    refp = refp.at[:, :W + 2 * R].set(refpad)
+    pool = np.zeros((W, bx), np.float32)
+    for b in range(bx):
+        pool[b * B:(b + 1) * B, b] = 1.0
+    poolp = jnp.asarray(np.pad(pool, ((0, Wp - W),
+                                      (0, -(-bx // 128) * 128 - bx))))
+
+    def kernel(cur_ref, ref_ref, pool_ref, out_ref):
+        c = cur_ref[0].astype(jnp.int32).astype(jnp.float32)
+        rr = ref_ref[0].astype(jnp.int32).astype(jnp.float32)
+        Wv = Wp - 2 * R
+        rows = []
+        for dy in range(2 * R + 1):
+            rwin = rr[dy:dy + B]
+            for dx in range(2 * R + 1):
+                d = jnp.abs(c[:, :Wv] - rwin[:, dx:dx + Wv])
+                s = jnp.sum(d, axis=0, keepdims=True)
+                rows.append(jnp.pad(s, ((0, 0), (0, 2 * R))))
+        rows += [rows[-1]] * (ncp - nc)
+        acc = jnp.concatenate(rows, axis=0)          # (ncp, Wp)
+        # HIGHEST precision: the default MXU f32 path truncates to
+        # bf16 passes, which rounds the integer SADs (values ~2000
+        # need >8 mantissa bits)
+        out_ref[0] = jax.lax.dot_general(
+            acc, pool_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    bxp = -(-bx // 128) * 128
+    out = pl.pallas_call(
+        kernel,
+        grid=(by,),
+        in_specs=[
+            pl.BlockSpec((1, B, Wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B + 2 * R, Wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wp, bxp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ncp, bxp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((by, ncp, bxp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(curp.reshape(by, B, Wp),
+      jnp.stack([jax.lax.dynamic_slice(refp, (i * B, 0),
+                                       (B + 2 * R, Wp))
+                 for i in range(by)]),
+      poolp)
+    vol = out[:, :nc, :bx]                          # (by, nc, bx)
+    return vol.transpose(0, 2, 1).reshape(by, bx, 2 * R + 1, 2 * R + 1)
+
+
 @partial(jax.jit, static_argnames=("block", "search"))
 def motion_search(cur, ref, block: int = 16, search: int = 8):
-    """One fused program: SAD cost volume → best integer MVs + costs."""
-    vol = sad_cost_volume(cur, ref, block, search)
+    """One fused program: SAD cost volume → best integer MVs + costs.
+    Uses the Pallas strip kernel on TPU (r5: ~9x the XLA
+    formulation), the XLA fallback elsewhere."""
+    if jax.devices()[0].platform == "tpu":
+        vol = sad_cost_volume_pl(cur, ref, block, search)
+    else:
+        vol = sad_cost_volume(cur, ref, block, search)
     mvs = best_mvs(vol, search)
     best = jnp.min(vol.reshape(*vol.shape[:2], -1), axis=-1)
     return mvs, best

@@ -78,3 +78,35 @@ def test_satd_zero_for_identical():
     b = a + 1.0   # DC offset: SATD = 8*8*1/8 per block via DC coefficient
     s2 = np.asarray(me.satd_blocks(a, b, block=8))
     np.testing.assert_allclose(s2, 8.0, atol=1e-4)
+
+
+def test_sad_pl_matches_xla():
+    """Pallas full-search SAD (interpreter mode on CPU) == the XLA
+    reference formulation, including frame edges."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    cur = rng.integers(0, 256, (40, 144)).astype(np.uint8)
+    ref = rng.integers(0, 256, (40, 144)).astype(np.uint8)
+    a = np.asarray(me.sad_cost_volume(jnp.asarray(cur),
+                                      jnp.asarray(ref), 8, 4))
+    b = np.asarray(me.sad_cost_volume_pl(jnp.asarray(cur),
+                                         jnp.asarray(ref), 8, 4,
+                                         interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_mc_bounded_matches_exact_interior():
+    """mc_blocks_bounded == mc_blocks wherever the tap window stays
+    inside the frame (at edges the bounded form interpolates the
+    edge-padded SOURCE — libavcodec emulated_edge_mc semantics — while
+    mc_blocks clamps interpolated coordinates)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(4)
+    ref = rng.integers(0, 256, (64, 128)).astype(np.float32)
+    mvs = rng.integers(-24, 24, (4, 8, 2)).astype(np.int32)
+    a = np.asarray(mc.mc_blocks(jnp.asarray(ref), jnp.asarray(mvs)))
+    b = np.asarray(mc.mc_blocks_bounded(jnp.asarray(ref),
+                                        jnp.asarray(mvs),
+                                        max_disp=8))
+    np.testing.assert_allclose(a[16:-16, 16:-16], b[16:-16, 16:-16],
+                               atol=1e-4)

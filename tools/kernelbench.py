@@ -233,8 +233,9 @@ def main():
         flops, 2 * z.nbytes, "f32")
 
     # --- motion search 1080p, +-8, 16x16 ------------------------------
-    cur = np.zeros((1088, 1920), np.float32)
-    ref = np.zeros((1088, 1920), np.float32)
+    rng = np.random.default_rng(7)
+    cur = rng.integers(0, 256, (1088, 1920)).astype(np.float32)
+    ref = rng.integers(0, 256, (1088, 1920)).astype(np.float32)
     fme = jax.jit(lambda a, b: me.motion_search(a, b, 16, 8))
     dt = timeit(fme, cur, ref)
     mbs = (1088 // 16) * (1920 // 16)
@@ -242,12 +243,18 @@ def main():
     add("full-search SAD 1080p +-8", dt, f"{mbs / dt / 1e6:.1f} M MB/s",
         flops, cur.nbytes * 2, "f32")
 
-    # --- qpel MC 1080p -------------------------------------------------
-    mvs = np.zeros((68, 120, 2), np.int32)
+    # --- qpel MC 1080p (single linear gather from 16 phase planes) ----
+    mvs = rng.integers(-64, 64, (68, 120, 2)).astype(np.int32)
     fmc = jax.jit(lambda r, m: mc.mc_blocks(r, m, 16))
     dt = timeit(fmc, ref, mvs)
     flops = 1088 * 1920 * (8 * 2 * 2)     # 8-tap H+V per pixel
     add("qpel MC 1080p", dt, f"{1 / dt:.0f} fr/s",
+        flops, ref.nbytes * 2, "f32")
+
+    # --- bounded qpel MC (encode-loop form: slice-gather) -------------
+    fmcb = jax.jit(lambda r, m: mc.mc_blocks_bounded(r, m, 16, 24))
+    dt = timeit(fmcb, ref, mvs)
+    add("qpel MC 1080p bounded +-24", dt, f"{1 / dt:.0f} fr/s",
         flops, ref.nbytes * 2, "f32")
 
     print(f"{'kernel':<34}{'ms':>8}{'GFLOP/s':>9}{'GB/s':>7}"
