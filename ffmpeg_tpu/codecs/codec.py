@@ -115,6 +115,15 @@ class CodecContext(LogMixin):
             raise EncoderNotFound(f"no encoder for {cid!r}")
         return CodecContext(cls(par, options))
 
+    def decode_frames(self, pkts) -> list:
+        """Batched decode when the codec supports it (one device
+        dispatch per transform class over the whole batch — see
+        aac.AACDecoder.decode_frames); falls back to decode_all."""
+        fn = getattr(self.codec, "decode_frames", None)
+        if fn is not None:
+            return fn(list(pkts))
+        return self.decode_all(pkts)
+
     def send_packet(self, pkt: Optional[Packet]) -> None:
         if self._draining and pkt is not None:
             raise InvalidData("send_packet after drain started")

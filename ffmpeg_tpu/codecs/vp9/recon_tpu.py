@@ -121,6 +121,43 @@ def _mc_tiles(jnp, dpb, pw, ph, t, shift, args):
     return jnp.where(comp[:, None, None] > 0, (p0 + p1 + 1) >> 1, p0)
 
 
+def _mc_tiles_sliced(jnp, dpb_pad, P, pw, ph, t, shift, args):
+    """_mc_tiles on an edge-padded DPB via vmapped dynamic_slice —
+    a slice-gather (~3x faster than the per-element gather on TPU).
+    Exact: VP9's per-coordinate source clamp == reading the
+    edge-replicated padded plane, provided every window stays inside
+    the pad (P is computed from the window's actual max |mv| by the
+    caller). dpb_pad [R, ph+2P, pw+2P]."""
+    import jax
+    dy, dx, mvx0, mvy0, s0, mvx1, mvy1, s1, comp, filt = args
+    mask = (1 << shift) - 1
+    Hp, Wp = ph + 2 * P, pw + 2 * P
+
+    def one(mvx, mvy, slot):
+        y = jnp.clip(dy + (mvy >> shift) - 3 + P, 0, Hp - (t + 7))
+        x = jnp.clip(dx + (mvx >> shift) - 3 + P, 0, Wp - (t + 7))
+        fx = (mvx & mask) << (4 - shift)
+        fy = (mvy & mask) << (4 - shift)
+        win = jax.vmap(lambda s, yy, xx: jax.lax.dynamic_slice(
+            dpb_pad, (s, yy, xx), (1, t + 7, t + 7))[0])(
+            slot, y, x).astype(jnp.int32)
+        ftab = jnp.asarray(FILTERS)
+        Fx = ftab[filt, fx]
+        Fy = ftab[filt, fy]
+        acc = jnp.zeros((win.shape[0], t + 7, t), jnp.int32)
+        for j in range(8):
+            acc = acc + Fx[:, j, None, None] * win[:, :, j:j + t]
+        h = jnp.clip((acc + 64) >> 7, 0, 255)
+        acc = jnp.zeros((win.shape[0], t, t), jnp.int32)
+        for j in range(8):
+            acc = acc + Fy[:, j, None, None] * h[:, j:j + t, :]
+        return jnp.clip((acc + 64) >> 7, 0, 255)
+
+    p0 = one(mvx0, mvy0, s0)
+    p1 = one(mvx1, mvy1, s1)
+    return jnp.where(comp[:, None, None] > 0, (p0 + p1 + 1) >> 1, p0)
+
+
 # -- intra predictors ------------------------------------------------------
 
 def _interleave(jnp, a, b):
@@ -311,12 +348,27 @@ def _recon_frame(key, dpb_y, dpb_c, mc_args, tu_args, intra_args):
     models/vp9_tpu.py)."""
     import jax
     jnp = _jnp()
+    if len(key) == 11:                  # legacy key (no MC pad)
+        key = key + (None,)
     (H, W, Hc, Wc, Rn, nlev, dw, dh, mc_shapes, tu_shapes,
-     intra_shapes) = key
+     intra_shapes, mc_pad) = key
+    dwc, dhc = (dw + 1) // 2, (dh + 1) // 2
 
     def program(dpb_y, dpb_c, mc_args, tu_args, intra_args):
         Y = jnp.zeros((H, W), jnp.int32)
         C = jnp.zeros((2, Hc, Wc), jnp.int32)
+
+        if mc_pad:
+            # slice-gather MC: edge-pad the display-cropped DPB so
+            # every tile window is one in-bounds dynamic_slice
+            P = mc_pad
+            Pc = P // 2 + 8
+            ypad = jnp.pad(dpb_y[:, :dh, :dw],
+                           ((0, 0), (P, P), (P, P)), mode="edge")
+            cpad = jnp.pad(dpb_c[:, :, :dhc, :dwc],
+                           ((0, 0), (0, 0), (Pc, Pc), (Pc, Pc)),
+                           mode="edge")
+            cpadf = cpad.reshape(Rn * 2, dhc + 2 * Pc, dwc + 2 * Pc)
 
         # stage A: inter MC
         for (is_luma, t), K in mc_shapes:
@@ -324,7 +376,17 @@ def _recon_frame(key, dpb_y, dpb_c, mc_args, tu_args, intra_args):
                 continue
             a = mc_args[(is_luma, t)]
             dy, dx, cpl = a[0], a[1], a[-1]
-            if is_luma:
+            if mc_pad:
+                if is_luma:
+                    pred = _mc_tiles_sliced(jnp, ypad, P, dw, dh, t,
+                                            3, a[:-1])
+                else:
+                    aa = list(a[:-1])
+                    aa[4] = a[4] * 2 + cpl
+                    aa[7] = a[7] * 2 + cpl
+                    pred = _mc_tiles_sliced(jnp, cpadf, Pc, dwc, dhc,
+                                            t, 4, tuple(aa))
+            elif is_luma:
                 pred = _mc_tiles(jnp, dpb_y, dw, dh, t, 3, a[:-1])
             else:
                 dpbf = dpb_c.reshape(Rn * 2, Hc, Wc)

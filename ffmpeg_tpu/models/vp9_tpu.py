@@ -41,9 +41,9 @@ def _build_step(key):
     import jax.numpy as jnp
 
     (H, W, Hc, Wc, nlev, dw, dh, mc_shapes, tu_shapes, intra_shapes,
-     sb_rows, sb_cols, emit_planes) = key
+     sb_rows, sb_cols, emit_planes, mc_pad) = key
     rkey = (H, W, Hc, Wc, 8, nlev, dw, dh, mc_shapes, tu_shapes,
-            intra_shapes)
+            intra_shapes, mc_pad)
     pw, ph = sb_cols * 8 * 8, sb_rows * 8 * 8
     dims = (pw >> 2, ph >> 2, pw >> 3, ph >> 3)
 
@@ -176,6 +176,16 @@ class Vp9TpuDecoder:
         # args PER FRAME; grouping keeps inter frames to a few MB.
         gid = [0 if (h.keyframe or h.intraonly) else 1
                for h, _fs, _r in caps]
+        # MC pad bucket for the slice-gather MC: max |mv| px over the
+        # window (+72 covers edge-tile overhang + taps; see
+        # recon_tpu._mc_tiles_sliced)
+        maxmv = 0
+        for _h, _fs, rec in caps:
+            for arr in rec.mc_arr.values():
+                if len(arr):
+                    m = int(np.abs(arr[:, [3, 4, 6, 7]]).max()) >> 3
+                    maxmv = max(maxmv, m)
+        mc_pad = max(80, -(-(maxmv + 72) // 64) * 64)
         steps, shapes_g = {}, {}
         for g in set(gid):
             grp = [c for c, gg in zip(caps, gid) if gg == g]
@@ -183,7 +193,7 @@ class Vp9TpuDecoder:
             shapes_g[g] = shp
             key = (H, W, Hc, Wc, shp[3], h0.width, h0.height,
                    shp[0], shp[1], shp[2],
-                   fs0.sb_rows, fs0.sb_cols, emit_planes)
+                   fs0.sb_rows, fs0.sb_cols, emit_planes, mc_pad)
             steps[g] = _build_step(key)
 
         t0 = time.monotonic()

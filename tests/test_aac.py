@@ -163,3 +163,25 @@ def test_whisper_frontend_pipeline(tmp_path):
     ref = np.frombuffer(raw, np.int16).astype(np.float64)[None, :] / 32768.0
     snr = _snr(ours[:, 500:-500], ref[:, 500:-500])
     assert snr > 30, f"whisper frontend snr {snr:.1f}"
+
+
+@requires_ref
+def test_aac_decode_frames_batched(tmp_path):
+    """decode_frames (batched device IMDCT) == sequential decode."""
+    p = tmp_path / "a.adts"
+    subprocess.run([str(refutil.REF), "-v", "error", "-f", "lavfi",
+                    "-i", "sine=frequency=600:sample_rate=48000",
+                    "-ac", "2", "-t", "1.0", "-c:a", "aac",
+                    "-f", "adts", "-y", str(p)],
+                   check=True, capture_output=True)
+    d = open_input(str(p))
+    pkts = list(d.packets())
+    seq = CodecContext.open_decoder(d.streams[0].codecpar)
+    a = seq.decode_all(list(pkts))
+    bat = CodecContext.open_decoder(d.streams[0].codecpar)
+    b = bat.decode_frames(pkts)
+    assert len(a) == len(b)
+    for fa, fb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(fa.audio_data),
+                                   np.asarray(fb.audio_data),
+                                   atol=1e-6)
