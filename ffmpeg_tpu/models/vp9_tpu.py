@@ -49,6 +49,11 @@ def _build_step(key):
 
     def step(dpb8_y, dpb8_c, refresh, mc_args, tu_args, intra_args,
              wd_v, wd_h, wd_v_uv, wd_h_uv, lvl8, lim, mblim):
+        wd_v = wd_v.astype(jnp.int32)
+        wd_h = wd_h.astype(jnp.int32)
+        wd_v_uv = wd_v_uv.astype(jnp.int32)
+        wd_h_uv = wd_h_uv.astype(jnp.int32)
+        lvl8 = lvl8.astype(jnp.int32)
         # reconstruction against the full 8-slot DPB (MC slot ids were
         # mapped through h.refidx on the host)
         y8, u8, v8 = RT._recon_frame(rkey, dpb8_y,
@@ -149,12 +154,14 @@ class Vp9TpuDecoder:
         lim, mblim = _luts(h.sharpness)
         refresh = np.array([(h.refreshrefmask >> i) & 1
                             for i in range(8)], bool)
+        # int8 wire format for the LF grids (wd values <= 16,
+        # lf levels <= 63); the step widens on device
         return (refresh, mc_args, tu_args, intra_args,
-                np.ascontiguousarray(fs.wd_v),
-                np.ascontiguousarray(fs.wd_h),
-                np.ascontiguousarray(fs.wd_v_uv),
-                np.ascontiguousarray(fs.wd_h_uv),
-                lvl8, lim.astype(np.int32), mblim.astype(np.int32))
+                fs.wd_v.astype(np.int8), fs.wd_h.astype(np.int8),
+                fs.wd_v_uv.astype(np.int8),
+                fs.wd_h_uv.astype(np.int8),
+                lvl8.astype(np.int8), lim.astype(np.int32),
+                mblim.astype(np.int32))
 
     def decode(self, packets: List[bytes], emit_planes=False,
                stats: Optional[dict] = None):
