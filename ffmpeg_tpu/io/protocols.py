@@ -200,9 +200,138 @@ class HttpStream:
                 self._conn.close()
 
 
+class DataStream(io.BytesIO):
+    """RFC 2397 data: URI (libavformat/data_uri.c analog)."""
+
+    def __init__(self, url: str):
+        body = url[5:]                     # strip "data:"
+        if "," not in body:
+            raise ProtocolNotFound("data: missing ','")
+        meta, payload = body.split(",", 1)
+        if meta.endswith(";base64"):
+            import base64
+            raw = base64.b64decode(payload)
+        else:
+            import urllib.parse
+            raw = urllib.parse.unquote_to_bytes(payload)
+        super().__init__(raw)
+
+
+class FtpStream:
+    """ftp:// reader (libavformat/ftp.c analog) over stdlib ftplib:
+    full-file RETR into a spooled buffer with seek support."""
+
+    def __init__(self, url: str):
+        import ftplib
+        import urllib.parse
+        u = urllib.parse.urlparse(url)
+        ftp = ftplib.FTP()
+        ftp.connect(u.hostname, u.port or 21, timeout=10)
+        ftp.login(u.username or "anonymous", u.password or "-")
+        buf = io.BytesIO()
+        ftp.retrbinary(f"RETR {u.path}", buf.write)
+        ftp.quit()
+        buf.seek(0)
+        self._buf = buf
+
+    def read(self, n=-1):
+        return self._buf.read(n)
+
+    def seek(self, pos, whence=0):
+        return self._buf.seek(pos, whence)
+
+    def tell(self):
+        return self._buf.tell()
+
+    def close(self):
+        self._buf.close()
+
+
+class GopherStream:
+    """gopher:// reader (libavformat/gopher.c analog): one selector
+    request over TCP, response streamed."""
+
+    def __init__(self, url: str):
+        import socket
+        import urllib.parse
+        u = urllib.parse.urlparse(url)
+        s = socket.create_connection((u.hostname, u.port or 70),
+                                     timeout=10)
+        sel = u.path or "/"
+        if len(sel) >= 2 and sel[0] == "/":
+            sel = sel[2:]                  # strip type char like the ref
+        s.sendall(sel.encode() + b"\r\n")
+        self._f = _SocketFile(s)
+
+    def read(self, n=-1):
+        return self._f.read(n)
+
+    def close(self):
+        self._f.close()
+
+
+class IcecastStream:
+    """icecast:// writer (libavformat/icecast.c analog): a long-lived
+    HTTP PUT with Ice-* headers; write() streams the body."""
+
+    def __init__(self, url: str, content_type="audio/mpeg",
+                 name="", legacy=False):
+        import base64
+        import socket
+        import urllib.parse
+        u = urllib.parse.urlparse(url)
+        self._sock = socket.create_connection(
+            (u.hostname, u.port or 8000), timeout=10)
+        mount = u.path or "/stream"
+        auth = base64.b64encode(
+            f"{u.username or 'source'}:{u.password or ''}"
+            .encode()).decode()
+        hdr = (f"PUT {mount} HTTP/1.1\r\n"
+               f"Host: {u.hostname}\r\n"
+               f"Authorization: Basic {auth}\r\n"
+               f"Content-Type: {content_type}\r\n"
+               f"Ice-Name: {name}\r\n"
+               "Ice-Public: 0\r\n"
+               "Transfer-Encoding: chunked\r\n\r\n")
+        self._sock.sendall(hdr.encode())
+
+    def write(self, data: bytes):
+        self._sock.sendall(b"%x\r\n" % len(data) + data + b"\r\n")
+        return len(data)
+
+    def close(self):
+        try:
+            self._sock.sendall(b"0\r\n\r\n")
+        finally:
+            self._sock.close()
+
+
+class TeeWriteStream:
+    """tee: write fan-out (libavformat/teeproto.c analog):
+    tee:out1.bin|out2.bin."""
+
+    def __init__(self, url: str):
+        targets = url[4:].split("|")
+        self._outs = []
+        for t in targets:
+            w = open_url_write(t)
+            self._outs.append(w if w is not None else open(t, "wb"))
+
+    def write(self, data: bytes):
+        for o in self._outs:
+            o.write(data)
+        return len(data)
+
+    def close(self):
+        for o in self._outs:
+            o.close()
+
+
 def open_url(url: str):
     """Resolve a protocol URL to a file-like (ffurl_open analog). Returns
     None for protocols avio handles natively (file/pipe/fd/memory)."""
+    if url.startswith("data:"):
+        return DataStream(url)
     scheme = url.split("://", 1)[0] if "://" in url else ""
     if scheme in ("http", "https"):
         return HttpStream(url)
@@ -215,6 +344,10 @@ def open_url(url: str):
     if scheme == "rtmp":
         from .rtmp import RtmpReadStream
         return RtmpReadStream(url)
+    if scheme == "ftp":
+        return FtpStream(url)
+    if scheme == "gopher":
+        return GopherStream(url)
     if scheme:
         raise ProtocolNotFound(f"protocol {scheme!r} not supported")
     return None
@@ -227,12 +360,17 @@ def open_url_write(url: str):
     if scheme == "rtmp":
         from .rtmp import RtmpWriteStream
         return RtmpWriteStream(url)
+    if scheme == "icecast":
+        return IcecastStream(url)
+    if url.startswith("tee:"):
+        return TeeWriteStream(url)
     return None
 
 
 def protocol_names():
     return ["file", "pipe", "fd", "memory", "http", "https", "tcp",
-            "tls", "udp", "rtmp", "concat", "subfile", "cache", "async"]
+            "tls", "udp", "rtmp", "concat", "subfile", "cache",
+            "async", "data", "ftp", "gopher", "icecast", "tee"]
 
 
 # --------------------------------------------------------------------------
