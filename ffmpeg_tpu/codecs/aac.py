@@ -72,6 +72,48 @@ def _huff(br: BitReader, lut) -> int:
     return int(sym[look])
 
 
+class _NativeSpectral:
+    """csrc/aac_spectral.cpp binding: flattened LUT blob built once."""
+
+    _state = None
+
+    @classmethod
+    def get(cls):
+        if cls._state is None:
+            import ctypes
+
+            from .. import native as _native
+            try:
+                lib = _native.get()
+            except _native.NativeUnavailable:
+                cls._state = False
+                return False
+            if not hasattr(lib, "aac_decode_spectral"):
+                cls._state = False
+                return False
+            c = ctypes
+            lib.aac_decode_spectral.restype = c.c_long
+            lib.aac_decode_spectral.argtypes = [
+                c.c_char_p, c.c_long, c.c_long,
+                c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+                c.POINTER(c.c_int32), c.c_int, c.c_int, c.c_int,
+                c.POINTER(c.c_int32), c.POINTER(c.c_uint8),
+                c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+                c.POINTER(c.c_int32)]
+            syms, lens, offs, maxl = [], [], [0], []
+            for s, ln, m in _SPECTRAL_LUTS:
+                syms.append(s.astype(np.int32))
+                lens.append(ln.astype(np.uint8))
+                offs.append(offs[-1] + len(s))
+                maxl.append(m)
+            cls._state = (lib,
+                          np.concatenate(syms),
+                          np.concatenate(lens),
+                          np.asarray(offs, np.int32),
+                          np.asarray(maxl, np.int32))
+        return cls._state
+
+
 @dataclass
 class ICSInfo:
     window_sequence: int = ONLY_LONG
@@ -494,6 +536,34 @@ class AacDecoder(Codec):
 
     def _decode_spectral(self, br: BitReader, ics: ICSInfo,
                          band_cb: list) -> np.ndarray:
+        st = _NativeSpectral.get()
+        if st:
+            import ctypes
+            lib, syms, lens, offs, maxl = st
+            out = np.zeros(1024, np.int32)
+            cb_arr = np.asarray(band_cb, np.int32).reshape(-1)
+            swb = np.asarray(ics.swb_offset[:ics.max_sfb + 1],
+                             np.int32)
+            gl = np.asarray(ics.group_len[:ics.num_window_groups],
+                            np.int32)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            pos = lib.aac_decode_spectral(
+                bytes(br.data), br.nbits, br.pos,
+                cb_arr.ctypes.data_as(i32p),
+                swb.ctypes.data_as(i32p),
+                gl.ctypes.data_as(i32p),
+                ics.num_window_groups, ics.max_sfb,
+                1 if ics.window_sequence == EIGHT_SHORT else 0,
+                syms.ctypes.data_as(i32p),
+                lens.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint8)),
+                offs.ctypes.data_as(i32p),
+                maxl.ctypes.data_as(i32p),
+                out.ctypes.data_as(i32p))
+            if pos < 0:
+                raise InvalidData("aac: bad huffman code")
+            br.pos = pos
+            return out.astype(np.float64)
         coeffs = np.zeros(1024, np.float64)
         widx = 0
         base = 0

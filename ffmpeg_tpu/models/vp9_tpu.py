@@ -30,7 +30,8 @@ import numpy as np
 
 from ..codecs.vp9 import VP9Core, split_superframe
 from ..codecs.vp9 import recon_tpu as RT
-from ..codecs.vp9.lf_tpu import _luts, sb_body
+from ..codecs.vp9.lf_tpu import _luts
+from ..codecs.vp9.lf_wave import loopfilter_wavefront
 from ..codecs.vp9.recon_tpu import _CLASSES, _MC_CLASSES, _pow2
 
 
@@ -59,24 +60,15 @@ def _build_step(key):
         y8, u8, v8 = RT._recon_frame(rkey, dpb8_y,
                                      dpb8_c, mc_args, tu_args,
                                      intra_args)
-        # in-loop deblock (lf_tpu, bit-exact vs lf.py); lvl8 all-zero
-        # disables it (filter_level 0)
-        y = jnp.pad(y8.astype(jnp.int32), 8)
-        u = jnp.pad(u8.astype(jnp.int32), 8)
-        v = jnp.pad(v8.astype(jnp.int32), 8)
-
-        def body(s, planes):
-            r = s // sb_cols
-            c = s % sb_cols
-            return sb_body(r, c, planes,
-                           (wd_v, wd_h, wd_v_uv, wd_h_uv, lvl8),
-                           lim, mblim, dims)
-
-        y, u, v = jax.lax.fori_loop(0, sb_rows * sb_cols, body,
-                                    (y, u, v))
-        yo = y[8:-8, 8:-8].astype(jnp.uint8)
-        uo = u[8:-8, 8:-8].astype(jnp.uint8)
-        vo = v[8:-8, 8:-8].astype(jnp.uint8)
+        # in-loop deblock: wavefront over SBs (lf_wave, bit-exact vs
+        # lf.py — d=2r+c schedule, 61 steps instead of 510 at 1080p);
+        # lvl8 all-zero disables it (filter_level 0)
+        y, u, v = loopfilter_wavefront(
+            y8, u8, v8, wd_v, wd_h, wd_v_uv, wd_h_uv, lvl8,
+            lim, mblim, sb_rows, sb_cols, dims)
+        yo = y.astype(jnp.uint8)
+        uo = u.astype(jnp.uint8)
+        vo = v.astype(jnp.uint8)
         m = refresh[:, None, None]
         dpb8_y = jnp.where(m, yo[None], dpb8_y)
         dpb8_c = jnp.where(m[:, None], jnp.stack([uo, vo])[None],
