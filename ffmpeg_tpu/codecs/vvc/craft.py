@@ -70,7 +70,10 @@ def write_ptl(w):
 
 
 def make_sps(width, height, log2_ctu=5, log2_min_cb=2,
-             log2_min_qt=3, bit_depth=8):
+             log2_min_qt=3, bit_depth=8, mtt_depth_intra=0,
+             log2_max_bt=None, log2_max_tt=None):
+    """log2_max_bt/tt default to the CTU size when MTT is on (the
+    least restrictive legal values; tt capped at min(6, ctu))."""
     w = BW()
     w.u(0, 4)            # sps_id
     w.u(0, 4)            # vps_id
@@ -99,7 +102,12 @@ def make_sps(width, height, log2_ctu=5, log2_min_cb=2,
     w.ue(log2_min_cb - 2)
     w.u(0, 1)            # partition_constraints_override
     w.ue(log2_min_qt - log2_min_cb)
-    w.ue(0)              # max_mtt_hierarchy_depth_intra (QT only)
+    w.ue(mtt_depth_intra)  # max_mtt_hierarchy_depth_intra
+    if mtt_depth_intra:
+        bt = log2_ctu if log2_max_bt is None else log2_max_bt
+        tt = min(6, log2_ctu) if log2_max_tt is None else log2_max_tt
+        w.ue(bt - log2_min_qt)   # log2_diff_max_bt_min_qt_intra
+        w.ue(tt - log2_min_qt)   # log2_diff_max_tt_min_qt_intra
     w.u(0, 1)            # qtbtt_dual_tree_intra
     w.ue(0)              # log2_diff_min_qt_min_cb_inter_slice
     w.ue(0)              # max_mtt_hierarchy_depth_inter_slice
@@ -219,11 +227,17 @@ def slice_header_bits(qp_delta=0, poc_lsb=0, idr=True):
 
 def craft_frame(plan, width, height, log2_ctu=5, log2_min_qt=3,
                 qp_delta=0, init_qp=26, bit_depth=8,
-                cb_qp_offset=0, cr_qp_offset=0):
+                cb_qp_offset=0, cr_qp_offset=0, log2_min_cb=2,
+                mtt_depth_intra=0, log2_max_bt=None,
+                log2_max_tt=None):
     """→ annex-B stream: SPS + PPS + one IDR I slice."""
     from ..h264 import nal as N
     sps_nal = make_sps(width, height, log2_ctu=log2_ctu,
-                       log2_min_qt=log2_min_qt, bit_depth=bit_depth)
+                       log2_min_cb=log2_min_cb,
+                       log2_min_qt=log2_min_qt, bit_depth=bit_depth,
+                       mtt_depth_intra=mtt_depth_intra,
+                       log2_max_bt=log2_max_bt,
+                       log2_max_tt=log2_max_tt)
     pps_nal = make_pps(width, height, init_qp=init_qp,
                        cb_qp_offset=cb_qp_offset,
                        cr_qp_offset=cr_qp_offset)

@@ -13,13 +13,39 @@ from __future__ import annotations
 
 import numpy as np
 
-from ...utils.error import InvalidData
+from ...utils.error import InvalidData, NotSupported
 from ..hevc import tables as HT
 from .cabac import init_contexts
 from .tables import CTX
 
 INTRA_PLANAR, INTRA_DC = 0, 1
 INTRA_HORZ, INTRA_DIAG, INTRA_VERT, INTRA_VDIAG = 18, 34, 50, 66
+
+# VVCSplitMode order (vvc/ctu.h); mtt_split_modes indexed by
+# (vertical_flag << 1) | binary_flag (cabac.c:1226)
+(SPLIT_NONE, SPLIT_TT_HOR, SPLIT_BT_HOR, SPLIT_TT_VER, SPLIT_BT_VER,
+ SPLIT_QT) = range(6)
+_MTT_SPLIT_MODES = (SPLIT_TT_HOR, SPLIT_BT_HOR, SPLIT_TT_VER,
+                    SPLIT_BT_VER)
+_SPLIT_BY_NAME = {"none": SPLIT_NONE, "qt": SPLIT_QT,
+                  "btv": SPLIT_BT_VER, "bth": SPLIT_BT_HOR,
+                  "ttv": SPLIT_TT_VER, "tth": SPLIT_TT_HOR}
+
+
+def wide_angle_map(mode, w, h):
+    """ff_vvc_wide_angle_mode_mapping (intra_utils.c:197), no-ISP
+    path: remap angular modes of rectangular blocks into the wide
+    ranges (-14..-1 / 67..80)."""
+    if w == h:
+        return mode
+    ratio = abs(w.bit_length() - h.bit_length())
+    mx = 8 + 2 * ratio if ratio > 1 else 8
+    mn = 60 - 2 * ratio if ratio > 1 else 60
+    if w > h and 2 <= mode < mx:
+        return mode + 65
+    if h > w and mn < mode <= 66:
+        return mode - 67
+    return mode
 
 # Table 25: 4-tap intra interpolation filters; type 0 = fC, 1 = fG
 _FC = np.array([
@@ -44,6 +70,7 @@ _ANGLES = [0, 1, 2, 3, 4, 6, 8, 10, 12, 14, 16, 18, 20, 23, 26, 29,
 _REF_FILTER_MODES = {-14, -12, -10, -6, INTRA_PLANAR, 2, 34, 66, 72,
                      76, 78, 80}
 _LEVEL_SCALE = [40, 45, 51, 57, 64, 72]
+_LEVEL_SCALE_RECT = [57, 64, 72, 80, 90, 102]
 
 
 def pred_angle(mode):
@@ -128,6 +155,7 @@ class FrameDec:
         self.ipm = np.zeros((n4y, n4x), np.int32)      # PLANAR default
         self.cbw4 = np.zeros((n4y, n4x), np.int32)     # CB width map
         self.cbh4 = np.zeros((n4y, n4x), np.int32)
+        self.qtd4 = np.zeros((n4y, n4x), np.int32)     # cqt depth map
         self.decoded = np.zeros((n4y, n4x), bool)      # luma recon'd
         self.qp = sh.qp
 
@@ -146,6 +174,18 @@ class Plan:
 
     def split(self, x0, y0, log2):
         return self.rng.random() < self.split_p
+
+    def split_mode(self, x0, y0, log2w, log2h, allowed, forced):
+        """Pick one of 'none','qt','btv','bth','ttv','tth' from
+        `allowed`. Default keeps the legacy QT-only behaviour via
+        split(); MTT plans override. When `forced` (border implicit
+        split) 'none' is not in `allowed`."""
+        if forced:
+            return "qt" if "qt" in allowed else allowed[0]
+        if "qt" in allowed and log2w == log2h \
+                and self.split(x0, y0, log2w):
+            return "qt"
+        return "none"
 
     def luma_mode(self, x0, y0, log2):
         return int(self.rng.choice(self.mode_pool))
@@ -189,7 +229,8 @@ class CtuCoder:
             for rx in range(sps.ctb_width):
                 self.cur_ctu = (rx, ry)
                 self.coding_tree(rx << sps.log2_ctu,
-                                 ry << sps.log2_ctu, sps.log2_ctu)
+                                 ry << sps.log2_ctu,
+                                 sps.log2_ctu, sps.log2_ctu)
         if self.io.term(1) != 1:
             raise InvalidData("vvc: missing end_of_slice_one_bit")
 
@@ -223,10 +264,10 @@ class CtuCoder:
             cus = by_ctu[(rx, ry)]
 
             def _run(rx=rx, ry=ry, cus=cus):
-                for (x0, y0, log2, lm, cm, cy, cb, cr, sy,
+                for (x0, y0, log2w, log2h, lm, cm, cy, cb, cr, sy,
                      sc) in cus:
-                    self._reconstruct(x0, y0, log2, lm, cm, cy, cb,
-                                      cr, sy, sc)
+                    self._reconstruct(x0, y0, log2w, log2h, lm, cm,
+                                      cy, cb, cr, sy, sc)
                 with lock:
                     done.add((rx, ry))
 
@@ -239,74 +280,270 @@ class CtuCoder:
         executor.wait()
         self.recon_q = []
 
-    def coding_tree(self, x0, y0, log2):
+    def coding_tree(self, x0, y0, log2w, log2h, cqt_depth=0,
+                    mtt_depth=0, depth_offset=0, part_idx=0,
+                    last_split=SPLIT_NONE):
+        """hls_coding_tree (ctu.c:2443) with the five split
+        recursions (coding_tree_qt/btv/bth/ttv/tth, ctu.c:2283)."""
         dec = self.dec
         sps = dec.sps
-        size = 1 << log2
-        inside = (x0 + size <= sps.width) and (y0 + size <= sps.height)
-        allow_qt = log2 > sps.log2_min_qt_intra
-        if allow_qt and inside:
-            split = self._split_cu_flag(x0, y0, log2)
-        else:
-            split = not inside      # forced QT split at the border
-            if split and not allow_qt:
-                raise InvalidData("vvc: cannot split at border")
-        if split:
-            half = size >> 1
-            for dy in (0, half):
-                for dx in (0, half):
-                    if x0 + dx < sps.width and y0 + dy < sps.height:
-                        self.coding_tree(x0 + dx, y0 + dy, log2 - 1)
+        W, H = sps.width, sps.height
+        w, h = 1 << log2w, 1 << log2h
+        a = self._can_split(x0, y0, w, h, mtt_depth, depth_offset,
+                            part_idx, last_split)
+        split = self._split_syntax(x0, y0, log2w, log2h, cqt_depth,
+                                   mtt_depth, a)
+        if split == SPLIT_NONE:
+            self.coding_unit(x0, y0, log2w, log2h, cqt_depth)
             return
-        self.coding_unit(x0, y0, log2)
+        self._check_mode_type(split, w, h)
+        if split == SPLIT_QT:
+            half = w >> 1
+            for dx, dy in ((0, 0), (half, 0), (0, half), (half, half)):
+                if x0 + dx < W and y0 + dy < H:
+                    self.coding_tree(x0 + dx, y0 + dy, log2w - 1,
+                                     log2h - 1, cqt_depth + 1, 0, 0,
+                                     0, SPLIT_QT)
+        elif split == SPLIT_BT_VER:
+            off = depth_offset + (1 if x0 + w > W else 0)
+            x1 = x0 + (w >> 1)
+            self.coding_tree(x0, y0, log2w - 1, log2h, cqt_depth,
+                             mtt_depth + 1, off, 0, split)
+            if x1 < W:
+                self.coding_tree(x1, y0, log2w - 1, log2h, cqt_depth,
+                                 mtt_depth + 1, off, 1, split)
+        elif split == SPLIT_BT_HOR:
+            off = depth_offset + (1 if y0 + h > H else 0)
+            y1 = y0 + (h >> 1)
+            self.coding_tree(x0, y0, log2w, log2h - 1, cqt_depth,
+                             mtt_depth + 1, off, 0, split)
+            if y1 < H:
+                self.coding_tree(x0, y1, log2w, log2h - 1, cqt_depth,
+                                 mtt_depth + 1, off, 1, split)
+        elif split == SPLIT_TT_VER:
+            q = w >> 2
+            for i, (dx, lg) in enumerate(((0, log2w - 2),
+                                          (q, log2w - 1),
+                                          (3 * q, log2w - 2))):
+                self.coding_tree(x0 + dx, y0, lg, log2h, cqt_depth,
+                                 mtt_depth + 1, depth_offset, i,
+                                 split)
+        else:                                  # SPLIT_TT_HOR
+            q = h >> 2
+            for i, (dy, lg) in enumerate(((0, log2h - 2),
+                                          (q, log2h - 1),
+                                          (3 * q, log2h - 2))):
+                self.coding_tree(x0, y0 + dy, log2w, lg, cqt_depth,
+                                 mtt_depth + 1, depth_offset, i,
+                                 split)
 
-    def _split_cu_flag(self, x0, y0, log2):
-        """ff_vvc_split_cu_flag (cabac.c:1118), QT-only so the
-        allowed-splits term is zero."""
+    def _check_mode_type(self, split, w, h):
+        """derive_mode_type_condition (ctu.c:2239). In 4:2:0
+        single-tree slices, splits that would create sub-4-wide
+        chroma trigger a LOCAL DUAL TREE (MODE_TYPE_INTRA + a chroma
+        re-walk) that this decoder does not implement; crafted
+        streams avoid these splits by construction (min CB 8)."""
+        area = w * h
+        cond = (area == 64 and split in (SPLIT_QT, SPLIT_TT_HOR,
+                                         SPLIT_TT_VER)) or \
+               (area == 32 and split in (SPLIT_BT_HOR,
+                                         SPLIT_BT_VER)) or \
+               (area == 64 and split in (SPLIT_BT_HOR,
+                                         SPLIT_BT_VER)) or \
+               (area == 128 and split in (SPLIT_TT_HOR,
+                                          SPLIT_TT_VER)) or \
+               (w == 8 and split == SPLIT_BT_VER) or \
+               (w == 16 and split == SPLIT_TT_VER)
+        if cond:
+            raise NotSupported(
+                "vvc: local dual tree (small-chroma split)")
+
+    def _can_split(self, x0, y0, w, h, mtt_depth, depth_offset,
+                   part_idx, last_split):
+        """6.4.1-6.4.3 allowed split processes (ctu.c:526 can_split),
+        single tree, MODE_TYPE_ALL."""
         dec = self.dec
-        size = 1 << log2
-        inc = 0
+        sps = dec.sps
+        W, H = sps.width, sps.height
+        intra = dec.sh.slice_type == 2
+        min_cb = 1 << sps.log2_min_cb
+        min_qt = 1 << (sps.log2_min_qt_intra if intra
+                       else sps.log2_min_qt_inter)
+        max_bt = 1 << (sps.log2_max_bt_intra if intra
+                       else sps.log2_max_bt_inter)
+        max_tt = 1 << (sps.log2_max_tt_intra if intra
+                       else sps.log2_max_tt_inter)
+        max_mtt = (sps.max_mtt_depth_intra if intra
+                   else sps.max_mtt_depth_inter) + depth_offset
+        qt = 0 if mtt_depth else 1
+        btv = bth = ttv = tth = 1
+        if w <= min_qt:
+            qt = 0
+        if w <= 2 * min_cb:
+            ttv = 0
+            if w <= min_cb:
+                btv = 0
+        if h <= 2 * min_cb:
+            tth = 0
+            if h <= min_cb:
+                bth = 0
+        if w > max_bt or h > max_bt:
+            btv = bth = 0
+        max_tt = min(64, max_tt)
+        if w > max_tt or h > max_tt:
+            ttv = tth = 0
+        if mtt_depth >= max_mtt:
+            btv = bth = ttv = tth = 0
+        if x0 + w > W:
+            ttv = tth = 0
+            if h > 64:
+                btv = 0
+            if y0 + h <= H:
+                bth = 0
+            elif w > min_qt:
+                btv = bth = 0
+        if y0 + h > H:
+            btv = ttv = tth = 0
+            if w > 64:
+                bth = 0
+        if mtt_depth > 0 and part_idx == 1:
+            if last_split == SPLIT_TT_VER:
+                btv = 0
+            elif last_split == SPLIT_TT_HOR:
+                bth = 0
+        if w <= 64 and h > 64:
+            btv = 0
+        if w > 64 and h <= 64:
+            bth = 0
+        return {"qt": qt, "btv": btv, "bth": bth, "ttv": ttv,
+                "tth": tth}
+
+    def _split_syntax(self, x0, y0, log2w, log2h, cqt_depth,
+                      mtt_depth, a):
+        """split_cu_flag + split_qt_flag + mtt vertical/binary flags
+        with their context derivations and inference rules
+        (cabac.c:1118-1240 ff_vvc_split_cu_flag/ff_vvc_split_mode)."""
+        dec, io = self.dec, self.io
+        sps = dec.sps
+        w, h = 1 << log2w, 1 << log2h
+        inside = (x0 + w <= sps.width) and (y0 + h <= sps.height)
+        any_mtt = a["btv"] or a["bth"] or a["ttv"] or a["tth"]
+        any_split = any_mtt or a["qt"]
+        want = None
+        if io.encode:
+            allowed = [k for k in ("qt", "btv", "bth", "ttv", "tth")
+                       if a[k]]
+            if not inside:
+                want = self.plan.split_mode(x0, y0, log2w, log2h,
+                                            allowed, True)
+            elif any_split:
+                want = self.plan.split_mode(x0, y0, log2w, log2h,
+                                            ["none"] + allowed, False)
+            else:
+                want = "none"
+            if want != "none" and not a[want]:
+                raise ValueError(f"vvc craft: split {want} not "
+                                 f"allowed at {x0},{y0} {w}x{h}")
         x4, y4 = x0 >> 2, y0 >> 2
-        if x0 > 0 and dec.decoded[y4, x4 - 1]:
-            inc += int(dec.cbh4[y4, x4 - 1] < size)
-        if y0 > 0 and dec.decoded[y4 - 1, x4]:
-            inc += int(dec.cbw4[y4 - 1, x4] < size)
-        v = None
-        if self.io.encode:
-            v = 1 if self.plan.split(x0, y0, log2) else 0
-        return bool(self.io.dec(self.ctx[CTX["SPLIT_CU_FLAG"] + inc],
-                                v))
+        if any_split and inside:
+            inc = 0
+            if x0 > 0:
+                inc += int(dec.cbh4[y4, x4 - 1] < h)
+            if y0 > 0:
+                inc += int(dec.cbw4[y4 - 1, x4] < w)
+            inc += (a["btv"] + a["bth"] + a["ttv"] + a["tth"]
+                    + 2 * a["qt"] - 1) // 2 * 3
+            v = None if want is None else int(want != "none")
+            if not io.dec(self.ctx[CTX["SPLIT_CU_FLAG"] + inc], v):
+                return SPLIT_NONE
+        elif inside:
+            return SPLIT_NONE       # no split possible
+        # split mode (ff_vvc_split_mode)
+        if any_mtt and a["qt"]:
+            inc = 0
+            if x0 > 0:
+                inc += int(dec.qtd4[y4, x4 - 1] > cqt_depth)
+            if y0 > 0:
+                inc += int(dec.qtd4[y4 - 1, x4] > cqt_depth)
+            inc += 3 if cqt_depth >= 2 else 0
+            v = None if want is None else int(want == "qt")
+            split_qt = io.dec(self.ctx[CTX["SPLIT_QT_FLAG"] + inc], v)
+        else:
+            split_qt = (not any_mtt) or a["qt"]
+        if split_qt:
+            return SPLIT_QT
+        # mtt_split_cu_vertical_flag (cabac.c:1155)
+        if (a["bth"] or a["tth"]) and (a["btv"] or a["ttv"]):
+            nv = a["btv"] + a["ttv"]
+            nh = a["bth"] + a["tth"]
+            if nv > nh:
+                inc = 4
+            elif nv < nh:
+                inc = 3
+            else:
+                avail_a, avail_l = y0 > 0, x0 > 0
+                da = w // (dec.cbw4[y4 - 1, x4] if avail_a else 1)
+                dl = h // (dec.cbh4[y4, x4 - 1] if avail_l else 1)
+                if da == dl or not avail_a or not avail_l:
+                    inc = 0
+                elif da < dl:
+                    inc = 1
+                else:
+                    inc = 2
+            v = None if want is None else int(want in ("btv", "ttv"))
+            vert = io.dec(
+                self.ctx[CTX["MTT_SPLIT_CU_VERTICAL_FLAG"] + inc], v)
+        else:
+            vert = int(not (a["bth"] or a["tth"]))
+        # mtt_split_cu_binary_flag (cabac.c:1189)
+        if (a["btv"] and a["ttv"] and vert) or \
+                (a["bth"] and a["tth"] and not vert):
+            inc = 2 * vert + (1 if mtt_depth <= 1 else 0)
+            v = None if want is None else int(want in ("btv", "bth"))
+            binary = io.dec(
+                self.ctx[CTX["MTT_SPLIT_CU_BINARY_FLAG"] + inc], v)
+        else:
+            if not a["btv"] and not a["bth"]:
+                binary = 0
+            elif not a["ttv"] and not a["tth"]:
+                binary = 1
+            elif a["bth"] and a["ttv"]:
+                binary = 1 - vert
+            else:
+                binary = vert
+        return _MTT_SPLIT_MODES[(vert << 1) | binary]
 
     # -------------------------------------------------------------- CU
-    def coding_unit(self, x0, y0, log2):
+    def coding_unit(self, x0, y0, log2w, log2h, cqt_depth=0):
         dec = self.dec
-        size = 1 << log2
-        n4 = size >> 2
+        w, h = 1 << log2w, 1 << log2h
+        n4w, n4h = w >> 2, h >> 2
         x4, y4 = x0 >> 2, y0 >> 2
-        luma_mode = self._luma_intra_mode(x0, y0, log2)
-        dec.ipm[y4:y4 + n4, x4:x4 + n4] = luma_mode
-        dec.cbw4[y4:y4 + n4, x4:x4 + n4] = size
-        dec.cbh4[y4:y4 + n4, x4:x4 + n4] = size
-        chroma_mode = self._chroma_intra_mode(x0, y0, log2, luma_mode)
+        luma_mode = self._luma_intra_mode(x0, y0, w, h)
+        dec.ipm[y4:y4 + n4h, x4:x4 + n4w] = luma_mode
+        dec.cbw4[y4:y4 + n4h, x4:x4 + n4w] = w
+        dec.cbh4[y4:y4 + n4h, x4:x4 + n4w] = h
+        dec.qtd4[y4:y4 + n4h, x4:x4 + n4w] = cqt_depth
+        chroma_mode = self._chroma_intra_mode(x0, y0, luma_mode)
 
         # transform_unit: cbfs (chroma first), then Y/Cb/Cr residuals
         io = self.io
         pv = None
         if io.encode:
-            pv = 1 if self.plan.cbf(x0, y0, log2, 1) else 0
+            pv = 1 if self.plan.cbf(x0, y0, log2w, 1) else 0
         cbf_cb = io.dec(self.ctx[CTX["TU_CB_CODED_FLAG"]], pv)
         if io.encode:
-            pv = 1 if self.plan.cbf(x0, y0, log2, 2) else 0
+            pv = 1 if self.plan.cbf(x0, y0, log2w, 2) else 0
         cbf_cr = io.dec(self.ctx[CTX["TU_CR_CODED_FLAG"] + cbf_cb], pv)
         if io.encode:
-            pv = 1 if self.plan.cbf(x0, y0, log2, 0) else 0
+            pv = 1 if self.plan.cbf(x0, y0, log2w, 0) else 0
         cbf_y = io.dec(self.ctx[CTX["TU_Y_CODED_FLAG"]], pv)
 
-        coeff_y = self.residual(x0, y0, log2, log2, 0) if cbf_y \
+        coeff_y = self.residual(x0, y0, log2w, log2h, 0) if cbf_y \
             else None
-        coeff_cb = self.residual(x0, y0, log2 - 1, log2 - 1, 1) \
+        coeff_cb = self.residual(x0, y0, log2w - 1, log2h - 1, 1) \
             if cbf_cb else None
-        coeff_cr = self.residual(x0, y0, log2 - 1, log2 - 1, 2) \
+        coeff_cr = self.residual(x0, y0, log2w - 1, log2h - 1, 2) \
             if cbf_cr else None
 
         if not io.encode:
@@ -314,27 +551,30 @@ class CtuCoder:
                 # snapshot neighbour availability at parse time so
                 # reconstruction can run out of raster order on the
                 # executor (the reference records the same per-CU
-                # state before handing CTUs to AVExecutor)
-                snap_y = self._avail_snap(x0, y0, size, luma_mode, 0)
-                snap_c = self._avail_snap(x0 >> 1, y0 >> 1, size >> 1,
-                                          chroma_mode, 1)
+                # state before handing CTUs to AVExecutor); sizes use
+                # the wide-angle-mapped mode (edge extents depend on
+                # it, intra_template.c:492)
+                snap_y = self._avail_snap(
+                    x0, y0, w, h, wide_angle_map(luma_mode, w, h), 0)
+                snap_c = self._avail_snap(
+                    x0 >> 1, y0 >> 1, w >> 1, h >> 1,
+                    wide_angle_map(chroma_mode, w >> 1, h >> 1), 1)
                 self.recon_q.append(
-                    (self.cur_ctu, x0, y0, log2, luma_mode,
+                    (self.cur_ctu, x0, y0, log2w, log2h, luma_mode,
                      chroma_mode, coeff_y, coeff_cb, coeff_cr,
                      snap_y, snap_c))
             else:
-                self._reconstruct(x0, y0, log2, luma_mode,
+                self._reconstruct(x0, y0, log2w, log2h, luma_mode,
                                   chroma_mode, coeff_y, coeff_cb,
                                   coeff_cr)
-        dec.decoded[y4:y4 + n4, x4:x4 + n4] = True
+        dec.decoded[y4:y4 + n4h, x4:x4 + n4w] = True
 
     # ------------------------------------------------- intra mode syntax
-    def _luma_intra_mode(self, x0, y0, log2):
+    def _luma_intra_mode(self, x0, y0, w, h):
         dec, io = self.dec, self.io
-        size = 1 << log2
-        cand = self._mpm_list(x0, y0, size)
+        cand = self._mpm_list(x0, y0, w, h)
         if io.encode:
-            target = self.plan.luma_mode(x0, y0, log2)
+            target = self.plan.luma_mode(x0, y0, w.bit_length() - 1)
             if target == INTRA_PLANAR:
                 io.dec(self.ctx[CTX["INTRA_LUMA_MPM_FLAG"]], 1)
                 io.dec(self.ctx[CTX["INTRA_LUMA_NOT_PLANAR_FLAG"] + 1],
@@ -383,12 +623,13 @@ class CtuCoder:
                 pred += 1
         return pred
 
-    def _mpm_list(self, x0, y0, size):
+    def _mpm_list(self, x0, y0, w, h):
         """luma_intra_pred_mode candidate list (ctu.c:685), entries
-        1..5 of the 6-entry MPM (planar is entry 0)."""
+        1..5 of the 6-entry MPM (planar is entry 0); left candidate
+        at (x0-1, y0+h-1), above at (x0+w-1, y0-1)."""
         dec = self.dec
-        xa, ya = (x0 - 1) >> 2, (y0 + size - 1) >> 2
-        xb, yb = (x0 + size - 1) >> 2, (y0 - 1) >> 2
+        xa, ya = (x0 - 1) >> 2, (y0 + h - 1) >> 2
+        xb, yb = (x0 + w - 1) >> 2, (y0 - 1) >> 2
         a = INTRA_PLANAR
         if x0 > 0 and dec.decoded[ya, xa]:
             a = int(dec.ipm[ya, xa])
@@ -449,10 +690,10 @@ class CtuCoder:
             for i in range(k, -1, -1):
                 io.byp((t >> i) & 1)
 
-    def _chroma_intra_mode(self, x0, y0, log2, luma_mode):
+    def _chroma_intra_mode(self, x0, y0, luma_mode):
         io = self.io
         if io.encode:
-            m = self.plan.chroma_mode(x0, y0, log2)   # 0..4 (4 = DM)
+            m = self.plan.chroma_mode(x0, y0, 0)      # 0..4 (4 = DM)
             if m == 4:
                 io.dec(self.ctx[CTX["INTRA_CHROMA_PRED_MODE"]], 0)
             else:
@@ -850,29 +1091,31 @@ class CtuCoder:
         return coeffs
 
     # ------------------------------------------------- reconstruction
-    def _reconstruct(self, x0, y0, log2, luma_mode, chroma_mode,
-                     cy, cb, cr, snap_y=None, snap_c=None):
+    def _reconstruct(self, x0, y0, log2w, log2h, luma_mode,
+                     chroma_mode, cy, cb, cr, snap_y=None,
+                     snap_c=None):
         dec = self.dec
-        size = 1 << log2
-        pred = self._intra_pred(dec.y, x0, y0, size, size, luma_mode,
+        w, h = 1 << log2w, 1 << log2h
+        mode_y = wide_angle_map(luma_mode, w, h)
+        pred = self._intra_pred(dec.y, x0, y0, w, h, mode_y,
                                 0, avail=snap_y)
         blk = pred.astype(np.int64)
         if cy is not None:
             blk = blk + self._itx(cy, dec.qp + 6 * (dec.bd - 8), 0)
-        dec.y[y0:y0 + size, x0:x0 + size] = np.clip(
+        dec.y[y0:y0 + h, x0:x0 + w] = np.clip(
             blk, 0, dec.pmax).astype(dec.y.dtype)
-        half = size >> 1
+        wc, hc = w >> 1, h >> 1
         xc, yc = x0 >> 1, y0 >> 1
-        qpc = self._chroma_qp()
+        mode_c = wide_angle_map(chroma_mode, wc, hc)
         for plane, coef, off in ((dec.u, cb, dec.pps.cb_qp_offset),
                                  (dec.v, cr, dec.pps.cr_qp_offset)):
-            predc = self._intra_pred(plane, xc, yc, half, half,
-                                     chroma_mode, 1, avail=snap_c)
+            predc = self._intra_pred(plane, xc, yc, wc, hc,
+                                     mode_c, 1, avail=snap_c)
             blk = predc.astype(np.int64)
             if coef is not None:
                 qp = self._chroma_qp(off) + 6 * (dec.bd - 8)
                 blk = blk + self._itx(coef, qp, 1)
-            plane[yc:yc + half, xc:xc + half] = np.clip(
+            plane[yc:yc + hc, xc:xc + wc] = np.clip(
                 blk, 0, dec.pmax).astype(plane.dtype)
 
     def _chroma_qp(self, offset=0):
@@ -884,21 +1127,25 @@ class CtuCoder:
         return max(-qp_bd, min(63, mapped + offset))
 
     def _itx(self, coeffs, qp, c_idx):
-        """Dequant (8.7.3, flat lists) + inverse DCT-2 (matrices
-        shared with HEVC for N<=32)."""
+        """Dequant (8.7.3, flat lists; rect TBs use the sqrt(2)
+        level-scale row + one extra shift bit, vvc/intra.c:310) +
+        inverse DCT-2 (matrices shared with HEVC for N<=32)."""
         dec = self.dec
-        n = coeffs.shape[0]
-        log2n = n.bit_length() - 1
-        bd_shift = dec.bd + log2n - 5       # square TB
+        h, w = coeffs.shape
+        log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
+        rect = (log2w + log2h) & 1
+        bd_shift = dec.bd + rect + ((log2w + log2h) >> 1) - 5
         add = 1 << (bd_shift - 1)
-        scale = _LEVEL_SCALE[qp % 6] << (qp // 6)
+        ls = _LEVEL_SCALE_RECT if rect else _LEVEL_SCALE
+        scale = ls[qp % 6] << (qp // 6)
         d = np.clip((coeffs * scale * 16 + add) >> bd_shift,
                     -(1 << 15), (1 << 15) - 1)
-        t = {4: HT.T4, 8: HT.T8, 16: HT.T16, 32: HT.T32}[n] \
-            .astype(np.int64)
-        tmp = np.clip((t.T @ d + 64) >> 7, -(1 << 15), (1 << 15) - 1)
+        mats = {4: HT.T4, 8: HT.T8, 16: HT.T16, 32: HT.T32}
+        th = mats[h].astype(np.int64)
+        tw = mats[w].astype(np.int64)
+        tmp = np.clip((th.T @ d + 64) >> 7, -(1 << 15), (1 << 15) - 1)
         sh2 = 20 - dec.bd
-        return (tmp @ t + (1 << (sh2 - 1))) >> sh2
+        return (tmp @ tw + (1 << (sh2 - 1))) >> sh2
 
     # --------------------------------------------------- intra predict
     def _avail_top(self, plane, x, y, want, c_idx):
@@ -952,9 +1199,9 @@ class CtuCoder:
             return h, ts, h, ts
         return 2 * h, 2 * w, 2 * h, 2 * w
 
-    def _avail_snap(self, x, y, size, mode, c_idx):
+    def _avail_snap(self, x, y, w, h, mode, c_idx):
         """Parse-time availability snapshot for deferred recon."""
-        un_l, un_t = self._edge_sizes(size, size, mode, c_idx)[2:]
+        un_l, un_t = self._edge_sizes(w, h, mode, c_idx)[2:]
         plane = self.dec.y if not c_idx else self.dec.u
         la = self._avail_left(plane, x, y, un_l, c_idx)
         ta = self._avail_top(plane, x, y, un_t, c_idx)

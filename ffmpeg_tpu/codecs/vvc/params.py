@@ -48,6 +48,14 @@ class VvcSPS:
     log2_min_cb: int = 2
     log2_min_qt_intra: int = 2
     max_mtt_depth_intra: int = 0
+    log2_max_bt_intra: int = 2      # == min_qt when mtt depth 0
+    log2_max_tt_intra: int = 2
+    log2_min_qt_inter: int = 2
+    max_mtt_depth_inter: int = 0
+    log2_max_bt_inter: int = 2
+    log2_max_tt_inter: int = 2
+    max_num_merge_cand: int = 6
+    log2_parallel_merge_level: int = 2
     log2_max_poc_lsb: int = 8
     qp_table: list = field(default_factory=list)   # chroma QP map
 
@@ -151,12 +159,21 @@ def parse_sps(rbsp: bytes) -> VvcSPS:
     s.log2_min_qt_intra = b.ue() + s.log2_min_cb
     s.max_mtt_depth_intra = b.ue()
     if s.max_mtt_depth_intra:
-        raise NotSupported("vvc: MTT (BT/TT) splits")
+        s.log2_max_bt_intra = b.ue() + s.log2_min_qt_intra
+        s.log2_max_tt_intra = b.ue() + s.log2_min_qt_intra
+    else:
+        s.log2_max_bt_intra = s.log2_min_qt_intra
+        s.log2_max_tt_intra = s.log2_min_qt_intra
     if b.get1():                          # qtbtt_dual_tree_intra
         raise NotSupported("vvc: dual tree")
-    b.ue()                                # log2_diff_min_qt_min_cb_inter
-    if b.ue():                            # max_mtt_depth_inter
-        raise NotSupported("vvc: inter MTT")
+    s.log2_min_qt_inter = b.ue() + s.log2_min_cb
+    s.max_mtt_depth_inter = b.ue()
+    if s.max_mtt_depth_inter:
+        s.log2_max_bt_inter = b.ue() + s.log2_min_qt_inter
+        s.log2_max_tt_inter = b.ue() + s.log2_min_qt_inter
+    else:
+        s.log2_max_bt_inter = s.log2_min_qt_inter
+        s.log2_max_tt_inter = s.log2_min_qt_inter
     if s.log2_ctu > 5 and b.get1():       # max_luma_transform_size_64
         raise NotSupported("vvc: 64pt transform")
     if b.get1():                          # transform_skip
@@ -207,7 +224,7 @@ def parse_sps(rbsp: bytes) -> VvcSPS:
         raise NotSupported("vvc: DMVR")
     if b.get1():                          # mmvd
         raise NotSupported("vvc: MMVD")
-    b.ue()                                # six_minus_max_num_merge_cand
+    s.max_num_merge_cand = 6 - b.ue()
     if b.get1():                          # sbt
         raise NotSupported("vvc: SBT")
     if b.get1():                          # affine
@@ -218,7 +235,7 @@ def parse_sps(rbsp: bytes) -> VvcSPS:
         raise NotSupported("vvc: CIIP")
     if b.get1():                          # gpm
         raise NotSupported("vvc: GPM")
-    b.ue()                                # log2_parallel_merge_level
+    s.log2_parallel_merge_level = b.ue() + 2
     for name in ("isp", "mrl", "mip"):
         if b.get1():
             raise NotSupported(f"vvc: {name}")

@@ -119,18 +119,22 @@ class Vp9TpuDecoder:
                     wid = int(np.bincount(m[:, 0]).max())
                     in_wid[c] = max(in_wid[c], wid)
             nlev = max(nlev, rec.max_level)
-        mc_shapes = tuple((c, _pow2(k) if k else 0)
+        # generous floors collapse nearby shape keys so different
+        # windows (and the test matrix) share ONE compiled program;
+        # negligible padding at production (1080p) sizes
+        mc_shapes = tuple((c, _pow2(k, lo=64) if k else 0)
                           for c, k in mc_max.items())
-        tu_shapes = tuple((c, _pow2(k) if k else 0)
+        tu_shapes = tuple((c, _pow2(k, lo=64) if k else 0)
                           for c, k in tu_max.items())
         in_shapes = []
         for c in _CLASSES:
             if in_tot[c]:
-                kmax = _pow2(in_wid[c], lo=2)
-                in_shapes.append((c, (_pow2(in_tot[c] + kmax), kmax)))
+                kmax = _pow2(in_wid[c], lo=16)
+                in_shapes.append((c, (_pow2(in_tot[c] + kmax, lo=256),
+                                      kmax)))
             else:
                 in_shapes.append((c, 0))
-        nlev = _pow2(nlev, lo=4) if nlev else 0
+        nlev = _pow2(nlev, lo=16) if nlev else 0
         return mc_shapes, tuple(tu_shapes), tuple(in_shapes), nlev
 
     @staticmethod
