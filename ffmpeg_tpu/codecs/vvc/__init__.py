@@ -29,6 +29,8 @@ class VvcDecoder(Codec):
         super().__init__(par, options)
         self.sps = {}
         self.pps = {}
+        self.dpb = {}                # poc -> (y, u, v) numpy planes
+        self.prev_poc = 0
         ed = par.extradata or b""
         if ed:
             for u in _nal.split_annexb(ed):
@@ -49,13 +51,52 @@ class VvcDecoder(Codec):
             return self._decode_slice(rbsp, ntype, pkt)
         return None
 
+    def _poc(self, sh, ntype, sps):
+        """PicOrderCntVal (8.3.1, no msb-cycle signalling)."""
+        if P.is_idr(ntype):
+            poc = sh.poc_lsb
+        else:
+            mx = 1 << sps.log2_max_poc_lsb
+            prev_lsb = self.prev_poc & (mx - 1)
+            prev_msb = self.prev_poc - prev_lsb
+            if sh.poc_lsb < prev_lsb and prev_lsb - sh.poc_lsb >= \
+                    mx // 2:
+                msb = prev_msb + mx
+            elif sh.poc_lsb > prev_lsb and sh.poc_lsb - prev_lsb > \
+                    mx // 2:
+                msb = prev_msb - mx
+            else:
+                msb = prev_msb
+            poc = msb + sh.poc_lsb
+        self.prev_poc = poc
+        return poc
+
     def _decode_slice(self, rbsp: bytes, ntype: int, pkt):
         if not self.sps:
             raise InvalidData("vvc: no SPS")
         sps = next(iter(self.sps.values()))
         sh = P.parse_slice_header(rbsp, ntype, sps, self.pps)
         pps = next(iter(self.pps.values()))
-        dec = FrameDec(sps, pps, sh)
+        if P.is_idr(ntype):
+            self.dpb.clear()
+        poc = self._poc(sh, ntype, sps)
+        # resolve the slice RPLs against the DPB (refs.c:542
+        # ff_vvc_slice_rpl, cumulative poc_base chain)
+        rpl_poc = [[], []]
+        rpl_frames = [[], []]
+        for lx in range(2):
+            base = poc
+            for delta in sh.rpl_deltas[lx]:
+                base += delta
+                rpl_poc[lx].append(base)
+                used = sh.slice_type == 0 or \
+                    (sh.slice_type == 1 and lx == 0)
+                if used and base not in self.dpb:
+                    raise InvalidData(
+                        f"vvc: reference POC {base} not in DPB")
+                rpl_frames[lx].append(self.dpb.get(base))
+        dec = FrameDec(sps, pps, sh, rpl_poc=rpl_poc,
+                       rpl_frames=rpl_frames)
         core = VvcCabacDecoder(rbsp[sh.data_bit_pos // 8:])
         threads = int(self.options.get("threads", 1) or 1)
         coder = CtuCoder(dec, core, defer_recon=threads > 1)
@@ -66,14 +107,14 @@ class VvcDecoder(Codec):
             from ...parallel.executor import Executor
             with Executor(workers=threads) as ex:
                 coder.run_deferred_recon(ex)
+        self.dpb[poc] = (dec.y.copy(), dec.u.copy(), dec.v.copy())
         fmt = "yuv420p" if sps.bit_depth == 8 else "yuv420p10le"
         f = Frame.video(sps.width, sps.height, fmt,
-                        planes=[dec.y.copy(), dec.u.copy(),
-                                dec.v.copy()],
+                        planes=list(self.dpb[poc]),
                         pts=pkt.pts if pkt else 0,
                         time_base=(pkt.time_base if pkt else None)
                         or Rational(1, 25))
-        f.key_frame = True
+        f.key_frame = P.is_idr(ntype)
         return [f]
 
     def decode(self, pkt: Optional[Packet]) -> List[Frame]:

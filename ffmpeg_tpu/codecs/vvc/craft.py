@@ -71,7 +71,10 @@ def write_ptl(w):
 
 def make_sps(width, height, log2_ctu=5, log2_min_cb=2,
              log2_min_qt=3, bit_depth=8, mtt_depth_intra=0,
-             log2_max_bt=None, log2_max_tt=None):
+             log2_max_bt=None, log2_max_tt=None,
+             log2_min_qt_inter=None, mtt_depth_inter=0,
+             log2_max_bt_inter=None, log2_max_tt_inter=None,
+             max_num_merge_cand=6):
     """log2_max_bt/tt default to the CTU size when MTT is on (the
     least restrictive legal values; tt capped at min(6, ctu))."""
     w = BW()
@@ -109,8 +112,17 @@ def make_sps(width, height, log2_ctu=5, log2_min_cb=2,
         w.ue(bt - log2_min_qt)   # log2_diff_max_bt_min_qt_intra
         w.ue(tt - log2_min_qt)   # log2_diff_max_tt_min_qt_intra
     w.u(0, 1)            # qtbtt_dual_tree_intra
-    w.ue(0)              # log2_diff_min_qt_min_cb_inter_slice
-    w.ue(0)              # max_mtt_hierarchy_depth_inter_slice
+    qti = log2_min_qt if log2_min_qt_inter is None \
+        else log2_min_qt_inter
+    w.ue(qti - log2_min_cb)  # log2_diff_min_qt_min_cb_inter_slice
+    w.ue(mtt_depth_inter)    # max_mtt_hierarchy_depth_inter_slice
+    if mtt_depth_inter:
+        bt = log2_ctu if log2_max_bt_inter is None \
+            else log2_max_bt_inter
+        tt = min(6, log2_ctu) if log2_max_tt_inter is None \
+            else log2_max_tt_inter
+        w.ue(bt - qti)   # log2_diff_max_bt_min_qt_inter_slice
+        w.ue(tt - qti)   # log2_diff_max_tt_min_qt_inter_slice
     if log2_ctu > 5:
         w.u(0, 1)        # max_luma_transform_size_64
     w.u(0, 1)            # transform_skip
@@ -138,7 +150,7 @@ def make_sps(width, height, log2_ctu=5, log2_min_cb=2,
     w.u(0, 1)            # smvd
     w.u(0, 1)            # dmvr
     w.u(0, 1)            # mmvd
-    w.ue(0)              # six_minus_max_num_merge_cand
+    w.ue(6 - max_num_merge_cand)  # six_minus_max_num_merge_cand
     w.u(0, 1)            # sbt
     w.u(0, 1)            # affine
     w.u(0, 1)            # bcw
@@ -223,6 +235,113 @@ def slice_header_bits(qp_delta=0, poc_lsb=0, idr=True):
     while len(w.bits) % 8:
         w.u(0, 1)
     return w
+
+
+def slice_header_bits_inter(slice_type, poc_lsb, rpl_deltas,
+                            n_active, qp_delta=0):
+    """TRAIL P/B slice with PH inline: inter-allowed PH adds
+    ph_intra_slice_allowed + ph_mvd_l1_zero; the SH tail carries
+    sh_slice_type, both ref_pic_list_structs and the
+    num_ref_idx_active override (cbs_h266_syntax_template.c:3152)."""
+    w = BW()
+    w.u(1, 1)            # sh_picture_header_in_slice_header
+    w.u(0, 1)            # ph_gdr_or_irap (no gdr flag coded)
+    w.u(0, 1)            # ph_non_ref_pic_flag
+    w.u(1, 1)            # ph_inter_slice_allowed
+    w.u(1, 1)            # ph_intra_slice_allowed
+    w.ue(0)              # pps_id
+    w.u(poc_lsb, 8)      # ph_pic_order_cnt_lsb
+    w.u(0, 1)            # ph_mvd_l1_zero_flag
+    w.ue(slice_type)     # sh_slice_type (0=B, 1=P)
+    for lst in rpl_deltas:
+        w.ue(len(lst))   # num_ref_entries
+        for d in lst:    # cumulative signed POC deltas
+            w.ue(abs(d) - 1)          # abs_delta_poc_st
+            w.u(1 if d < 0 else 0, 1)  # strp_entry_sign_flag
+    n_lists = 2 if slice_type == 0 else 1
+    if len(rpl_deltas[0]) > 1 or \
+            (slice_type == 0 and len(rpl_deltas[1]) > 1):
+        w.u(1, 1)        # sh_num_ref_idx_active_override
+        for i in range(n_lists):
+            if len(rpl_deltas[i]) > 1:
+                w.ue(n_active[i] - 1)
+    w.se(qp_delta)       # sh_qp_delta
+    w.u(1, 1)            # byte alignment one-bit
+    while len(w.bits) % 8:
+        w.u(0, 1)
+    return w
+
+
+def _cabac_payload(hw, enc):
+    bits = hw.bits + enc.bitstring()
+    while len(bits) % 8:
+        bits.append(0)
+    payload = bytearray(len(bits) // 8)
+    for i, b in enumerate(bits):
+        payload[i >> 3] |= b << (7 - (i & 7))
+    return bytes(payload)
+
+
+def craft_gop(frames, width, height, log2_ctu=5, log2_min_cb=3,
+              log2_min_qt=3, qp_delta=0, init_qp=26, bit_depth=8,
+              cb_qp_offset=0, cr_qp_offset=0, mtt_depth_intra=0,
+              mtt_depth_inter=0, log2_max_bt=None, log2_max_tt=None,
+              nrefs=(2, 1), max_num_merge_cand=6):
+    """→ annex-B stream: SPS + PPS + IDR + TRAIL P/B slices.
+    `frames` is a list of ('I'|'P'|'B', plan); the first must be 'I'.
+    Frame k has POC k and references the nrefs most recent frames
+    (low-delay: both lists point backwards, so decode order == POC
+    order). min CB 8 keeps every inter CU >= 8x8 (no 4:2:0 local
+    dual tree, w+h > 12 everywhere)."""
+    from ..h264 import nal as N
+    if frames[0][0] != "I":
+        raise ValueError("vvc craft: GOP must start with an I frame")
+    sps_nal = make_sps(width, height, log2_ctu=log2_ctu,
+                       log2_min_cb=log2_min_cb,
+                       log2_min_qt=log2_min_qt, bit_depth=bit_depth,
+                       mtt_depth_intra=mtt_depth_intra,
+                       log2_max_bt=log2_max_bt,
+                       log2_max_tt=log2_max_tt,
+                       mtt_depth_inter=mtt_depth_inter,
+                       log2_max_bt_inter=log2_max_bt,
+                       log2_max_tt_inter=log2_max_tt,
+                       max_num_merge_cand=max_num_merge_cand)
+    pps_nal = make_pps(width, height, init_qp=init_qp,
+                       cb_qp_offset=cb_qp_offset,
+                       cr_qp_offset=cr_qp_offset)
+    sps = P.parse_sps(N.unescape(sps_nal[6:]))
+    pps = P.parse_pps(N.unescape(pps_nal[6:]))
+    out = sps_nal + pps_nal
+    for poc, (kind, plan) in enumerate(frames):
+        if kind == "I":
+            if poc:
+                raise ValueError("vvc craft: only the first frame "
+                                 "may be I")
+            sh = P.VvcSliceHeader(qp=init_qp + qp_delta, poc_lsb=poc)
+            dec = FrameDec(sps, pps, sh)
+            enc = VvcCabacEncoder()
+            CtuCoder(dec, enc, encode=True,
+                     plan=plan).code_slice_data()
+            hw = slice_header_bits(qp_delta, poc_lsb=poc)
+            out += vnal(P.NAL_IDR_W_RADL, _cabac_payload(hw, enc))
+            continue
+        st = 0 if kind == "B" else 1
+        n0 = min(nrefs[0], poc)
+        n1 = min(nrefs[1], poc) if st == 0 else 0
+        rpl = ([-1] * n0, [-1] * n1)
+        n_active = (n0, n1)
+        rpl_poc = ([poc - 1 - k for k in range(n0)],
+                   [poc - 1 - k for k in range(n1)])
+        sh = P.VvcSliceHeader(slice_type=st, poc_lsb=poc,
+                              qp=init_qp + qp_delta,
+                              rpl_deltas=rpl,
+                              num_ref_idx_active=n_active)
+        dec = FrameDec(sps, pps, sh, rpl_poc=rpl_poc)
+        enc = VvcCabacEncoder()
+        CtuCoder(dec, enc, encode=True, plan=plan).code_slice_data()
+        hw = slice_header_bits_inter(st, poc, rpl, n_active, qp_delta)
+        out += vnal(P.NAL_TRAIL, _cabac_payload(hw, enc))
+    return out
 
 
 def craft_frame(plan, width, height, log2_ctu=5, log2_min_qt=3,

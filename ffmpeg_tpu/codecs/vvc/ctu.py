@@ -15,6 +15,7 @@ import numpy as np
 
 from ...utils.error import InvalidData, NotSupported
 from ..hevc import tables as HT
+from . import inter as I
 from .cabac import init_contexts
 from .tables import CTX
 
@@ -140,9 +141,13 @@ class _IO:
 
 
 class FrameDec:
-    """Per-picture state (FrameContext analog)."""
+    """Per-picture state (FrameContext analog). For inter slices,
+    `rpl_poc[lx]` lists the reference POCs of list lx and
+    `rpl_frames[lx][ref_idx]` the matching (y, u, v) planes (decode
+    direction only — crafting needs just the POCs)."""
 
-    def __init__(self, sps, pps, sh):
+    def __init__(self, sps, pps, sh, rpl_poc=((), ()),
+                 rpl_frames=((), ())):
         self.sps, self.pps, self.sh = sps, pps, sh
         W, H = sps.width, sps.height
         self.bd = sps.bit_depth
@@ -158,6 +163,13 @@ class FrameDec:
         self.qtd4 = np.zeros((n4y, n4x), np.int32)     # cqt depth map
         self.decoded = np.zeros((n4y, n4x), bool)      # luma recon'd
         self.qp = sh.qp
+        # per-4x4 motion state (tab.mvf/skip analogs, mvs.c:256)
+        self.skip4 = np.zeros((n4y, n4x), np.uint8)
+        self.mvf_pf = np.zeros((n4y, n4x), np.uint8)   # PF_INTRA
+        self.mvf_mv = np.zeros((n4y, n4x, 2, 2), np.int32)
+        self.mvf_ref = np.zeros((n4y, n4x, 2), np.int8)
+        self.rpl_poc = rpl_poc
+        self.rpl_frames = rpl_frames
 
 
 class Plan:
@@ -207,6 +219,26 @@ class Plan:
                                                self.amp + 1)) or 1
         return lv
 
+    # ---- inter-slice intents (queried ONCE per CU by the walker) ----
+    def cu_mode(self, x0, y0, log2w, log2h):
+        """'intra' | 'skip' | 'merge' | 'amvp' for CUs of P/B
+        slices."""
+        return "intra"
+
+    def merge_index(self, x0, y0, max_cand):
+        return 0
+
+    def amvp_choice(self, x0, y0, is_b, w, h, nact):
+        """→ dict(pred='l0'|'l1'|'bi', ref_idx=[i0,i1],
+        mvd=[(x,y),(x,y)], mvp=[f0,f1]); 'bi'/'l1' only for B,
+        ref_idx[lx] < nact[lx]."""
+        return {"pred": "l0", "ref_idx": [0, 0],
+                "mvd": [(0, 0), (0, 0)], "mvp": [0, 0]}
+
+    def cu_coded(self, x0, y0):
+        """cu_coded_flag for AMVP CUs."""
+        return True
+
 
 class CtuCoder:
     def __init__(self, dec: FrameDec, core, encode=False, plan=None,
@@ -217,6 +249,7 @@ class CtuCoder:
         self.defer_recon = defer_recon
         self.recon_q = []            # (ctu, cu-args...) when deferred
         self.cur_ctu = (0, 0)
+        self.hmvp = []               # HMVP FIFO (ep->hmvp)
         # init_type = 2 - slice_type; I slices (type 2) -> 0
         self.ctx = init_contexts(2 - dec.sh.slice_type,
                                  max(0, min(63, dec.qp)))
@@ -226,6 +259,7 @@ class CtuCoder:
         dec = self.dec
         sps = dec.sps
         for ry in range(sps.ctb_height):
+            self.hmvp = []           # reset per CTU row (ctu.c:2821)
             for rx in range(sps.ctb_width):
                 self.cur_ctu = (rx, ry)
                 self.coding_tree(rx << sps.log2_ctu,
@@ -264,10 +298,17 @@ class CtuCoder:
             cus = by_ctu[(rx, ry)]
 
             def _run(rx=rx, ry=ry, cus=cus):
-                for (x0, y0, log2w, log2h, lm, cm, cy, cb, cr, sy,
-                     sc) in cus:
-                    self._reconstruct(x0, y0, log2w, log2h, lm, cm,
-                                      cy, cb, cr, sy, sc)
+                for rec in cus:
+                    if rec[0] == "i":
+                        (_, x0, y0, log2w, log2h, lm, cm, cy, cb,
+                         cr, sy, sc) = rec
+                        self._reconstruct(x0, y0, log2w, log2h, lm,
+                                          cm, cy, cb, cr, sy, sc)
+                    else:
+                        (_, x0, y0, log2w, log2h, mvf, cy, cb,
+                         cr) = rec
+                        self._recon_inter(x0, y0, log2w, log2h, mvf,
+                                          cy, cb, cr)
                 with lock:
                     done.add((rx, ry))
 
@@ -515,59 +556,299 @@ class CtuCoder:
 
     # -------------------------------------------------------------- CU
     def coding_unit(self, x0, y0, log2w, log2h, cqt_depth=0):
-        dec = self.dec
+        """hls_coding_unit (ctu.c:2179): pred mode, intra or inter
+        data, cu_coded_flag, one transform unit."""
+        dec, io = self.dec, self.io
         w, h = 1 << log2w, 1 << log2h
         n4w, n4h = w >> 2, h >> 2
         x4, y4 = x0 >> 2, y0 >> 2
-        luma_mode = self._luma_intra_mode(x0, y0, w, h)
-        dec.ipm[y4:y4 + n4h, x4:x4 + n4w] = luma_mode
+        inter_slice = dec.sh.slice_type != 2
+        want = None
+        if io.encode and inter_slice:
+            want = self.plan.cu_mode(x0, y0, log2w, log2h)
+        skip = 0
+        mode_intra = True
+        if inter_slice:
+            # cu_skip_flag (cabac.c:1276); 4x4 CUs can't be inter
+            if w != 4 or h != 4:
+                inc = 0
+                if x0 > 0:
+                    inc += int(dec.skip4[y4, x4 - 1])
+                if y0 > 0:
+                    inc += int(dec.skip4[y4 - 1, x4])
+                v = None if want is None else int(want == "skip")
+                skip = io.dec(self.ctx[CTX["CU_SKIP_FLAG"] + inc], v)
+            if skip:
+                mode_intra = False
+            elif w != 4 or h != 4:
+                # pred_mode_flag (cabac.c:1240)
+                inc = int(
+                    (x0 > 0 and dec.mvf_pf[y4, x4 - 1] == I.PF_INTRA)
+                    or (y0 > 0
+                        and dec.mvf_pf[y4 - 1, x4] == I.PF_INTRA))
+                v = None if want is None else int(want == "intra")
+                mode_intra = bool(io.dec(
+                    self.ctx[CTX["PRED_MODE_FLAG"] + inc], v))
         dec.cbw4[y4:y4 + n4h, x4:x4 + n4w] = w
         dec.cbh4[y4:y4 + n4h, x4:x4 + n4w] = h
         dec.qtd4[y4:y4 + n4h, x4:x4 + n4w] = cqt_depth
-        chroma_mode = self._chroma_intra_mode(x0, y0, luma_mode)
 
-        # transform_unit: cbfs (chroma first), then Y/Cb/Cr residuals
-        io = self.io
-        pv = None
-        if io.encode:
-            pv = 1 if self.plan.cbf(x0, y0, log2w, 1) else 0
-        cbf_cb = io.dec(self.ctx[CTX["TU_CB_CODED_FLAG"]], pv)
-        if io.encode:
-            pv = 1 if self.plan.cbf(x0, y0, log2w, 2) else 0
-        cbf_cr = io.dec(self.ctx[CTX["TU_CR_CODED_FLAG"] + cbf_cb], pv)
-        if io.encode:
-            pv = 1 if self.plan.cbf(x0, y0, log2w, 0) else 0
-        cbf_y = io.dec(self.ctx[CTX["TU_Y_CODED_FLAG"]], pv)
+        mvf = merge = None
+        if mode_intra:
+            luma_mode = self._luma_intra_mode(x0, y0, w, h)
+            dec.ipm[y4:y4 + n4h, x4:x4 + n4w] = luma_mode
+            chroma_mode = self._chroma_intra_mode(x0, y0, luma_mode)
+            I.set_intra_mvf(dec, x0, y0, w, h)
+        else:
+            luma_mode = chroma_mode = None
+            mvf, merge = self._inter_data(x0, y0, w, h, skip, want)
+        dec.skip4[y4:y4 + n4h, x4:x4 + n4w] = skip
 
-        coeff_y = self.residual(x0, y0, log2w, log2h, 0) if cbf_y \
-            else None
-        coeff_cb = self.residual(x0, y0, log2w - 1, log2h - 1, 1) \
-            if cbf_cb else None
-        coeff_cr = self.residual(x0, y0, log2w - 1, log2h - 1, 2) \
-            if cbf_cr else None
+        # cu_coded_flag (ctu.c:2210): explicit for non-merge inter
+        if mode_intra:
+            coded = True
+        elif not merge:
+            v = None if want is None else int(self.plan.cu_coded(x0,
+                                                                 y0))
+            coded = bool(io.dec(self.ctx[CTX["CU_CODED_FLAG"]], v))
+        else:
+            coded = not skip
+
+        coeff_y = coeff_cb = coeff_cr = None
+        if coded:
+            # transform_unit: chroma cbfs, then Y (present for intra
+            # or when chroma is coded, else inferred 1 — ctu.c:273)
+            pv = None
+            if io.encode:
+                pv = 1 if self.plan.cbf(x0, y0, log2w, 1) else 0
+            cbf_cb = io.dec(self.ctx[CTX["TU_CB_CODED_FLAG"]], pv)
+            if io.encode:
+                pv = 1 if self.plan.cbf(x0, y0, log2w, 2) else 0
+            cbf_cr = io.dec(self.ctx[CTX["TU_CR_CODED_FLAG"]
+                                     + cbf_cb], pv)
+            if mode_intra or cbf_cb or cbf_cr:
+                if io.encode:
+                    pv = 1 if self.plan.cbf(x0, y0, log2w, 0) else 0
+                cbf_y = io.dec(self.ctx[CTX["TU_Y_CODED_FLAG"]], pv)
+            else:
+                cbf_y = 1
+            coeff_y = self.residual(x0, y0, log2w, log2h, 0) \
+                if cbf_y else None
+            coeff_cb = self.residual(x0, y0, log2w - 1, log2h - 1, 1) \
+                if cbf_cb else None
+            coeff_cr = self.residual(x0, y0, log2w - 1, log2h - 1, 2) \
+                if cbf_cr else None
 
         if not io.encode:
-            if self.defer_recon:
-                # snapshot neighbour availability at parse time so
-                # reconstruction can run out of raster order on the
-                # executor (the reference records the same per-CU
-                # state before handing CTUs to AVExecutor); sizes use
-                # the wide-angle-mapped mode (edge extents depend on
-                # it, intra_template.c:492)
-                snap_y = self._avail_snap(
-                    x0, y0, w, h, wide_angle_map(luma_mode, w, h), 0)
-                snap_c = self._avail_snap(
-                    x0 >> 1, y0 >> 1, w >> 1, h >> 1,
-                    wide_angle_map(chroma_mode, w >> 1, h >> 1), 1)
-                self.recon_q.append(
-                    (self.cur_ctu, x0, y0, log2w, log2h, luma_mode,
-                     chroma_mode, coeff_y, coeff_cb, coeff_cr,
-                     snap_y, snap_c))
+            if mode_intra:
+                if self.defer_recon:
+                    # snapshot neighbour availability at parse time so
+                    # reconstruction can run out of raster order on
+                    # the executor (the reference records the same
+                    # per-CU state before handing CTUs to AVExecutor);
+                    # sizes use the wide-angle-mapped mode (edge
+                    # extents depend on it, intra_template.c:492)
+                    snap_y = self._avail_snap(
+                        x0, y0, w, h,
+                        wide_angle_map(luma_mode, w, h), 0)
+                    snap_c = self._avail_snap(
+                        x0 >> 1, y0 >> 1, w >> 1, h >> 1,
+                        wide_angle_map(chroma_mode, w >> 1, h >> 1),
+                        1)
+                    self.recon_q.append(
+                        (self.cur_ctu, "i", x0, y0, log2w, log2h,
+                         luma_mode, chroma_mode, coeff_y, coeff_cb,
+                         coeff_cr, snap_y, snap_c))
+                else:
+                    self._reconstruct(x0, y0, log2w, log2h,
+                                      luma_mode, chroma_mode,
+                                      coeff_y, coeff_cb, coeff_cr)
             else:
-                self._reconstruct(x0, y0, log2w, log2h, luma_mode,
-                                  chroma_mode, coeff_y, coeff_cb,
-                                  coeff_cr)
+                if self.defer_recon:
+                    self.recon_q.append(
+                        (self.cur_ctu, "p", x0, y0, log2w, log2h,
+                         mvf, coeff_y, coeff_cb, coeff_cr))
+                else:
+                    self._recon_inter(x0, y0, log2w, log2h, mvf,
+                                      coeff_y, coeff_cb, coeff_cr)
         dec.decoded[y4:y4 + n4h, x4:x4 + n4w] = True
+
+    # ------------------------------------------------- inter CU syntax
+    def _inter_data(self, x0, y0, w, h, skip, want):
+        """inter_data (ctu.c:1795): merge flag, merge or AMVP data,
+        mvf storage + HMVP update. Returns (mvf, general_merge)."""
+        dec, io = self.dec, self.io
+        sps = dec.sps
+        is_b = dec.sh.slice_type == 0
+        merge = 1
+        if not skip:
+            v = None if want is None else int(want == "merge")
+            merge = io.dec(self.ctx[CTX["GENERAL_MERGE_FLAG"]], v)
+        if merge:
+            midx = 0
+            if sps.max_num_merge_cand > 1:
+                tv = self.plan.merge_index(
+                    x0, y0, sps.max_num_merge_cand) if io.encode \
+                    else None
+                midx = self._tr_ctx_bypass(
+                    CTX["MERGE_IDX"], sps.max_num_merge_cand - 1, tv)
+            mvf = I.merge_mode(dec, self.hmvp, x0, y0, w, h, midx,
+                               is_b, dec.sh.num_ref_idx_active)
+            if mvf.pred_flag == I.PF_BI and w + h == 12:
+                mvf.pred_flag = I.PF_L0       # ctu.c:1340
+        else:
+            mvf = self._mvp_data(x0, y0, w, h, is_b)
+        I.set_mvf(dec, x0, y0, w, h, mvf)
+        I.update_hmvp(self.hmvp, dec, x0, y0, w, h,
+                      sps.log2_parallel_merge_level)
+        return mvf, merge
+
+    def _mvp_data(self, x0, y0, w, h, is_b):
+        """mvp_data (ctu.c:1654) for the translation-only toolset."""
+        dec, io = self.dec, self.io
+        ch = self.plan.amvp_choice(x0, y0, is_b, w, h,
+                                   dec.sh.num_ref_idx_active) \
+            if io.encode else None
+        if is_b:
+            bi = 0
+            if w + h > 12:
+                log2 = (w.bit_length() - 1) + (h.bit_length() - 1)
+                inc = 7 - ((1 + log2) >> 1)
+                v = None if ch is None else int(ch["pred"] == "bi")
+                bi = io.dec(self.ctx[CTX["INTER_PRED_IDC"] + inc], v)
+            if bi:
+                pred_flag = I.PF_BI
+            else:
+                v = None if ch is None else int(ch["pred"] == "l1")
+                pred_flag = I.PF_L0 + io.dec(
+                    self.ctx[CTX["INTER_PRED_IDC"] + 5], v)
+        else:
+            pred_flag = I.PF_L0
+        ref_idx = [0, 0]
+        mvd = [[0, 0], [0, 0]]
+        mvp_flag = [0, 0]
+        nact = dec.sh.num_ref_idx_active
+        for lx in range(2):
+            if pred_flag == I.PF_L0 + (1 - lx):   # list unused
+                continue
+            if nact[lx] > 1:
+                tv = None if ch is None else int(ch["ref_idx"][lx])
+                ref_idx[lx] = self._ref_idx_lx(nact[lx], tv)
+            if lx == 1 and dec.sh.mvd_l1_zero and \
+                    pred_flag == I.PF_BI:
+                mvd[1] = [0, 0]
+            else:
+                tv = None if ch is None else ch["mvd"][lx]
+                mvd[lx] = self._mvd_coding(tv)
+            tv = None if ch is None else int(ch["mvp"][lx])
+            mvp_flag[lx] = io.dec(self.ctx[CTX["MVP_LX_FLAG"]], tv)
+        mvf = I.Mvf(pred_flag)
+        mvf.ref_idx = ref_idx
+        for lx in range(2):
+            if not (pred_flag & (lx + 1)):
+                continue
+            pred = I.amvp(dec, self.hmvp, x0, y0, w, h, lx, ref_idx,
+                          mvp_flag[lx], 2, dec.rpl_poc)
+            # amvr_shift = 2 (AMVR off): mvd in quarter-pel -> 1/16
+            mvf.mv[lx] = I.clip_mv([pred[0] + mvd[lx][0] * 4,
+                                    pred[1] + mvd[lx][1] * 4])
+        return mvf
+
+    def _mvd_coding(self, tv):
+        """hls_mvd_coding (ctu.c:1520)."""
+        io = self.io
+        mv = [0, 0]
+        for i in range(2):
+            v = None if tv is None else int(abs(tv[i]) > 0)
+            mv[i] = io.dec(self.ctx[CTX["ABS_MVD_GREATER0_FLAG"]], v)
+        for i in range(2):
+            if mv[i]:
+                v = None if tv is None else int(abs(tv[i]) > 1)
+                mv[i] += io.dec(self.ctx[CTX["ABS_MVD_GREATER1_FLAG"]],
+                                v)
+        for i in range(2):
+            if mv[i] > 0:
+                if mv[i] == 2:
+                    v = None if tv is None else abs(tv[i]) - 2
+                    mv[i] += self._egk(v, 1, 15, 17)
+                v = None if tv is None else int(tv[i] < 0)
+                sign = io.byp(v)
+                mv[i] = (1 - 2 * sign) * mv[i]
+        return mv
+
+    def _egk(self, val, k, max_pre, trunc_len):
+        """limited_kth_order_egk (cabac.c:961), both directions."""
+        io = self.io
+        if io.encode:
+            pre = 0
+            while pre < max_pre and \
+                    val >= ((1 << (pre + 1)) - 1) << k:
+                io.byp(1)
+                pre += 1
+            esc = trunc_len if pre == max_pre else pre + k
+            if pre < max_pre:
+                io.byp(0)
+            rem = val - (((1 << pre) - 1) << k)
+            for i in range(esc - 1, -1, -1):
+                io.byp((rem >> i) & 1)
+            return val
+        pre = 0
+        while pre < max_pre and io.byp():
+            pre += 1
+        esc = trunc_len if pre == max_pre else pre + k
+        v = 0
+        for _ in range(esc):
+            v = (v << 1) | io.byp()
+        return v + (((1 << pre) - 1) << k)
+
+    def _tr_ctx_bypass(self, ctx_idx, c_max, tv):
+        """TR binarization with a single context bin then bypass
+        (merge_idx, cabac.c:1533)."""
+        io = self.io
+        if c_max == 0:
+            return 0
+        if io.encode:
+            io.dec(self.ctx[ctx_idx], int(tv > 0))
+            if tv > 0:
+                for _ in range(tv - 1):
+                    io.byp(1)
+                if tv < c_max:
+                    io.byp(0)
+            return tv
+        if not io.dec(self.ctx[ctx_idx]):
+            return 0
+        i = 1
+        while i < c_max and io.byp():
+            i += 1
+        return i
+
+    def _ref_idx_lx(self, nb_refs, tv):
+        """ff_vvc_ref_idx_lx (cabac.c:1601): TR with up to 2 context
+        bins, bypass beyond."""
+        io = self.io
+        c_max = nb_refs - 1
+        max_ctx = min(c_max, 2)
+        if io.encode:
+            i = 0
+            while i < max_ctx and i < tv:
+                io.dec(self.ctx[CTX["REF_IDX_LX"] + i], 1)
+                i += 1
+            if i < max_ctx:                   # i == tv
+                io.dec(self.ctx[CTX["REF_IDX_LX"] + i], 0)
+            elif i == 2:
+                while i < tv:
+                    io.byp(1)
+                    i += 1
+                if i < c_max:
+                    io.byp(0)
+            return tv
+        i = 0
+        while i < max_ctx and io.dec(self.ctx[CTX["REF_IDX_LX"] + i]):
+            i += 1
+        if i == 2:
+            while i < c_max and io.byp():
+                i += 1
+        return i
 
     # ------------------------------------------------- intra mode syntax
     def _luma_intra_mode(self, x0, y0, w, h):
@@ -631,11 +912,13 @@ class CtuCoder:
         xa, ya = (x0 - 1) >> 2, (y0 + h - 1) >> 2
         xb, yb = (x0 + w - 1) >> 2, (y0 - 1) >> 2
         a = INTRA_PLANAR
-        if x0 > 0 and dec.decoded[ya, xa]:
+        if x0 > 0 and dec.decoded[ya, xa] \
+                and dec.mvf_pf[ya, xa] == I.PF_INTRA:
             a = int(dec.ipm[ya, xa])
         b = INTRA_PLANAR
         y0b = y0 & ((1 << dec.sps.log2_ctu) - 1)
-        if y0 > 0 and y0b and dec.decoded[yb, xb]:
+        if y0 > 0 and y0b and dec.decoded[yb, xb] \
+                and dec.mvf_pf[yb, xb] == I.PF_INTRA:
             b = int(dec.ipm[yb, xb])
         if a == b and a > INTRA_DC:
             return [a, 2 + ((a + 61) % 64), 2 + ((a - 1) % 64),
@@ -1111,6 +1394,30 @@ class CtuCoder:
                                  (dec.v, cr, dec.pps.cr_qp_offset)):
             predc = self._intra_pred(plane, xc, yc, wc, hc,
                                      mode_c, 1, avail=snap_c)
+            blk = predc.astype(np.int64)
+            if coef is not None:
+                qp = self._chroma_qp(off) + 6 * (dec.bd - 8)
+                blk = blk + self._itx(coef, qp, 1)
+            plane[yc:yc + hc, xc:xc + wc] = np.clip(
+                blk, 0, dec.pmax).astype(plane.dtype)
+
+    def _recon_inter(self, x0, y0, log2w, log2h, mvf, cy, cb, cr):
+        """Inter CU reconstruction: whole-CU translation MC
+        (vvc/inter.c put_luma/put_chroma) + residual add."""
+        dec = self.dec
+        w, h = 1 << log2w, 1 << log2h
+        py, pu_, pv_ = I.predict_inter(dec, dec.rpl_frames, x0, y0,
+                                       w, h, mvf)
+        blk = py.astype(np.int64)
+        if cy is not None:
+            blk = blk + self._itx(cy, dec.qp + 6 * (dec.bd - 8), 0)
+        dec.y[y0:y0 + h, x0:x0 + w] = np.clip(
+            blk, 0, dec.pmax).astype(dec.y.dtype)
+        wc, hc = w >> 1, h >> 1
+        xc, yc = x0 >> 1, y0 >> 1
+        for plane, predc, coef, off in (
+                (dec.u, pu_, cb, dec.pps.cb_qp_offset),
+                (dec.v, pv_, cr, dec.pps.cr_qp_offset)):
             blk = predc.astype(np.int64)
             if coef is not None:
                 qp = self._chroma_qp(off) + 6 * (dec.bd - 8)

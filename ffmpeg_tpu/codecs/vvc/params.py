@@ -80,10 +80,15 @@ class VvcPPS:
 
 @dataclass
 class VvcSliceHeader:
-    slice_type: int = 2                  # I
+    slice_type: int = 2                  # 0=B 1=P 2=I
     poc_lsb: int = 0
     qp: int = 26
     data_bit_pos: int = 0
+    mvd_l1_zero: bool = False
+    # per-list short-term ref entries as signed POC deltas, applied
+    # cumulatively from the current POC (refs.c:560 poc_base chain)
+    rpl_deltas: tuple = ((), ())
+    num_ref_idx_active: tuple = (0, 0)
 
 
 def _ptl(b, read, w=None, max_sub=1):
@@ -365,16 +370,54 @@ def parse_slice_header(rbsp: bytes, ntype: int, sps: VvcSPS,
         raise NotSupported("vvc: GDR pictures")
     inter_allowed = b.get1()
     if inter_allowed:
-        raise NotSupported("vvc: inter slices")
+        b.get1()                          # ph_intra_slice_allowed
     pps_id = b.ue()
     pps = pps_map.get(pps_id)
     if pps is None:
         raise InvalidData("vvc: unknown PPS")
     sh.poc_lsb = b.get(sps.log2_max_poc_lsb)
-    # slice_header tail (sh_slice_type inferred I)
-    sh.slice_type = 2
+    if inter_allowed:
+        # PH inter block with TMVP/MMVD/WP off collapses to
+        # ph_mvd_l1_zero_flag (cbs_h266_syntax_template.c:2941)
+        sh.mvd_l1_zero = bool(b.get1())
+    # slice_header tail
+    sh.slice_type = b.ue() if inter_allowed else 2
+    if sh.slice_type > 2:
+        raise InvalidData("vvc: bad slice type")
     if is_idr(ntype) or ntype == NAL_CRA:
         b.get1()                          # sh_no_output_of_prior_pics
+    rpl = [[], []]
+    if not is_idr(ntype):
+        # ref_pic_lists: both structs inline (no SPS RPLs, no LT)
+        for lx in range(2):
+            n = b.ue()
+            if n > 15:
+                raise InvalidData("vvc: too many ref entries")
+            for _ in range(n):
+                abs_delta = b.ue() + 1
+                sign = b.get1()
+                rpl[lx].append(-abs_delta if sign else abs_delta)
+    sh.rpl_deltas = (tuple(rpl[0]), tuple(rpl[1]))
+    # sh_num_ref_idx_active_override (cbs template:3243)
+    active = [0, 0]
+    if sh.slice_type != 2:
+        n_lists = 2 if sh.slice_type == 0 else 1
+        minus1 = [0, 0]
+        override = 1
+        if len(rpl[0]) > 1 or (sh.slice_type == 0 and len(rpl[1]) > 1):
+            override = b.get1()
+            if override:
+                for i in range(n_lists):
+                    if len(rpl[i]) > 1:
+                        minus1[i] = b.ue()
+        for i in range(n_lists):
+            if override:
+                active[i] = minus1[i] + 1
+            else:
+                active[i] = min(len(rpl[i]), 1)   # pps defaults are 1
+            if active[i] <= 0 or active[i] > len(rpl[i]):
+                raise InvalidData("vvc: no refs for inter slice")
+    sh.num_ref_idx_active = tuple(active)
     sh.qp = pps.init_qp + b.se()          # sh_qp_delta
     if b.get1() != 1:                     # byte alignment: 1 then 0s
         raise InvalidData("vvc: bad slice header alignment")

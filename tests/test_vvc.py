@@ -91,6 +91,34 @@ class TexturePlan(Plan):
         return x0 == 0 and y0 == 0
 
 
+def _decode_vs_ref_frames(stream, tmp_path, width, height, nframes,
+                          bit_depth=8):
+    """Multi-frame byte-exact comparison vs the reference decoder
+    (low-delay streams: decode order == output order)."""
+    p = tmp_path / "s.vvc"
+    p.write_bytes(stream)
+    raw = subprocess.run(
+        [str(refutil.REF), "-v", "error", "-i", str(p),
+         "-f", "rawvideo", "-"], check=True, capture_output=True
+    ).stdout
+    dt = np.uint8 if bit_depth == 8 else np.uint16
+    per = width * height * 3 // 2
+    assert len(raw) == per * nframes * dt().nbytes, \
+        f"reference produced {len(raw)} bytes"
+    par = CodecParameters(codec_type=MediaType.VIDEO, codec_id="vvc")
+    dec = CodecContext.open_decoder(par)
+    frames = dec.decode_all([Packet(data=stream, pts=0,
+                                    time_base=Rational(1, 25))])
+    assert len(frames) == nframes
+    want = np.frombuffer(raw, dt)
+    for i, f in enumerate(frames):
+        got = np.concatenate([np.asarray(pl).ravel().astype(dt)
+                              for pl in f.planes])
+        np.testing.assert_array_equal(
+            got, want[i * per:(i + 1) * per],
+            err_msg=f"frame {i} differs")
+
+
 def _decode_vs_ref(stream, tmp_path, width=32, height=32,
                    bit_depth=8):
     p = tmp_path / "s.vvc"
