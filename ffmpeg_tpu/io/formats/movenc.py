@@ -287,6 +287,13 @@ def sample_entry(st) -> _Box:
     par = st.codecpar
     if par.codec_type == MediaType.VIDEO:
         tag = _VIDEO_TAG.get(par.codec_id)
+        if par.codec_id == "prores" and par.codec_tag:
+            t = par.codec_tag
+            if isinstance(t, str):
+                t = t.encode("latin1")
+            elif isinstance(t, int):
+                t = t.to_bytes(4, "big")
+            tag = t
         if tag is None:
             raise NotSupported(f"mov: cannot mux video codec {par.codec_id}")
         e = _Box(tag.decode())
