@@ -15,7 +15,7 @@ from ..stream import MediaType
 
 _VIDEO_TAG = {"h264": b"avc1", "hevc": b"hvc1", "mpeg4": b"mp4v",
               "mjpeg": b"mp4v", "vp9": b"vp09", "av1": b"av01",
-              "prores": b"apcn", "png": b"mp4v"}
+              "prores": b"apcn", "png": b"mp4v", "dnxhd": b"AVdh"}
 _AUDIO_TAG = {"aac": b"mp4a", "mp3": b"mp4a", "ac3": b"ac-3",
               "opus": b"Opus", "flac": b"fLaC",
               "pcm_s16le": b"sowt", "pcm_s16be": b"twos",
