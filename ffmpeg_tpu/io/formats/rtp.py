@@ -79,6 +79,8 @@ def parse_sdp(text: str):
                     cur["clock"] = int(enc[1])
                     if len(enc) > 2:
                         cur["channels"] = int(enc[2])
+            elif v.startswith("control:"):
+                cur["control"] = v[8:]
             elif v.startswith("fmtp:"):
                 body = v[5:].split(" ", 1)
                 if len(body) == 2 and int(body[0]) == cur["pt"]:
@@ -401,13 +403,20 @@ class SdpDemuxer(Demuxer):
 
 @register_demuxer
 class RtspListenDemuxer(Demuxer):
-    """RECORD-mode RTSP server (rtsp.c `-rtsp_flags listen` analog):
-    a publisher connects, ANNOUNCEs an SDP, SETUPs TCP-interleaved
-    transports and RECORDs; we depacketize the interleaved RTP."""
+    """RTSP input (rtsp.c analog).
+
+    Default mode is the PLAY client: connect to a server, DESCRIBE →
+    SDP, SETUP each media with TCP-interleaved transport, PLAY, and
+    depacketize the interleaved RTP (rtsp.c + rtpdec.c).
+
+    With `rtsp_flags="listen"` it is the RECORD-mode server
+    (`-rtsp_flags listen`): a publisher connects, ANNOUNCEs an SDP,
+    SETUPs TCP-interleaved transports and RECORDs."""
 
     name = "rtsp"
     extensions = ()
     listen_timeout = 10.0
+    rtsp_flags = ""
 
     @classmethod
     def probe(cls, head: bytes, filename: str = "") -> int:
@@ -416,6 +425,9 @@ class RtspListenDemuxer(Demuxer):
     flags_no_file = True
 
     def read_header(self) -> None:
+        if self.rtsp_flags != "listen":
+            self._client_play()
+            return
         u = urlparse(self.url)
         srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -432,6 +444,87 @@ class RtspListenDemuxer(Demuxer):
         self._recording = False
         while not self._recording:
             self._handle_request()
+
+    # ---- PLAY client (rtsp.c DESCRIBE/SETUP/PLAY state machine) -------
+
+    def _client_play(self):
+        u = urlparse(self.url)
+        self._conn = socket.create_connection(
+            (u.hostname or "127.0.0.1", u.port or 554),
+            timeout=self.listen_timeout)
+        self._conn.settimeout(self.listen_timeout)
+        self._rbuf = bytearray()
+        self._sessions = {}
+        self._chan_map = {}
+        self._queue = []
+        self._cseq = 1
+        self._rtsp_session = None
+        self._creq("OPTIONS", self.url)
+        hdrs, body = self._creq("DESCRIBE", self.url,
+                                extra={"Accept": "application/sdp"})
+        base = hdrs.get("content-base", self.url).rstrip("/")
+        medias = parse_sdp(body.decode("utf-8", "replace"))
+        if not medias:
+            raise InvalidData("rtsp: DESCRIBE returned no media")
+        for i, m in enumerate(medias):
+            sess = _RtpSession(m)
+            tb = Rational(1, m["clock"])
+            self.add_stream(codecpar=sess.depay.codecpar(), time_base=tb)
+            self._sessions[i] = sess
+            ctl = m.get("control", f"streamid={i}")
+            setup_url = ctl if ctl.startswith("rtsp://") else \
+                f"{base}/{ctl}"
+            chan = 2 * i
+            h, _ = self._creq(
+                "SETUP", setup_url,
+                extra={"Transport": f"RTP/AVP/TCP;unicast;"
+                                    f"interleaved={chan}-{chan + 1}"})
+            tr = h.get("transport", "")
+            for part in tr.split(";"):
+                if part.startswith("interleaved="):
+                    chan = int(part.split("=")[1].split("-")[0])
+            self._chan_map[chan] = i
+            s = h.get("session")
+            if s:
+                self._rtsp_session = s.split(";")[0]
+        self._creq("PLAY", self.url, extra={"Range": "npt=0.000-"})
+        self._recording = True
+
+    def _creq(self, method, url, extra=None):
+        lines = [f"{method} {url} RTSP/1.0", f"CSeq: {self._cseq}"]
+        if self._rtsp_session:
+            lines.append(f"Session: {self._rtsp_session}")
+        if extra:
+            lines += [f"{k}: {v}" for k, v in extra.items()]
+        self._conn.sendall(("\r\n".join(lines) + "\r\n\r\n")
+                           .encode("latin1"))
+        self._cseq += 1
+        # responses may be preceded by interleaved data frames
+        while True:
+            while not self._rbuf:
+                self._recv_more()
+            if self._rbuf[:1] == b"$":
+                self._read_interleaved()
+                continue
+            break
+        status = self._read_line()
+        while not status.strip():
+            status = self._read_line()
+        headers = {}
+        while True:
+            line = self._read_line()
+            if not line:
+                break
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        clen = int(headers.get("content-length", 0))
+        while len(self._rbuf) < clen:
+            self._recv_more()
+        body = bytes(self._rbuf[:clen])
+        self._rbuf = self._rbuf[clen:]
+        if " 200 " not in status:
+            raise InvalidData(f"rtsp: {method} -> {status}")
+        return headers, body
 
     def _recv_more(self):
         data = self._conn.recv(65536)
